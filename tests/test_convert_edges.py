@@ -1,0 +1,73 @@
+"""Edge geometry fixtures: elbow implicit-point synthesis, anchors/burrs,
+hyperedges, markers. Inputs reconstructed from the reference expected JSON
+(see test_convert_micro.py header for the comparison policy)."""
+
+from __future__ import annotations
+
+from gpml2pvjson_js_ray.functions.convert import convert_island
+
+from tests.test_convert_micro import (GPML_HEADER, assert_entity_matches,
+                                      assert_pathway_matches, load_expected)
+
+
+def test_edge_elbow_top1_to_right1():
+    gpml = GPML_HEADER + """
+<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130813">
+  <Graphics BoardWidth="1047.7865523249097" BoardHeight="825.09187756604" />
+  <DataNode TextLabel="GeneProduct" GraphId="af9e0" Type="GeneProduct">
+    <Graphics CenterX="236.7289428223533" CenterY="124.44624526539923" Width="80.0" Height="20.0" ZOrder="32954" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <DataNode TextLabel="0006" GraphId="a0723" Type="GeneProduct">
+    <Graphics CenterX="54.993106861058784" CenterY="94.27400896748527" Width="80.0" Height="20.0" ZOrder="32955" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <Interaction GraphId="d6ee8">
+    <Graphics ZOrder="32953" LineThickness="1.0" ConnectorType="Elbow">
+      <Point X="54.993106861058784" Y="84.27400896748527" GraphRef="a0723" RelX="0.0" RelY="-1.0" ArrowHead="TBar" />
+      <Point X="196.7289428223533" Y="124.44624526539923" GraphRef="af9e0" RelX="-1.0" RelY="0.0" ArrowHead="Arrow" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <InfoBox CenterX="0.0" CenterY="0.0" />
+</Pathway>"""
+    out = convert_island(gpml)
+    expected = load_expected("edge-elbow-top1-to-right1")
+    assert_pathway_matches(out, expected)
+    for eid in expected["entitiesById"]:
+        assert_entity_matches(out, expected, eid)
+
+
+def test_hyperedge_singleend_depth1_straight():
+    gpml = GPML_HEADER + """
+<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130715">
+  <Graphics BoardWidth="193.78600823045275" BoardHeight="183.20987654320976" />
+  <DataNode TextLabel="GeneProduct" GraphId="faa53" Type="GeneProduct">
+    <Graphics CenterX="106.17283950617399" CenterY="143.20987654320976" Width="80.0" Height="20.0" ZOrder="32768" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <Interaction GraphId="idaf905386">
+    <Graphics ZOrder="12288" LineThickness="1.0">
+      <Point X="30.452674897119397" Y="66.6666666666666" />
+      <Point X="163.78600823045275" Y="66.66666666666659" />
+      <Anchor Position="0.5617283950617287" GraphId="e0874" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <Interaction GraphId="id28382a1c">
+    <Graphics ZOrder="12288" LineThickness="1.0">
+      <Point X="106.172839506174" Y="133.20987654320976" GraphRef="faa53" RelX="0.0" RelY="-1.0" />
+      <Point X="105.34979423868322" Y="66.66666666666659" GraphRef="e0874" RelX="0.0" RelY="0.0" ArrowHead="mim-catalysis" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <InfoBox CenterX="0.0" CenterY="0.0" />
+</Pathway>"""
+    out = convert_island(gpml)
+    expected = load_expected("hyperedge-singleend-depth1-straight")
+    assert_pathway_matches(out, expected)
+    for eid in expected["entitiesById"]:
+        assert_entity_matches(out, expected, eid)
+    # the anchor is a burr on the referenced edge, not in pathway.contains
+    assert out["entitiesById"]["idaf905386"]["burrs"] == ["e0874"]
+    assert out["pathway"]["contains"] == expected["pathway"]["contains"]
