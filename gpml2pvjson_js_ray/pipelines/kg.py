@@ -1,0 +1,187 @@
+"""Flagship pipeline: pages → islands → pvjson docs → triples → linked →
+deduped → canonical entities + partitioned adjacency, with per-partition
+lineage manifest and exact resume.
+
+Ray-Data-first (SURVEY.md §3.4): every stage is a `map_batches` transform
+over Arrow batches; the only wide shuffles are the exact-dedup groupby, the
+canonical-entity groupby (both pre-combined per batch), and the adjacency
+sort. The xref dictionary is broadcast once via ray.put.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.compute as pc
+
+from ..sources.pages import SEED, write_pages_parquet
+from ..sources.xrefs import build_xref_dict
+from ..stages.canonicalize import (dedup_triples_global,
+                                   dedup_triples_within_batch,
+                                   entity_partials_batch,
+                                   merge_entity_partials)
+from ..stages.convert import convert_islands_batch
+from ..stages.extract import extract_islands_batch, extract_text_batch
+from ..stages.link import XrefLinker
+from ..stages.triples import emit_triples_batch
+from ..state.manifest import load_manifest, record_partition
+
+_PAGES_CACHE_ROOT = "/tmp/gpml2pvjson_pages"
+
+# corpus sizes per scale-factor directory name (sf0.001 ≈ smoke, sf0.01 ≈
+# correctness, sf0.1 ≈ bench) — deterministic, no external data
+SF_TO_N_PAGES = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 24000}
+
+_xref_ref_cache = None
+
+
+def pages_path_for_sf(sf_dir: str, seed: int = SEED) -> str:
+    """Deterministic synthetic pages corpus sized to match the driver's
+    sf directory naming; cached under /tmp."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_pages = SF_TO_N_PAGES.get(sf_name, 2400)
+    return pages_path(n_pages, seed)
+
+
+def pages_path(n_pages: int, seed: int = SEED) -> str:
+    out = os.path.join(_PAGES_CACHE_ROOT, f"n{n_pages}_s{seed}")
+    return write_pages_parquet(out, n_pages, seed)
+
+
+def get_xref_ref():
+    """Build the xref dictionary once per driver process and ray.put it."""
+    global _xref_ref_cache
+    if _xref_ref_cache is None:
+        import ray
+        _xref_ref_cache = ray.put(build_xref_dict())
+    return _xref_ref_cache
+
+
+def read_pages(path: str):
+    import ray.data as rd
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    # prune at the read: text/lang are not needed on the KG path
+    return rd.read_parquet(files or path,
+                           columns=["url", "warc_ts", "html"])
+
+
+def islands_dataset(pages):
+    return pages.map_batches(extract_islands_batch, batch_format="pyarrow",
+                             batch_size=256)
+
+
+def docs_dataset(pages):
+    return islands_dataset(pages).map_batches(
+        convert_islands_batch, batch_format="pyarrow", batch_size=256)
+
+
+def linked_triples_dataset(pages, xref_ref=None, link_concurrency=(2, 8)):
+    docs = docs_dataset(pages)
+    triples = docs.map_batches(emit_triples_batch, batch_format="pyarrow",
+                               batch_size=256)
+    if xref_ref is None:
+        xref_ref = get_xref_ref()
+    return triples.map_batches(
+        XrefLinker, fn_constructor_args=(xref_ref,),
+        batch_format="pyarrow", batch_size=8192,
+        concurrency=link_concurrency, num_cpus=1)
+
+
+def deduped_triples_dataset(pages, xref_ref=None):
+    linked = linked_triples_dataset(pages, xref_ref)
+    combined = linked.map_batches(dedup_triples_within_batch,
+                                  batch_format="pyarrow")
+    return dedup_triples_global(combined)
+
+
+def canonical_entities_dataset(pages, xref_ref=None):
+    linked = linked_triples_dataset(pages, xref_ref)
+    partials = linked.map_batches(entity_partials_batch,
+                                  batch_format="pyarrow")
+    return merge_entity_partials(partials)
+
+
+def text_invariant_dataset(path: str):
+    """Per-url extracted text + byte-identity flag vs the corpus oracle."""
+    import ray.data as rd
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    pages = rd.read_parquet(files or path,
+                            columns=["url", "lang", "html", "text"])
+    return pages.map_batches(extract_text_batch, batch_format="pyarrow",
+                             batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned run (ray job entry point)
+# ---------------------------------------------------------------------------
+
+def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 2,
+                    resume: bool = True, num_buckets: int = 32) -> dict:
+    """End-to-end run with per-partition lineage manifest.
+
+    Phase 1 (resumable per input partition): pages → linked triples parquet
+    under out/triples/part=<id>/ and docs under out/docs/part=<id>/.
+    Phase 2 (global): exact dedup → adjacency layout + canonical entities.
+    """
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    partitions = [files[i:i + files_per_partition]
+                  for i in range(0, len(files), files_per_partition)]
+    manifest = load_manifest(out_dir) if resume else {}
+    stats = {"partitions_total": len(partitions), "partitions_skipped": 0,
+             "pages": 0, "islands": 0, "docs": 0, "errors": 0, "triples": 0}
+
+    xref_ref = get_xref_ref()
+    for pidx, part_files in enumerate(partitions):
+        pid = f"{pidx:05d}"
+        if pid in manifest:
+            stats["partitions_skipped"] += 1
+            continue
+        pages = rd.read_parquet(part_files,
+                                columns=["url", "warc_ts", "html"])
+        docs = docs_dataset(pages)
+        docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
+        docs.write_parquet(docs_dir)
+
+        docs_written = rd.read_parquet(docs_dir)
+        triples = docs_written.map_batches(emit_triples_batch,
+                                           batch_format="pyarrow")
+        linked = triples.map_batches(
+            XrefLinker, fn_constructor_args=(xref_ref,),
+            batch_format="pyarrow", batch_size=8192,
+            concurrency=(1, 4), num_cpus=1)
+        triples_dir = os.path.join(out_dir, "triples", f"part={pid}")
+        linked.write_parquet(triples_dir)
+
+        n_docs = docs_written.count()
+        n_err = docs_written.filter(
+            expr="error != ''").count() if n_docs else 0
+        n_triples = rd.read_parquet(triples_dir).count()
+        counters = {"docs": n_docs, "errors": n_err, "triples": n_triples}
+        record_partition(out_dir, pid, part_files, counters,
+                         [docs_dir, triples_dir])
+        stats["docs"] += n_docs
+        stats["errors"] += n_err
+        stats["triples"] += n_triples
+
+    # phase 2: global dedup + canonicalization + adjacency
+    all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+    combined = all_triples.map_batches(dedup_triples_within_batch,
+                                       batch_format="pyarrow")
+    deduped = dedup_triples_global(combined)
+    from ..stages.adjacency import write_adjacency
+    write_adjacency(deduped, os.path.join(out_dir, "adjacency"),
+                    num_buckets=num_buckets)
+
+    partials = all_triples.map_batches(entity_partials_batch,
+                                       batch_format="pyarrow")
+    entities = merge_entity_partials(partials)
+    entities.write_parquet(os.path.join(out_dir, "entities"))
+
+    stats["triples_deduped"] = rd.read_parquet(
+        os.path.join(out_dir, "adjacency")).count()
+    stats["entities"] = rd.read_parquet(
+        os.path.join(out_dir, "entities")).count()
+    return stats

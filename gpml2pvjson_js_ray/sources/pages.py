@@ -1,0 +1,452 @@
+"""Deterministic synthetic Common-Crawl-style pages with embedded GPML
+islands (FIXTURES.md §1-2). No external data; fixed seed ⇒ byte-identical
+corpus on every run (required for resume/idempotence tests).
+
+Schema (BASELINE.json input_hint):
+  url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+Island families mirror the reference test fixtures
+(/root/reference/test/expected): data-nodes, interactions (markers+anchors),
+graphical-lines, elbow/curved edges, groups, states, labels/shapes,
+publication-xrefs (incl. the rdf:id bug), hyperedges, plus malformed islands
+exercising the quarantine path. Header variants cover the lowercase-utf-8 /
+single-quotes fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+
+_WORDS_EN = (
+    "the of protein pathway cell signal receptor kinase expression gene "
+    "binding membrane activity regulation metabolic transport response "
+    "complex during analysis between human mouse model data results level "
+    "and with that from this have been were are was for not can which "
+    "process function interaction network biology molecular"
+).split()
+
+_WORDS_DE = (
+    "der die das und ist ein eine von mit nicht auf auch zelle protein "
+    "signalweg bindung membran regulation ausdruck zwischen ergebnisse "
+    "wurden sind werden für prozess funktion netzwerk"
+).split()
+
+_WORDS_FR = (
+    "le la les et est une des dans pour avec pas sur cellule protéine "
+    "voie liaison membrane régulation expression entre résultats sont "
+    "été processus fonction réseau"
+).split()
+
+_LANG_WORDS = {"en": _WORDS_EN, "de": _WORDS_DE, "fr": _WORDS_FR}
+
+XREF_DATASOURCES = [
+    ("Entrez Gene", lambda rng: str(rng.randrange(1000, 99999))),
+    ("Ensembl", lambda rng: "ENSG%011d" % rng.randrange(1, 100000)),
+    ("HMDB", lambda rng: "HMDB%07d" % rng.randrange(1, 70000)),
+    ("Uniprot-TrEMBL", lambda rng: "P%05d" % rng.randrange(10000, 99999)),
+    ("ChEBI", lambda rng: str(rng.randrange(100, 99999))),
+    ("Wikidata", lambda rng: "Q%d" % rng.randrange(1000, 10000000)),
+    # deliberately unknown to the linker dictionary:
+    ("LegacyDB", lambda rng: "L%04d" % rng.randrange(1, 9999)),
+]
+
+WP_TYPES = ["GeneProduct", "Metabolite", "Protein", "Rna", "Pathway",
+            "Complex", "Unknown"]
+
+ARROWHEADS = ["Arrow", "TBar", "mim-inhibition", "mim-conversion",
+              "mim-catalysis", "mim-stimulation", "mim-binding",
+              "mim-modification", "mim-necessary-stimulation",
+              "mim-transcription-translation", "mim-cleavage"]
+
+HEADERS = [
+    '<?xml version="1.0" encoding="UTF-8"?>\n',
+    '<?xml version="1.0" encoding="utf-8"?>\n',      # lowercase-utf-8 fixture
+    "<?xml version='1.0' encoding='UTF-8'?>\n",      # single-quotes fixture
+    "",                                              # headerless
+]
+
+NS = "http://pathvisio.org/GPML/2013a"
+
+
+def _rng_for(i: int, seed: int = SEED) -> random.Random:
+    return random.Random((seed << 32) ^ (i * 2654435761 % 2**32))
+
+
+def _prose(rng: random.Random, lang: str, n_sentences: int) -> str:
+    words = _LANG_WORDS[lang]
+    sentences = []
+    for _ in range(n_sentences):
+        k = rng.randrange(6, 16)
+        ws = [rng.choice(words) for _ in range(k)]
+        sentences.append(" ".join(ws).capitalize() + ".")
+    return " ".join(sentences)
+
+
+# Popular entities: a small pool drawn with ~12% probability, creating (a)
+# heavy-hitter subjects for the salting path and (b) Entrez/Ensembl alias
+# pairs that canonicalize to the SAME ncbigene IRI (Ensembl even ids map to
+# ncbigene n % 98999 + 1000 in sources/xrefs.py) so the unification groupby
+# has real alias merges.
+_POPULAR: list[tuple[str, str]] = []
+for _n in range(2000, 2050, 2):  # even → aliases to ncbigene _n%98999+1000
+    _POPULAR.append(("Ensembl", "ENSG%011d" % _n))
+    _POPULAR.append(("Entrez Gene", str(_n % 98999 + 1000)))
+
+
+def _xref(rng: random.Random) -> tuple[str, str]:
+    if rng.random() < 0.12:
+        return _POPULAR[rng.randrange(len(_POPULAR))]
+    ds, gen = XREF_DATASOURCES[rng.randrange(len(XREF_DATASOURCES))]
+    return ds, gen(rng)
+
+
+def _data_node(rng, graph_id, x=None, y=None, group_ref=None,
+               wp_type=None) -> str:
+    wp_type = wp_type or rng.choice(WP_TYPES)
+    ds, xid = _xref(rng)
+    cx = x if x is not None else round(rng.uniform(60, 900), 6)
+    cy = y if y is not None else round(rng.uniform(60, 700), 6)
+    gref = f' GroupRef="{group_ref}"' if group_ref else ""
+    return (
+        f'  <DataNode TextLabel="{wp_type}_{graph_id}" GraphId="{graph_id}"'
+        f'{gref} Type="{wp_type}">\n'
+        f'    <Graphics CenterX="{cx}" CenterY="{cy}" Width="80.0" '
+        f'Height="20.0" ZOrder="32768" FontSize="10" Valign="Middle" />\n'
+        f'    <Xref Database="{ds}" ID="{xid}" />\n'
+        f"  </DataNode>\n")
+
+
+def _interaction(rng, graph_id, p0, p1, ref0=None, ref1=None,
+                 arrow=None, connector=None, anchors=()) -> str:
+    conn = f' ConnectorType="{connector}"' if connector else ""
+    pts = []
+    for (x, y), ref, rel, ah in (
+            (p0, ref0, ("0.0", "1.0"), None),
+            (p1, ref1, ("0.0", "-1.0"), arrow)):
+        attrs = f'X="{x}" Y="{y}"'
+        if ref:
+            attrs += f' GraphRef="{ref}" RelX="{rel[0]}" RelY="{rel[1]}"'
+        if ah:
+            attrs += f' ArrowHead="{ah}"'
+        pts.append(f"      <Point {attrs} />")
+    anchor_lines = [
+        f'      <Anchor Position="{pos}" GraphId="{aid}"{shape} />'
+        for (pos, aid, shape) in anchors]
+    body = "\n".join(pts + anchor_lines)
+    return (
+        f'  <Interaction GraphId="{graph_id}">\n'
+        f'    <Graphics ZOrder="12288" LineThickness="1.0"{conn}>\n'
+        f"{body}\n"
+        f"    </Graphics>\n"
+        f'    <Xref Database="" ID="" />\n'
+        f"  </Interaction>\n")
+
+
+def _pathway(rng, body: str, name=None, header=0, organism="Homo sapiens",
+             extra_attrs="") -> str:
+    name = name or f"Synthetic pathway {rng.randrange(1, 10**6)}"
+    w = round(rng.uniform(400, 1200), 4)
+    h = round(rng.uniform(300, 900), 4)
+    return (
+        HEADERS[header]
+        + f'<Pathway xmlns="{NS}" Name="{name}" Organism="{organism}" '
+        + f'Version="{rng.randrange(2010, 2026)}0101"{extra_attrs}>\n'
+        + f'  <Graphics BoardWidth="{w}" BoardHeight="{h}" />\n'
+        + body
+        + '  <InfoBox CenterX="0.0" CenterY="0.0" />\n'
+        + "</Pathway>")
+
+
+# ---- island families ------------------------------------------------------
+
+def island_data_nodes(rng) -> str:
+    n = rng.randrange(2, 8)
+    body = "".join(_data_node(rng, f"dn{i:03d}{rng.randrange(16):x}")
+                   for i in range(n))
+    return _pathway(rng, body)
+
+
+def island_interactions(rng) -> str:
+    parts = []
+    ids = []
+    for i in range(rng.randrange(2, 5)):
+        gid = f"n{i}a{rng.randrange(4096):03x}"
+        ids.append(gid)
+        parts.append(_data_node(rng, gid))
+    edges = []
+    for i in range(len(ids) - 1):
+        arrow = rng.choice(ARROWHEADS)
+        a, b = ids[i], ids[i + 1]
+        edges.append(_interaction(
+            rng, f"e{i}b{rng.randrange(4096):03x}",
+            (round(rng.uniform(50, 900), 4), round(rng.uniform(50, 700), 4)),
+            (round(rng.uniform(50, 900), 4), round(rng.uniform(50, 700), 4)),
+            ref0=a, ref1=b, arrow=arrow))
+    return _pathway(rng, "".join(parts + edges))
+
+
+def island_elbow_curved(rng) -> str:
+    connector = rng.choice(["Elbow", "Curved"])
+    n0 = f"s{rng.randrange(4096):03x}"
+    n1 = f"t{rng.randrange(4096):03x}"
+    c0 = (round(rng.uniform(100, 300), 4), round(rng.uniform(100, 300), 4))
+    c1 = (round(rng.uniform(400, 900), 4), round(rng.uniform(300, 700), 4))
+    sides = {
+        "top": (("0.0", "-1.0"), (0, -10)),
+        "bottom": (("0.0", "1.0"), (0, 10)),
+        "left": (("-1.0", "0.0"), (-40, 0)),
+        "right": (("1.0", "0.0"), (40, 0)),
+    }
+    s0 = rng.choice(list(sides))
+    s1 = rng.choice(list(sides))
+    (rel0, off0), (rel1, off1) = sides[s0], sides[s1]
+    body = _data_node(rng, n0, x=c0[0], y=c0[1]) + \
+        _data_node(rng, n1, x=c1[0], y=c1[1])
+    pts = (
+        f'      <Point X="{c0[0] + off0[0]}" Y="{c0[1] + off0[1]}" '
+        f'GraphRef="{n0}" RelX="{rel0[0]}" RelY="{rel0[1]}" />\n'
+        f'      <Point X="{c1[0] + off1[0]}" Y="{c1[1] + off1[1]}" '
+        f'GraphRef="{n1}" RelX="{rel1[0]}" RelY="{rel1[1]}" '
+        f'ArrowHead="{rng.choice(ARROWHEADS)}" />')
+    edge = (
+        f'  <Interaction GraphId="ec{rng.randrange(4096):03x}">\n'
+        f'    <Graphics ZOrder="12288" LineThickness="1.0" '
+        f'ConnectorType="{connector}">\n{pts}\n    </Graphics>\n'
+        f'    <Xref Database="" ID="" />\n  </Interaction>\n')
+    return _pathway(rng, body + edge)
+
+
+def island_hyperedge(rng) -> str:
+    n0 = f"h{rng.randrange(4096):03x}"
+    anchor_id = f"a{rng.randrange(4096):03x}"
+    e_main = f"m{rng.randrange(4096):03x}"
+    y = round(rng.uniform(60, 100), 4)
+    main = _interaction(rng, e_main, (30.0, y), (300.0, y),
+                        anchors=((round(rng.uniform(0.2, 0.8), 6),
+                                  anchor_id, ""),))
+    cx = round(rng.uniform(100, 260), 4)
+    cy = y + 80
+    node = _data_node(rng, n0, x=cx, y=cy)
+    hyper = (
+        f'  <Interaction GraphId="y{rng.randrange(4096):03x}">\n'
+        f'    <Graphics ZOrder="12288" LineThickness="1.0">\n'
+        f'      <Point X="{cx}" Y="{cy - 10}" GraphRef="{n0}" RelX="0.0" '
+        f'RelY="-1.0" />\n'
+        f'      <Point X="{cx}" Y="{y}" GraphRef="{anchor_id}" RelX="0.0" '
+        f'RelY="0.0" ArrowHead="mim-catalysis" />\n'
+        f"    </Graphics>\n"
+        f'    <Xref Database="" ID="" />\n'
+        f"  </Interaction>\n")
+    return _pathway(rng, main + node + hyper)
+
+
+def island_groups(rng) -> str:
+    style = rng.choice(["None", "Group", "Complex", "Pathway"])
+    group_id = f"g{rng.randrange(4096):03x}"
+    graph_id = f"gg{rng.randrange(4096):03x}"
+    members = "".join(
+        _data_node(rng, f"m{i}{rng.randrange(256):02x}",
+                   x=200 + 90 * i, y=300, group_ref=group_id)
+        for i in range(rng.randrange(2, 5)))
+    group = (f'  <Group GroupId="{group_id}" GraphId="{graph_id}" '
+             f'Style="{style}" />\n')
+    return _pathway(rng, members + group)
+
+
+def island_states(rng) -> str:
+    parent = f"p{rng.randrange(4096):03x}"
+    state = f"st{rng.randrange(4096):03x}"
+    body = _data_node(rng, parent, x=300, y=200)
+    ds, xid = _xref(rng)
+    body += (
+        f'  <State GraphRef="{parent}" TextLabel="P" GraphId="{state}">\n'
+        f'    <Graphics RelX="1.0" RelY="1.0" Width="15.0" Height="15.0" '
+        f'ShapeType="Oval" />\n'
+        f'    <Xref Database="{ds}" ID="{xid}" />\n'
+        f"  </State>\n")
+    return _pathway(rng, body)
+
+
+def island_labels_shapes(rng) -> str:
+    body = (
+        f'  <Label TextLabel="Note {rng.randrange(100)}" '
+        f'GraphId="l{rng.randrange(4096):03x}">\n'
+        f'    <Graphics CenterX="{round(rng.uniform(60, 900), 4)}" '
+        f'CenterY="{round(rng.uniform(60, 700), 4)}" Width="120.0" '
+        f'Height="25.0" ZOrder="28672" FillColor="ffffff" FontSize="12" '
+        f'Valign="Middle" />\n  </Label>\n'
+        f'  <Shape GraphId="sh{rng.randrange(4096):03x}">\n'
+        f'    <Attribute Key="org.pathvisio.CellularComponentProperty" '
+        f'Value="Mitochondria" />\n'
+        f'    <Graphics CenterX="{round(rng.uniform(100, 800), 4)}" '
+        f'CenterY="{round(rng.uniform(100, 600), 4)}" Width="200.0" '
+        f'Height="100.0" ZOrder="16384" FontSize="10" Valign="Middle" '
+        f'ShapeType="Mitochondria" LineThickness="3.0" Color="c0c0c0" '
+        f'Rotation="0.0" />\n  </Shape>\n')
+    return _pathway(rng, body)
+
+
+def island_publication_xrefs(rng) -> str:
+    refs = []
+    bp = []
+    for i in range(rng.randrange(1, 4)):
+        rid = f"{rng.randrange(16**3):03x}"
+        refs.append(rid)
+        year = rng.randrange(1980, 2025)
+        # NOTE: deliberately rdf:id (lowercase) — the GPML bug the reference
+        # fixes up before parsing (2013a/toPvjson.ts:163-167)
+        bp.append(
+            f'    <bp:PublicationXref xmlns:bp="http://www.biopax.org/'
+            f'release/biopax-level3.owl#" xmlns:rdf="http://www.w3.org/'
+            f'1999/02/22-rdf-syntax-ns#" rdf:id="{rid}">\n'
+            f"      <bp:ID>{rng.randrange(10**7, 10**8)}</bp:ID>\n"
+            f"      <bp:DB>PubMed</bp:DB>\n"
+            f"      <bp:TITLE>Study {i} &amp; follow-up</bp:TITLE>\n"
+            f"      <bp:SOURCE>J Synth Biol</bp:SOURCE>\n"
+            f"      <bp:YEAR>{year}</bp:YEAR>\n"
+            f"      <bp:AUTHORS>Doe J</bp:AUTHORS>\n"
+            f"      <bp:AUTHORS>Roe R</bp:AUTHORS>\n"
+            f"    </bp:PublicationXref>\n")
+    node_id = f"px{rng.randrange(4096):03x}"
+    ds, xid = _xref(rng)
+    node = (
+        f'  <DataNode TextLabel="Cited" GraphId="{node_id}" Type="Protein">\n'
+        + "".join(f"    <BiopaxRef>{r}</BiopaxRef>\n" for r in refs)
+        + f'    <Graphics CenterX="200.0" CenterY="200.0" Width="80.0" '
+        f'Height="20.0" ZOrder="32768" FontSize="10" Valign="Middle" />\n'
+        f'    <Xref Database="{ds}" ID="{xid}" />\n'
+        f"  </DataNode>\n")
+    vocab = (
+        '    <bp:openControlledVocabulary xmlns:bp="http://www.biopax.org/'
+        'release/biopax-level3.owl#">\n'
+        "      <bp:TERM>signaling pathway</bp:TERM>\n"
+        f"      <bp:ID>PW:{rng.randrange(10**7):07d}</bp:ID>\n"
+        "      <bp:Ontology>Pathway Ontology</bp:Ontology>\n"
+        "    </bp:openControlledVocabulary>\n")
+    biopax = "  <Biopax>\n" + "".join(bp) + vocab + "  </Biopax>\n"
+    return _pathway(rng, node + biopax)
+
+
+def island_malformed(rng) -> str:
+    """Truncated XML exercising the quarantine path."""
+    good = island_data_nodes(rng)
+    return good[: len(good) // 2] + "</Pathway>"
+
+
+FAMILIES = [
+    ("data-nodes", island_data_nodes),
+    ("interactions", island_interactions),
+    ("elbow-curved", island_elbow_curved),
+    ("hyperedge", island_hyperedge),
+    ("groups", island_groups),
+    ("states", island_states),
+    ("labels-shapes", island_labels_shapes),
+    ("publication-xrefs", island_publication_xrefs),
+    ("malformed", island_malformed),
+]
+
+# family sampling weights: malformed is rare
+_FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 1]
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def gen_page(i: int, seed: int = SEED) -> dict:
+    rng = _rng_for(i, seed)
+    lang = rng.choices(["en", "de", "fr"], weights=[90, 5, 5])[0]
+
+    # ~8% of pages are re-crawls of page i-1 (same content, later ts) —
+    # exercises exact dedup; ~10% have no islands at all.
+    if i > 0 and rng.random() < 0.08:
+        prev = gen_page(i - 1, seed)
+        return {
+            "url": prev["url"],
+            "warc_ts": prev["warc_ts"] + datetime.timedelta(days=30),
+            "html": prev["html"],
+            "text": prev["text"],
+            "lang": prev["lang"],
+        }
+
+    n_islands = rng.choices([0, 1, 2, 3], weights=[10, 70, 15, 5])[0]
+    fam_names = []
+    islands = []
+    for _ in range(n_islands):
+        fam, gen = rng.choices(FAMILIES, weights=_FAMILY_WEIGHTS)[0]
+        fam_names.append(fam)
+        header = rng.choices([0, 1, 2, 3], weights=[70, 10, 10, 10])[0]
+        island = gen(rng)
+        # vary the header on the island already produced with header 0
+        for h in HEADERS:
+            if h and island.startswith(h):
+                island = island[len(h):]
+        islands.append(HEADERS[header] + island)
+
+    fam_label = "+".join(fam_names) or "no-island"
+    url = f"https://pages.synthetic.test/{fam_label}/{i}"
+    paragraphs = [_prose(rng, lang, rng.randrange(1, 4))
+                  for _ in range(rng.randrange(1, 5))]
+    title = _prose(rng, lang, 1)
+
+    body_parts = []
+    for j, p in enumerate(paragraphs):
+        body_parts.append(f"<p>{p}</p>")
+        if j < len(islands):
+            body_parts.append(
+                f'<div class="gpml-island" data-i="{j}">{islands[j]}</div>')
+    for island in islands[len(paragraphs):]:
+        body_parts.append(f'<div class="gpml-island">{island}</div>')
+
+    page_html = (
+        "<html><head>"
+        f"<title>{title}</title>"
+        "<script>var x = 1 < 2;</script>"
+        "<style>body { color: #333 }</style>"
+        "</head><body>"
+        + "".join(body_parts)
+        + "</body></html>")
+
+    # oracle text: exactly what extract_text must produce, constructed
+    # independently from the prose pieces
+    text = " ".join([title] + paragraphs)
+
+    ts = _EPOCH + datetime.timedelta(seconds=(i * 37) % (365 * 86400))
+    return {"url": url, "warc_ts": ts, "html": page_html.encode("utf-8"),
+            "text": text, "lang": lang}
+
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
+                        rows_per_file: int = 4096) -> str:
+    """Write the synthetic corpus as a directory of parquet shards; returns
+    out_dir. Cached: if the directory already has a _DONE marker for the same
+    (n_pages, seed), it is reused."""
+    marker = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    shard = 0
+    for start in range(0, n_pages, rows_per_file):
+        rows = [gen_page(i, seed)
+                for i in range(start, min(start + rows_per_file, n_pages))]
+        table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        pq.write_table(table,
+                       os.path.join(out_dir, f"pages-{shard:05d}.parquet"))
+        shard += 1
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

@@ -1,0 +1,56 @@
+"""BridgeDb-style xref dictionary (synthetic, deterministic).
+
+Maps "DataSource:ID" strings to identifiers.org IRIs (SURVEY.md §2.3 ST4 /
+§2.4 J7). Covers exactly the ranges the synthetic corpus generator draws
+from. Even-numbered Ensembl genes alias to an NCBI gene IRI so that the
+canonicalization groupby (A6) has real alias merges to do.
+
+At 100 TB scale this dictionary is the one large broadcast-side object:
+build it ONCE on the driver, `ray.put` it, and hand the ObjectRef to the
+linker actor pool — each actor deserializes once in __init__, never per
+batch. Wikidata ids are linked by rule (no dictionary entry needed),
+demonstrating hybrid rule+dictionary linking.
+"""
+
+from __future__ import annotations
+
+IRI = {
+    "ncbigene": "http://identifiers.org/ncbigene/",
+    "ensembl": "http://identifiers.org/ensembl/",
+    "hmdb": "http://identifiers.org/hmdb/",
+    "uniprot": "http://identifiers.org/uniprot/",
+    "chebi": "http://identifiers.org/chebi/CHEBI:",
+    "wikidata": "http://identifiers.org/wikidata/",
+}
+
+UNKNOWN_PREFIX = "unknown:"  # wikidata-like unknown namespace for unmatched
+
+
+def build_xref_dict() -> dict[str, str]:
+    d: dict[str, str] = {}
+    for n in range(1000, 100000):  # Entrez Gene generator range
+        d[f"Entrez Gene:{n}"] = IRI["ncbigene"] + str(n)
+    for n in range(1, 100000):  # Ensembl generator range
+        key = "Ensembl:ENSG%011d" % n
+        if n % 2 == 0:
+            # alias: even ENSG ids resolve to an NCBI gene (canonical)
+            d[key] = IRI["ncbigene"] + str(n % 98999 + 1000)
+        else:
+            d[key] = IRI["ensembl"] + "ENSG%011d" % n
+    for n in range(1, 70000):  # HMDB generator range
+        d["HMDB:HMDB%07d" % n] = IRI["hmdb"] + "HMDB%07d" % n
+    for n in range(10000, 100000):  # Uniprot generator range
+        d[f"Uniprot-TrEMBL:P{n:05d}"] = IRI["uniprot"] + f"P{n:05d}"
+    for n in range(100, 100000):  # ChEBI generator range
+        d[f"ChEBI:{n}"] = IRI["chebi"] + str(n)
+    return d
+
+
+def link_xref(xref: str, xref_dict: dict[str, str]) -> str:
+    """One xref string → canonical IRI (dict, then rules, then unknown)."""
+    hit = xref_dict.get(xref)
+    if hit is not None:
+        return hit
+    if xref.startswith("Wikidata:Q"):
+        return IRI["wikidata"] + xref.split(":", 1)[1]
+    return UNKNOWN_PREFIX + xref

@@ -1,0 +1,69 @@
+"""Ray Data stage: entity linking (stateful actor pool).
+
+The one stage that holds large shared state: the BridgeDb-style xref
+dictionary. The dictionary is broadcast with `ray.put` on the driver and
+each actor materializes it ONCE in __init__ (never per batch) — the
+canonical small-side broadcast-join pattern; no shuffle
+(SURVEY.md §2.3 ST4, §2.4 J7).
+
+Usage:
+    xref_ref = ray.put(build_xref_dict())
+    triples.map_batches(XrefLinker, fn_constructor_args=(xref_ref,),
+                        batch_format="pyarrow", batch_size=8192,
+                        concurrency=(2, 8), num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..sources.xrefs import link_xref
+
+
+class XrefLinker:
+    def __init__(self, xref_dict_ref):
+        import ray
+        # ObjectRef → materialize once per actor; plain dict accepted too
+        # (unit tests without a Ray session).
+        if isinstance(xref_dict_ref, dict):
+            self.xref_dict = xref_dict_ref
+        else:
+            self.xref_dict = ray.get(xref_dict_ref)
+        # memoize xref→IRI: corpora have heavy-hitter entities
+        self._cache: dict[str, str] = {}
+
+    def _canonical(self, xref: str, raw: str, is_node: bool,
+                   pathway_id: str) -> str:
+        """xref → dictionary/rule IRI; xref-less node → doc-scoped id;
+        literal (class name, citation id) → unchanged."""
+        if xref:
+            hit = self._cache.get(xref)
+            if hit is None:
+                hit = link_xref(xref, self.xref_dict)
+                self._cache[xref] = hit
+            return hit
+        if is_node:
+            return f"{pathway_id}#{raw}"
+        return raw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj = batch.column("subj").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        subj_xref = batch.column("subj_xref").to_pylist()
+        obj_xref = batch.column("obj_xref").to_pylist()
+        subj_is_node = batch.column("subj_is_node").to_pylist()
+        obj_is_node = batch.column("obj_is_node").to_pylist()
+        pathway_id = batch.column("pathway_id").to_pylist()
+
+        canonical_subj = []
+        canonical_obj = []
+        for s, o, sx, ox, sn, on, pid in zip(subj, obj, subj_xref, obj_xref,
+                                             subj_is_node, obj_is_node,
+                                             pathway_id):
+            canonical_subj.append(self._canonical(sx, s, sn, pid))
+            canonical_obj.append(self._canonical(ox, o, on, pid))
+        batch = batch.append_column(
+            "canonical_subj", pa.array(canonical_subj, type=pa.string()))
+        batch = batch.append_column(
+            "canonical_obj", pa.array(canonical_obj, type=pa.string()))
+        return batch
