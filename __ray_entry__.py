@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself BEFORE importing this module; nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship KG pipeline on an sf0.001-scale synthetic pages corpus
+  (BASELINE.json input_hint schema; deterministic, no external data) —
+  returns the linked-triples Dataset.
+- queries(): one callable per implemented operator/pipeline (SURVEY.md §2).
+- oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible ones; the
+  GPML/KG pipelines and sketch-based ops are non-SQL-expressible and get the
+  driver's rows-only check (their fidelity is covered by pytest against the
+  reference fixture snapshots instead).
 """
 
 from __future__ import annotations
@@ -20,25 +20,84 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    return kg.linked_triples_dataset(kg.read_pages(path))
+
+
+def _kg_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import kg
+        path = kg.pages_path_for_sf(sf_dir)
+        pages = kg.read_pages(path)
+        return getattr(kg, fn_name)(pages)
+    return q
+
+
+def _kg_docs(sf_dir: str):
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf(sf_dir)
+    return kg.docs_dataset(kg.read_pages(path)).drop_columns(["pvjson"])
+
+
+def _kg_text_invariant(sf_dir: str):
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf(sf_dir)
+    return kg.text_invariant_dataset(path).drop_columns(["text_extracted"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from gpml2pvjson_js_ray.pipelines import relational as rel
+    from gpml2pvjson_js_ray.pipelines import textops, simops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / analytical (DuckDB-verified)
+        "lineitem_pricing_summary": rel.lineitem_pricing_summary,
+        "orders_by_segment": rel.orders_by_segment,
+        "top10_customers": rel.top10_customers,
+        "customers_per_region": rel.customers_per_region,
+        "high_value_orders_by_priority": rel.high_value_orders_by_priority,
+        "parts_by_brand": rel.parts_by_brand,
+        "events_tumbling_5min": rel.events_tumbling_5min,
+        "events_sessionize": rel.events_sessionize,
+        "documents_exact_dedup": rel.documents_exact_dedup,
+        "documents_token_stats": rel.documents_token_stats,
+        "documents_lang_counts": rel.documents_lang_counts,
+        "embeddings_cosine_top10": rel.embeddings_cosine_top10,
+        # text analysis / dedup sketches over documents
+        "documents_langid": textops.documents_langid,
+        "documents_quality": textops.documents_quality,
+        "documents_fingerprint": textops.documents_fingerprint,
+        "documents_minhash_dups": textops.documents_minhash_dups,
+        "documents_simhash": textops.documents_simhash,
+        # similarity search over embeddings
+        "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
+        "embeddings_label_stats": simops.embeddings_label_stats,
+        # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
+        "kg_docs": _kg_docs,
+        "kg_linked_triples": _kg_query("linked_triples_from_pages"),
+        "kg_deduped_triples": _kg_query("deduped_triples_from_pages"),
+        "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),
+        "kg_text_invariant": _kg_text_invariant,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gpml2pvjson_js_ray.pipelines import relational as rel
+    from gpml2pvjson_js_ray.pipelines import simops
+
+    return {
+        "lineitem_pricing_summary": rel.SQL_LINEITEM_PRICING_SUMMARY,
+        "orders_by_segment": rel.SQL_ORDERS_BY_SEGMENT,
+        "top10_customers": rel.SQL_TOP10_CUSTOMERS,
+        "customers_per_region": rel.SQL_CUSTOMERS_PER_REGION,
+        "high_value_orders_by_priority": rel.SQL_HIGH_VALUE_ORDERS,
+        "parts_by_brand": rel.SQL_PARTS_BY_BRAND,
+        "events_tumbling_5min": rel.SQL_EVENTS_TUMBLING_5MIN,
+        "events_sessionize": rel.SQL_EVENTS_SESSIONIZE,
+        "documents_exact_dedup": rel.SQL_DOCUMENTS_EXACT_DEDUP,
+        "documents_token_stats": rel.SQL_DOCUMENTS_TOKEN_STATS,
+        "documents_lang_counts": rel.SQL_DOCUMENTS_LANG_COUNTS,
+        "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
+        "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
+    }

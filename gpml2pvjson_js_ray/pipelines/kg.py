@@ -102,6 +102,12 @@ def canonical_entities_dataset(pages, xref_ref=None):
     return merge_entity_partials(partials)
 
 
+# aliases used by __ray_entry__ (queries() callables take a pages Dataset)
+linked_triples_from_pages = linked_triples_dataset
+deduped_triples_from_pages = deduped_triples_dataset
+canonical_entities_from_pages = canonical_entities_dataset
+
+
 def text_invariant_dataset(path: str):
     """Per-url extracted text + byte-identity flag vs the corpus oracle."""
     import ray.data as rd
@@ -116,7 +122,7 @@ def text_invariant_dataset(path: str):
 # resumable partitioned run (ray job entry point)
 # ---------------------------------------------------------------------------
 
-def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 2,
+def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 1,
                     resume: bool = True, num_buckets: int = 32) -> dict:
     """End-to-end run with per-partition lineage manifest.
 
@@ -166,7 +172,12 @@ def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 2,
         stats["errors"] += n_err
         stats["triples"] += n_triples
 
-    # phase 2: global dedup + canonicalization + adjacency
+    # phase 2: global dedup + canonicalization + adjacency. Phase-2 outputs
+    # are derived wholly from the (resumable) phase-1 partitions, so they are
+    # cleared and rebuilt: write_parquet appends files, it does not replace.
+    import shutil
+    for sub in ("adjacency", "entities"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
     all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
     combined = all_triples.map_batches(dedup_triples_within_batch,
                                        batch_format="pyarrow")

@@ -1,0 +1,397 @@
+"""Relational / analytical operators over the driver's TPC-H-ish testdata,
+implemented Ray-Data-first and mirrored 1:1 by DuckDB oracle SQL in
+__ray_entry__.oracle_sql().
+
+Patterns exercised (SURVEY.md §2 operator inventory, generalized):
+  read-with-column-pruning, vectorized filter/project (pyarrow.compute),
+  grouped aggregation (Sum/Mean/Count), broadcast hash join (small side via
+  driver-materialized dict — no shuffle), sort + limit (top-k), tumbling
+  event-time windows, gap sessionization (groupby + map_groups), exact
+  dedup, string tokenization, vector (cosine) math.
+
+All float outputs are rounded identically on the Ray and SQL sides so the
+driver's value-hash comparison is robust to summation-order ulps.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _round_col(batch: pa.Table, col: str, digits: int) -> pa.Table:
+    i = batch.schema.get_field_index(col)
+    return batch.set_column(i, col, pc.round(batch.column(col),
+                                             ndigits=digits))
+
+
+# -- Q1-style pricing summary ----------------------------------------------
+
+def lineitem_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(
+            b.column("l_shipdate"),
+            pa.scalar(np.datetime64("2001-01-01T00:00:00", "us"))))
+        disc_price = pc.multiply(b.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0),
+                                             b.column("l_discount")))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), b.column("l_tax")))
+        b = b.append_column("disc_price", disc_price)
+        b = b.append_column("charge", charge)
+        return b.drop_columns(["l_shipdate", "l_tax"])
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Sum("charge", alias_name="sum_charge"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="count_order")))
+
+    def final(b: pa.Table) -> pa.Table:
+        for col, d in (("sum_qty", 2), ("sum_base_price", 2),
+                       ("sum_disc_price", 2), ("sum_charge", 2),
+                       ("avg_qty", 4), ("avg_disc", 4)):
+            b = _round_col(b, col, d)
+        return b
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_LINEITEM_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       round(avg(l_discount), 4)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- broadcast join: orders ⋈ customer → revenue per segment ----------------
+
+def orders_by_segment(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_by_key = dict(zip(*[customer.to_pandas()[c]
+                            for c in ("c_custkey", "c_mktsegment")]))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        segs = [seg_by_key.get(k) for k in b.column("o_custkey").to_pylist()]
+        return b.append_column("c_mktsegment",
+                               pa.array(segs, type=pa.string()))
+
+    out = (orders.map_batches(attach, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue")))
+    return out.map_batches(lambda b: _round_col(b, "revenue", 2),
+                           batch_format="pyarrow")
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# -- top-k: highest-spend customers ----------------------------------------
+
+def top10_customers(sf_dir: str):
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="spend"))
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    name_by_key = dict(zip(*[customer.to_pandas()[c]
+                             for c in ("c_custkey", "c_name")]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        names = [name_by_key.get(k)
+                 for k in b.column("o_custkey").to_pylist()]
+        b = b.append_column("c_name", pa.array(names, type=pa.string()))
+        return _round_col(b, "spend", 2)
+
+    return (spend.map_batches(attach, batch_format="pyarrow")
+            .sort(["spend", "o_custkey"], descending=[True, False])
+            .limit(10)
+            .select_columns(["o_custkey", "c_name", "spend"]))
+
+
+SQL_TOP10_CUSTOMERS = """
+SELECT o_custkey, c_name, round(sum(o_totalprice), 2) AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY spend DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+# -- two-hop broadcast join: customers per region ---------------------------
+
+def customers_per_region(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    region_by_nation = {
+        int(n): region.set_index("r_regionkey").loc[int(rk), "r_name"]
+        for n, rk in zip(nation["n_nationkey"], nation["n_regionkey"])}
+    customer = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        names = [region_by_nation.get(k)
+                 for k in b.column("c_nationkey").to_pylist()]
+        return b.append_column("r_name", pa.array(names, type=pa.string()))
+
+    out = (customer.map_batches(attach, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Mean("c_acctbal", alias_name="avg_acctbal")))
+    return out.map_batches(lambda b: _round_col(b, "avg_acctbal", 4),
+                           batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r_name, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# -- filter + grouped count -------------------------------------------------
+
+def high_value_orders_by_priority(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_totalprice"])
+    filtered = orders.map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"),
+                                      pa.scalar(100000.0))),
+        batch_format="pyarrow")
+    out = filtered.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total"))
+    return out.map_batches(lambda b: _round_col(b, "total", 2),
+                           batch_format="pyarrow")
+
+
+SQL_HIGH_VALUE_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+"""
+
+
+# -- part stats -------------------------------------------------------------
+
+def parts_by_brand(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+    part = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    out = part.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_size", alias_name="avg_size"),
+        Mean("p_retailprice", alias_name="avg_price"))
+
+    def final(b):
+        b = _round_col(b, "avg_size", 4)
+        return _round_col(b, "avg_price", 2)
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_size), 4) AS avg_size,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part GROUP BY p_brand
+"""
+
+
+# -- event-time tumbling window --------------------------------------------
+
+def events_tumbling_5min(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        micros = pc.cast(b.column("ts"), pa.int64())
+        window = pc.floor(pc.divide(pc.cast(micros, pa.float64()),
+                                    pa.scalar(300_000_000.0)))
+        return b.append_column("window_id", pc.cast(window, pa.int64()))
+
+    out = (events.map_batches(add_window, batch_format="pyarrow")
+           .groupby(["event_type", "window_id"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(lambda b: _round_col(b, "sum_value", 4),
+                           batch_format="pyarrow")
+
+
+SQL_EVENTS_TUMBLING_5MIN = """
+SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, window_id
+"""
+
+
+# -- gap sessionization (groupby + map_groups) ------------------------------
+
+SESSION_GAP_SECONDS = 1800
+
+
+def events_sessionize(sf_dir: str):
+    import pandas as pd
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps > SESSION_GAP_SECONDS).sum()) + 1
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "n_events": [len(df)],
+                             "n_sessions": [n_sessions]})
+
+    return events.groupby("user_id").map_groups(sessions,
+                                                batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN gap > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+           AS n_sessions
+FROM (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts))
+             OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events)
+GROUP BY user_id
+"""
+
+
+# -- exact document dedup ---------------------------------------------------
+
+def documents_exact_dedup(sf_dir: str):
+    import pandas as pd
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_per_text(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"doc_id": [int(df["doc_id"].min())],
+                             "n_copies": [len(df)]})
+
+    return docs.groupby("text").map_groups(first_per_text,
+                                           batch_format="pandas")
+
+
+SQL_DOCUMENTS_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# -- token counting ---------------------------------------------------------
+
+_WS_SPLIT = re.compile(r"\s+")
+
+
+def documents_token_stats(sf_dir: str):
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_tokens = [len(_WS_SPLIT.split(t.strip())) for t in texts]
+        n_chars = [len(t) for t in texts]
+        return pa.Table.from_pydict({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_chars": pa.array(n_chars, type=pa.int64())})
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_DOCUMENTS_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+# -- language distribution --------------------------------------------------
+
+def documents_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_chars", alias_name="avg_chars"))
+    return out.map_batches(lambda b: _round_col(b, "avg_chars", 4),
+                           batch_format="pyarrow")
+
+
+SQL_DOCUMENTS_LANG_COUNTS = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# -- brute-force cosine top-k (broadcast query vector) ----------------------
+
+def embeddings_cosine_top10(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    query_row = emb.filter(expr="vec_id == 0").take(1)[0]
+    query = np.asarray(query_row["embedding"], dtype=np.float64)
+    qn = query / np.linalg.norm(query)
+
+    def sims(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        s = (mat @ qn) / norms
+        keep = ids != 0
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep], type=pa.int64()),
+            "sim": pa.array(np.round(s[keep], 6), type=pa.float64())})
+
+    return (emb.map_batches(sims, batch_format="pyarrow")
+            .sort(["sim", "vec_id"], descending=[True, False])
+            .limit(10))
+
+
+SQL_EMBEDDINGS_COSINE_TOP10 = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+           CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = 0)), 6) AS sim
+FROM embeddings WHERE vec_id != 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""

@@ -1,0 +1,281 @@
+"""Text-analysis + deduplication operators over the `documents` table —
+the training-data-pipeline operator set (language-ID, quality scoring,
+fingerprinting, MinHash-LSH near-dup, SimHash), each Ray-Data-first.
+
+Sketch-based ops are not SQL-expressible; the driver records rows-only
+checks and pytest covers their semantics on known inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+_TOKEN_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
+
+_STOPWORDS = {
+    "en": {"the", "of", "and", "to", "a", "in", "is", "that", "for", "it",
+           "with", "as", "was", "on", "are", "by", "this", "be", "from"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "von", "mit",
+           "nicht", "auf", "auch", "für", "werden", "sind", "zwischen"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "dans", "pour",
+           "avec", "pas", "sur", "sont", "été", "entre"},
+}
+
+
+class LangId:
+    """Stopword-overlap language identifier. Callable-class form: the
+    per-language structures are built once per actor in __init__ (the
+    actor-pool pattern for stateful stages), not per batch."""
+
+    def __init__(self):
+        self.token_re = _TOKEN_RE
+        self.stopwords = {lang: frozenset(ws)
+                          for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in batch.column("text").to_pylist():
+            toks = [t.lower() for t in self.token_re.findall(text or "")]
+            best_lang, best = "unknown", 0.0
+            n = max(1, len(toks))
+            for lang, sw in self.stopwords.items():
+                score = sum(1 for t in toks if t in sw) / n
+                if score > best:
+                    best_lang, best = lang, score
+            preds.append(best_lang if best > 0.02 else "unknown")
+            scores.append(round(best, 6))
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(preds, type=pa.string()),
+            "lang_score": pa.array(scores, type=pa.float64())})
+
+
+def documents_langid(sf_dir: str):
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(LangId, batch_format="pyarrow",
+                            batch_size=2048, concurrency=2, num_cpus=1)
+
+
+def documents_quality(sf_dir: str):
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score (training-data quality filtering)."""
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": batch.column("doc_id"), "n_tokens": [],
+               "mean_token_len": [], "stopword_ratio": [],
+               "alpha_ratio": [], "quality_score": []}
+        langs = batch.column("lang").to_pylist()
+        for text, lang in zip(batch.column("text").to_pylist(), langs):
+            text = text or ""
+            toks = _TOKEN_RE.findall(text)
+            n = len(toks)
+            mean_len = (sum(len(t) for t in toks) / n) if n else 0.0
+            sw = _STOPWORDS.get(lang, _STOPWORDS["en"])
+            sw_ratio = (sum(1 for t in toks if t.lower() in sw) / n) \
+                if n else 0.0
+            alpha = sum(1 for c in text if c.isalpha())
+            alpha_ratio = alpha / max(1, len(text))
+            q = (min(1.0, n / 50.0) * 0.4 + min(1.0, sw_ratio * 5) * 0.3
+                 + alpha_ratio * 0.3)
+            out["n_tokens"].append(n)
+            out["mean_token_len"].append(round(mean_len, 4))
+            out["stopword_ratio"].append(round(sw_ratio, 4))
+            out["alpha_ratio"].append(round(alpha_ratio, 4))
+            out["quality_score"].append(round(q, 4))
+        return pa.Table.from_pydict(out)
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+# -- rolling-hash fingerprint ----------------------------------------------
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def _fingerprint(tokens: list[str]) -> str:
+    h = 0
+    for t in tokens:
+        th = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
+                            .digest(), "big")
+        h = (h * _FP_BASE + th) % _FP_MOD
+    return format(h, "016x")
+
+
+def documents_fingerprint(sf_dir: str):
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [_fingerprint((t or "").split())
+               for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, type=pa.string())})
+
+    return docs.map_batches(fp, batch_format="pyarrow", batch_size=2048)
+
+
+# -- MinHash + LSH near-duplicate detection ---------------------------------
+
+N_PERM = 64
+N_BANDS = 16  # 4 rows per band
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+_rng = np.random.RandomState(12345)
+_PERM_A = _rng.randint(1, 2**63 - 1, size=N_PERM).astype(np.uint64) | np.uint64(1)
+_PERM_B = _rng.randint(0, 2**63 - 1, size=N_PERM).astype(np.uint64)
+
+
+def _shingles(text: str) -> set:
+    toks = (text or "").lower().split()
+    if len(toks) < SHINGLE_K:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + SHINGLE_K])
+            for i in range(len(toks) - SHINGLE_K + 1)}
+
+
+def _shingle_hashes(shingles: set) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8)
+                        .digest(), "big") for s in shingles),
+        dtype=np.uint64, count=len(shingles))
+
+
+def _minhash(shingles: set) -> np.ndarray:
+    hs = _shingle_hashes(shingles)
+    if hs.size == 0:
+        return np.zeros(N_PERM, dtype=np.uint64)
+    # universal-ish hash (a*x + b) mod 2^64 per permutation (natural uint64
+    # wraparound), min over shingles — fully vectorized
+    vals = hs[None, :] * _PERM_A[:, None] + _PERM_B[:, None]
+    return vals.min(axis=1)
+
+
+class MinHashBands:
+    """map_batches stage: doc → (band_id, band_hash, doc_id) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids = [], [], []
+        rows_per_band = N_PERM // N_BANDS
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            mh = _minhash(_shingles(text))
+            for b in range(N_BANDS):
+                seg = mh[b * rows_per_band:(b + 1) * rows_per_band]
+                bh = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+                band_ids.append(b)
+                band_hashes.append(bh)
+                doc_ids.append(doc_id)
+        return pa.Table.from_pydict({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.string()),
+            "doc_id": pa.array(doc_ids, type=pa.int64())})
+
+
+def documents_minhash_dups(sf_dir: str):
+    """MinHash→band→bucket-groupby candidate pairs, verified by exact
+    shingle Jaccard. The verify step broadcasts the candidate doc texts
+    (small by construction: only bucket-colliding docs); at 100 TB the same
+    shape holds because candidates ≪ corpus (ray_guide near-dup pattern).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    import itertools
+
+    import pandas as pd
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(MinHashBands(), batch_format="pyarrow",
+                             batch_size=1024)
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = sorted(df["doc_id"].unique())
+        out = [(a, b) for a, b in itertools.combinations(ids, 2)]
+        if not out:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    candidate_pairs = (bands.groupby(["band_id", "band_hash"])
+                       .map_groups(pairs, batch_format="pandas"))
+    cand = candidate_pairs.to_pandas()
+    if cand.empty:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}))
+    cand = cand.drop_duplicates().astype({"doc_a": "int64",
+                                          "doc_b": "int64"})
+    needed = set(cand["doc_a"]) | set(cand["doc_b"])
+
+    # verify: fetch shingles for candidate docs only (small side)
+    def shingle_map(batch: pa.Table) -> pa.Table:
+        rows = [(d, t) for d, t in zip(batch.column("doc_id").to_pylist(),
+                                       batch.column("text").to_pylist())
+                if d in needed]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string())})
+
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.map_batches(shingle_map, batch_format="pyarrow")
+             .take_all()}
+    sh = {d: _shingles(t) for d, t in texts.items()}
+    out_rows = []
+    for a, b in cand.itertuples(index=False):
+        sa, sb = sh.get(a, set()), sh.get(b, set())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        if j >= JACCARD_THRESHOLD:
+            out_rows.append((int(a), int(b), round(j, 4)))
+    import ray.data as rd
+    df = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "jaccard"]) \
+        if out_rows else pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")})
+    return rd.from_pandas(df)
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def _simhash64(tokens: list[str]) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8)
+                           .digest(), "big")
+        bits = np.unpackbits(
+            np.frombuffer(struct.pack(">Q", h), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= (1 << (63 - i))
+    return out
+
+
+def documents_simhash(sf_dir: str):
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        vals = [format(_simhash64((t or "").lower().split()), "016x")
+                for t in batch.column("text").to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(vals, type=pa.string())})
+
+    return docs.map_batches(sh, batch_format="pyarrow", batch_size=1024)

@@ -431,7 +431,7 @@ PAGES_SCHEMA = pa.schema([
 
 
 def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
-                        rows_per_file: int = 4096) -> str:
+                        rows_per_file: int = 2048) -> str:
     """Write the synthetic corpus as a directory of parquet shards; returns
     out_dir. Cached: if the directory already has a _DONE marker for the same
     (n_pages, seed), it is reused."""

@@ -1,0 +1,83 @@
+"""Replicates the driver's correctness gate: run each queries() entry at
+sf0.01 and compare row-count + order-insensitive values against the
+matching oracle_sql() via DuckDB."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _normalize(df):
+    """Column-name-sorted, row-sorted, float-normalized frame."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    rows = sorted(
+        tuple(None if (isinstance(v, float) and math.isnan(v)) else v
+              for v in row)
+        for row in df.itertuples(index=False, name=None))
+    return rows
+
+
+def _to_pandas(result):
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+SQL_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_KEYS)
+def test_query_matches_oracle(ray_session, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = _to_pandas(q(SF_DIR))
+    theirs = duck.execute(sql).fetchdf()
+    assert len(mine) == len(theirs), \
+        f"{name}: row count {len(mine)} != {len(theirs)}"
+    assert sorted(mine.columns) == sorted(theirs.columns), \
+        f"{name}: columns {sorted(mine.columns)} != {sorted(theirs.columns)}"
+    mrows, trows = _normalize(mine), _normalize(theirs)
+    n_bad = sum(1 for a, b in zip(mrows, trows) if a != b)
+    assert n_bad == 0, (
+        f"{name}: {n_bad}/{len(mrows)} rows differ; first diff: "
+        f"{next((a, b) for a, b in zip(mrows, trows) if a != b)}")
+
+
+def test_rows_only_queries_run(ray_session):
+    """Queries without SQL oracles must still run and return rows."""
+    qs = entrymod.queries()
+    no_sql = [k for k in qs if k not in entrymod.oracle_sql()]
+    for name in no_sql:
+        res = _to_pandas(qs[name]("/root/testdata/sf0.001"))
+        assert res is not None, name
