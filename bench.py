@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: runs the headline KG-construction pipeline (pages → islands →
+pvjson → triples → link → dedup → canonical entities → partitioned
+adjacency) over a synthetic pages corpus sized to $GRAFT_SF_DIR, plus a set
+of representative operator pipelines over the testdata tables, and prints
+ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+--scaling: runs the headline pipeline twice in fresh processes
+(num_cpus=8 then 32) on the SAME input and reports both throughputs plus
+scaling efficiency (N vs 4N stand-in for cluster sizes, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from gpml2pvjson_js_ray.pipelines import kg, relational, textops, simops
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    pages_dir = kg.pages_path_for_sf(SF_DIR)  # cached; generation untimed
+
+    # warm OS page cache so we measure compute+shuffle, not first-touch disk
+    kg.read_pages(pages_dir).count()
+
+    queries: dict[str, float] = {}
+
+    # headline: full resumable KG run into a fresh output dir
+    out_dir = f"/tmp/bench_kg_{sf_name}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = kg.run_kg_pipeline(pages_dir, out_dir)
+    headline = time.perf_counter() - t0
+    queries["kg_pipeline"] = round(headline, 3)
+
+    def timed(name, fn, consume="count"):
+        t = time.perf_counter()
+        ds = fn(SF_DIR)
+        if consume == "count":
+            ds.count()
+        else:
+            ds.to_pandas()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    timed("lineitem_pricing_summary", relational.lineitem_pricing_summary,
+          "pandas")
+    timed("events_sessionize", relational.events_sessionize)
+    timed("documents_exact_dedup", relational.documents_exact_dedup)
+    timed("documents_minhash_dups", textops.documents_minhash_dups)
+    timed("documents_langid", textops.documents_langid)
+    timed("embeddings_cosine_top10", relational.embeddings_cosine_top10,
+          "pandas")
+    timed("embeddings_ann_lsh_top10", simops.embeddings_ann_lsh_top10,
+          "pandas")
+
+    n_triples = stats.get("triples", 0)
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "num_cpus": NUM_CPUS,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 1) if headline else 0,
+        "docs": stats.get("docs", 0),
+        "errors": stats.get("errors", 0),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["triples_per_sec"]
+    tp_hi = r_hi["triples_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "triples_per_sec_8": tp_lo,
+        "triples_per_sec_32": tp_hi,
+        "sf": r_lo["sf"],
+        "queries": {"kg_pipeline_8": r_lo["value"],
+                    "kg_pipeline_32": r_hi["value"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -151,6 +151,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 1,
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         docs.write_parquet(docs_dir)
 
+        # continue the stream from the persisted docs (the write is the
+        # partition checkpoint boundary)
         docs_written = rd.read_parquet(docs_dir)
         triples = docs_written.map_batches(emit_triples_batch,
                                            batch_format="pyarrow")
@@ -161,10 +163,14 @@ def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 1,
         triples_dir = os.path.join(out_dir, "triples", f"part={pid}")
         linked.write_parquet(triples_dir)
 
-        n_docs = docs_written.count()
-        n_err = docs_written.filter(
-            expr="error != ''").count() if n_docs else 0
-        n_triples = rd.read_parquet(triples_dir).count()
+        # counters from parquet metadata / single-column scans (driver-local
+        # file reads — no extra Ray jobs)
+        import pyarrow.dataset as pads
+        n_docs = pads.dataset(docs_dir).count_rows()
+        n_err = pads.dataset(docs_dir).to_table(
+            columns=["error"],
+            filter=pc.field("error") != "").num_rows if n_docs else 0
+        n_triples = pads.dataset(triples_dir).count_rows()
         counters = {"docs": n_docs, "errors": n_err, "triples": n_triples}
         record_partition(out_dir, pid, part_files, counters,
                          [docs_dir, triples_dir])
@@ -191,8 +197,9 @@ def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 1,
     entities = merge_entity_partials(partials)
     entities.write_parquet(os.path.join(out_dir, "entities"))
 
-    stats["triples_deduped"] = rd.read_parquet(
-        os.path.join(out_dir, "adjacency")).count()
-    stats["entities"] = rd.read_parquet(
-        os.path.join(out_dir, "entities")).count()
+    import pyarrow.dataset as pads
+    stats["triples_deduped"] = pads.dataset(
+        os.path.join(out_dir, "adjacency"), partitioning="hive").count_rows()
+    stats["entities"] = pads.dataset(
+        os.path.join(out_dir, "entities")).count_rows()
     return stats

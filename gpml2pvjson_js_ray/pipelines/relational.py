@@ -266,20 +266,39 @@ FROM events GROUP BY event_type, window_id
 SESSION_GAP_SECONDS = 1800
 
 
-def events_sessionize(sf_dir: str):
+def events_sessionize(sf_dir: str, num_buckets: int = 32):
+    """Hash-partition users into buckets (one map_groups call per bucket),
+    then vectorized pandas sessionization inside each bucket — the
+    co-locate-by-key-then-vectorize pattern; per-user map_groups would pay
+    per-group overhead proportional to user count."""
     import pandas as pd
     events = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps > SESSION_GAP_SECONDS).sum()) + 1
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_events": [len(df)],
-                             "n_sessions": [n_sessions]})
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # num_buckets is a power of two → bucket = user_id & (B-1)
+        bucket = pc.bit_wise_and(b.column("user_id"),
+                                 pa.scalar(num_buckets - 1,
+                                           type=pa.int64()))
+        return b.append_column("user_bucket",
+                               pc.cast(bucket, pa.int32()))
 
-    return events.groupby("user_id").map_groups(sessions,
-                                                batch_format="pandas")
+    def sessions(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts"])
+        gaps = df.groupby("user_id")["ts"].diff().dt.total_seconds()
+        transitions = (gaps > SESSION_GAP_SECONDS).groupby(
+            df["user_id"].values).sum()
+        counts = df.groupby("user_id").size()
+        out = pd.DataFrame({
+            "user_id": counts.index.astype("int64"),
+            "n_events": counts.values.astype("int64"),
+            "n_sessions": (transitions.reindex(counts.index).values
+                           + 1).astype("int64")})
+        return out
+
+    # sessions() already excludes the bucket column from its output
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("user_bucket")
+            .map_groups(sessions, batch_format="pandas"))
 
 
 SQL_EVENTS_SESSIONIZE = f"""
@@ -297,16 +316,29 @@ GROUP BY user_id
 
 # -- exact document dedup ---------------------------------------------------
 
-def documents_exact_dedup(sf_dir: str):
+def documents_exact_dedup(sf_dir: str, num_buckets: int = 16):
+    """Hash-partition by a bucket of the content hash, vectorized
+    min/count per text inside each bucket."""
+    import zlib
+
     import pandas as pd
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def first_per_text(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame({"doc_id": [int(df["doc_id"].min())],
-                             "n_copies": [len(df)]})
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [zlib.crc32(t.encode()) % num_buckets
+                   for t in b.column("text").to_pylist()]
+        return b.append_column("text_bucket",
+                               pa.array(buckets, type=pa.int32()))
 
-    return docs.groupby("text").map_groups(first_per_text,
-                                           batch_format="pandas")
+    def first_per_text(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("text", sort=False)["doc_id"]
+        out = pd.DataFrame({"doc_id": g.min().astype("int64"),
+                            "n_copies": g.size().astype("int64")})
+        return out.reset_index(drop=True)
+
+    return (docs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("text_bucket")
+            .map_groups(first_per_text, batch_format="pandas"))
 
 
 SQL_DOCUMENTS_EXACT_DEDUP = """

@@ -202,14 +202,28 @@ def documents_minhash_dups(sf_dir: str):
     bands = docs.map_batches(MinHashBands(), batch_format="pyarrow",
                              batch_size=1024)
 
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [int(h[:4], 16) % 16
+                   for h in b.column("band_hash").to_pylist()]
+        return b.append_column("bucket",
+                               pa.array(buckets, type=pa.int32()))
+
     def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        ids = sorted(df["doc_id"].unique())
-        out = [(a, b) for a, b in itertools.combinations(ids, 2)]
+        # vectorized within bucket: only (band_id, band_hash) groups with
+        # ≥2 docs produce candidate pairs
+        dup_groups = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+        out = []
+        for _, g in dup_groups.groupby(["band_id", "band_hash"],
+                                       sort=False):
+            ids = sorted(g["doc_id"].unique())
+            out.extend(itertools.combinations(ids, 2))
         if not out:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
-    candidate_pairs = (bands.groupby(["band_id", "band_hash"])
+    candidate_pairs = (bands.map_batches(add_bucket, batch_format="pyarrow")
+                       .groupby("bucket")
                        .map_groups(pairs, batch_format="pandas"))
     cand = candidate_pairs.to_pandas()
     if cand.empty:

@@ -42,16 +42,35 @@ def dedup_triples_within_batch(batch: pa.Table) -> pa.Table:
     return batch.filter(mask)
 
 
-def dedup_triples_global(ds):
-    """Global exact dedup: hash-partitioned groupby on (s,p,o), first row per
-    group (deterministic min-url)."""
-    import pandas as pd
+NUM_DEDUP_BUCKETS = 64
 
-    def first_per_group(df: "pd.DataFrame") -> "pd.DataFrame":
-        return df.sort_values("url").head(1)
 
-    return ds.groupby(TRIPLE_KEY).map_groups(first_per_group,
-                                             batch_format="pandas")
+def _add_spo_bucket(batch: pa.Table,
+                    num_buckets: int = NUM_DEDUP_BUCKETS) -> pa.Table:
+    import zlib
+    s = batch.column("canonical_subj").to_pylist()
+    p = batch.column("pred").to_pylist()
+    o = batch.column("canonical_obj").to_pylist()
+    buckets = [zlib.crc32(f"{a}\x00{b}\x00{c}".encode()) % num_buckets
+               for a, b, c in zip(s, p, o)]
+    return batch.append_column("spo_bucket",
+                               pa.array(buckets, type=pa.int32()))
+
+
+def dedup_triples_global(ds, num_buckets: int = NUM_DEDUP_BUCKETS):
+    """Global exact dedup: hash-partition by a BUCKET of the (s,p,o) key
+    (cardinality ≈ parallelism, not ≈ distinct keys — one map_groups call
+    per bucket), then the vectorized within-batch dedup over each whole
+    bucket. First-row-per-key is deterministic (min url)."""
+    bucketed = ds.map_batches(
+        lambda b: _add_spo_bucket(b, num_buckets), batch_format="pyarrow")
+
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        return dedup_triples_within_batch(t)
+
+    out = bucketed.groupby("spo_bucket").map_groups(
+        dedup_bucket, batch_format="pyarrow")
+    return out.drop_columns(["spo_bucket"])
 
 
 # ---------------------------------------------------------------------------
@@ -100,22 +119,39 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     }, schema=ENTITY_PARTIAL_SCHEMA)
 
 
-def merge_entity_partials(ds):
-    """Global merge: groupby canonical_id over the (already small) partials;
-    deterministic sorted-union of aliases, sum of mentions, min first_url
-    (SURVEY.md §2.5 A6)."""
+NUM_ENTITY_BUCKETS = 64
+
+
+def merge_entity_partials(ds, num_buckets: int = NUM_ENTITY_BUCKETS):
+    """Global merge: hash-partition canonical ids into buckets (one
+    map_groups call per bucket, not per id), then a vectorized pandas
+    groupby-agg inside each bucket. Deterministic: sorted alias union, sum
+    of mentions, min first_url (SURVEY.md §2.5 A6)."""
+    import zlib
+
     import pandas as pd
 
-    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
-        aliases: set = set()
-        for blob in df["aliases_json"]:
-            aliases.update(json.loads(blob))
-        return pd.DataFrame({
-            "canonical_id": [df["canonical_id"].iloc[0]],
-            "aliases_json": [json.dumps(sorted(aliases)[:MAX_ALIASES])],
-            "n_mentions": [int(df["n_mentions"].sum())],
-            "first_url": [df["first_url"].min()],
-        })
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [zlib.crc32(v.encode()) % num_buckets
+                   for v in b.column("canonical_id").to_pylist()]
+        return b.append_column("entity_bucket",
+                               pa.array(buckets, type=pa.int32()))
 
-    return ds.groupby("canonical_id").map_groups(merge,
-                                                 batch_format="pandas")
+    def merge_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        def agg_aliases(blobs):
+            aliases: set = set()
+            for blob in blobs:
+                aliases.update(json.loads(blob))
+            return json.dumps(sorted(aliases)[:MAX_ALIASES])
+
+        g = df.groupby("canonical_id", sort=False)
+        out = g.agg(aliases_json=("aliases_json", agg_aliases),
+                    n_mentions=("n_mentions", "sum"),
+                    first_url=("first_url", "min")).reset_index()
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # merge_bucket's output frame already excludes the bucket column
+    return bucketed.groupby("entity_bucket").map_groups(
+        merge_bucket, batch_format="pandas")
