@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
         "embeddings_label_stats": simops.embeddings_label_stats,
+        # multimodal plumbing (stubbed decode kernels; rows-only)
+        "media_features": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_features"]).media_features(64),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_linked_triples": _kg_query("linked_triples_from_pages"),

@@ -16,7 +16,6 @@ import os
 import pyarrow.compute as pc
 
 from ..sources.pages import SEED, write_pages_parquet
-from ..sources.xrefs import build_xref_dict
 from ..stages.canonicalize import (dedup_triples_global,
                                    dedup_triples_within_batch,
                                    entity_partials_batch,
@@ -50,11 +49,13 @@ def pages_path(n_pages: int, seed: int = SEED) -> str:
 
 
 def get_xref_ref():
-    """Build the xref dictionary once per driver process and ray.put it."""
+    """Build the xref index once per driver process and ray.put it
+    (numpy-backed → zero-copy ray.get in every linker actor)."""
     global _xref_ref_cache
     if _xref_ref_cache is None:
         import ray
-        _xref_ref_cache = ray.put(build_xref_dict())
+        from ..sources.xrefs import build_xref_index
+        _xref_ref_cache = ray.put(build_xref_index())
     return _xref_ref_cache
 
 
@@ -122,17 +123,26 @@ def text_invariant_dataset(path: str):
 # resumable partitioned run (ray job entry point)
 # ---------------------------------------------------------------------------
 
-def run_kg_pipeline(pages_dir: str, out_dir: str, files_per_partition: int = 1,
+def run_kg_pipeline(pages_dir: str, out_dir: str,
+                    files_per_partition: int | None = None,
                     resume: bool = True, num_buckets: int = 32) -> dict:
     """End-to-end run with per-partition lineage manifest.
 
     Phase 1 (resumable per input partition): pages → linked triples parquet
     under out/triples/part=<id>/ and docs under out/docs/part=<id>/.
     Phase 2 (global): exact dedup → adjacency layout + canonical entities.
+
+    Partition sizing: each partition is a full Ray Data sub-pipeline with
+    fixed startup cost (actor pool spin-up, scheduling); default targets ~4
+    partitions so that cost stays amortized while retaining resume
+    granularity. On a real multi-node run, size partitions to O(minutes) of
+    work each.
     """
     import ray.data as rd
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if files_per_partition is None:
+        files_per_partition = max(1, (len(files) + 3) // 4)
     partitions = [files[i:i + files_per_partition]
                   for i in range(0, len(files), files_per_partition)]
     manifest = load_manifest(out_dir) if resume else {}

@@ -54,3 +54,66 @@ def link_xref(xref: str, xref_dict: dict[str, str]) -> str:
     if xref.startswith("Wikidata:Q"):
         return IRI["wikidata"] + xref.split(":", 1)[1]
     return UNKNOWN_PREFIX + xref
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy broadcast form: numpy hash index
+# ---------------------------------------------------------------------------
+#
+# A Python dict of ~360k strings costs ~1-2 s to deserialize PER ACTOR from
+# the object store. Actor pools are re-created per Dataset execution, so that
+# cost multiplies by (actors × partitions). The index below is three numpy
+# arrays + one bytes blob — Ray's plasma store hands numpy arrays to workers
+# ZERO-COPY, so actor __init__ cost is ~0 regardless of dictionary size, and
+# lookups are vectorized searchsorted. This is the shape a 100 TB run needs.
+
+import hashlib as _hashlib
+
+import numpy as np
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(
+        _hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+class XrefIndex:
+    """Immutable sorted-hash index: key → value via searchsorted."""
+
+    def __init__(self, hashes: "np.ndarray", offsets: "np.ndarray",
+                 blob: "np.ndarray"):
+        self.hashes = hashes      # uint64, sorted
+        self.offsets = offsets    # int64, len = n+1
+        self.blob = blob          # uint8 array: utf-8 values in hash order
+
+    @classmethod
+    def from_dict(cls, d: dict[str, str]) -> "XrefIndex":
+        items = sorted(((_hash64(k), v) for k, v in d.items()))
+        hashes = np.fromiter((h for h, _ in items), dtype=np.uint64,
+                             count=len(items))
+        values = [v.encode() for _, v in items]
+        offsets = np.zeros(len(values) + 1, dtype=np.int64)
+        np.cumsum([len(v) for v in values], out=offsets[1:])
+        blob = np.frombuffer(b"".join(values), dtype=np.uint8)
+        return cls(hashes, offsets, blob)
+
+    def get(self, key: str):
+        h = np.uint64(_hash64(key))
+        i = int(np.searchsorted(self.hashes, h))
+        if i < len(self.hashes) and self.hashes[i] == h:
+            return self.blob[self.offsets[i]:self.offsets[i + 1]] \
+                .tobytes().decode()
+        return None
+
+
+def build_xref_index() -> XrefIndex:
+    return XrefIndex.from_dict(build_xref_dict())
+
+
+def link_xref_index(xref: str, index: XrefIndex) -> str:
+    hit = index.get(xref)
+    if hit is not None:
+        return hit
+    if xref.startswith("Wikidata:Q"):
+        return IRI["wikidata"] + xref.split(":", 1)[1]
+    return UNKNOWN_PREFIX + xref

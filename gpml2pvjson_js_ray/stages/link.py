@@ -21,14 +21,17 @@ from ..sources.xrefs import link_xref
 
 
 class XrefLinker:
-    def __init__(self, xref_dict_ref):
+    def __init__(self, xref_ref):
         import ray
-        # ObjectRef → materialize once per actor; plain dict accepted too
-        # (unit tests without a Ray session).
-        if isinstance(xref_dict_ref, dict):
-            self.xref_dict = xref_dict_ref
+        from ..sources.xrefs import XrefIndex
+        # ObjectRef → materialize once per actor. The XrefIndex form is
+        # numpy-backed, so ray.get is effectively ZERO-COPY from plasma —
+        # actor init stays O(1) no matter how large the dictionary is.
+        # A plain dict/index is accepted too (unit tests without Ray).
+        if isinstance(xref_ref, (dict, XrefIndex)):
+            self.xrefs = xref_ref
         else:
-            self.xref_dict = ray.get(xref_dict_ref)
+            self.xrefs = ray.get(xref_ref)
         # memoize xref→IRI: corpora have heavy-hitter entities
         self._cache: dict[str, str] = {}
 
@@ -39,7 +42,11 @@ class XrefLinker:
         if xref:
             hit = self._cache.get(xref)
             if hit is None:
-                hit = link_xref(xref, self.xref_dict)
+                from ..sources.xrefs import XrefIndex, link_xref_index
+                if isinstance(self.xrefs, XrefIndex):
+                    hit = link_xref_index(xref, self.xrefs)
+                else:
+                    hit = link_xref(xref, self.xrefs)
                 self._cache[xref] = hit
             return hit
         if is_node:

@@ -1,0 +1,118 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Real Ray-side plumbing (schema, actor signature, batch sizing, output
+layout); the decode kernels themselves are STUBBED because this container
+ships no image/audio libraries — they either raise NotImplementedError
+(strict mode) or apply a deterministic fake decode (default), clearly
+marked. Swap `_decode_image_stub` for a PIL/cv2 call in production.
+
+Batch-size note: multi-MB binary payloads need SMALL batches so
+batch × concurrency fits worker heaps (ray_guide memory-aware point);
+default batch_size=32 here vs thousands for text stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("url", pa.string()),
+    ("kind", pa.string()),            # image | audio | video
+    ("payload", pa.large_binary()),   # opaque encoded bytes
+    ("width", pa.int32()),            # -1 when unknown / not applicable
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),
+])
+
+FEATURES_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("content_sha256", pa.string()),
+    ("feature", pa.list_(pa.float32())),   # fixed-dim feature vector
+])
+
+FEATURE_DIM = 64
+
+
+def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
+    """STUB decode. Production: PIL.Image.open(io.BytesIO(payload)).
+    Deterministic fake: a FEATURE_DIM histogram of payload bytes."""
+    if strict:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "environment; wire PIL/cv2 here")
+    counts = np.bincount(np.frombuffer(payload, dtype=np.uint8),
+                         minlength=256).astype(np.float32)
+    return counts.reshape(FEATURE_DIM, -1).sum(axis=1) / max(1, len(payload))
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + featurize binary media payloads.
+
+    __init__ runs once per actor (load the model / codec tables there);
+    __call__ runs per batch. Use:
+        media.map_batches(MediaFeatureExtractor,
+                          fn_constructor_kwargs={"strict": False},
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=(2, 8), num_cpus=1)
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        # stand-in for one-time model load: a fixed projection matrix
+        rng = np.random.RandomState(7)
+        self.projection = rng.normal(
+            size=(FEATURE_DIM, FEATURE_DIM)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_bytes, shas, feats = [], [], []
+        for payload, kind in zip(payloads, kinds):
+            payload = payload or b""
+            n_bytes.append(len(payload))
+            shas.append(hashlib.sha256(payload).hexdigest())
+            raw = _decode_image_stub(payload, self.strict)
+            feats.append((self.projection @ raw).tolist())
+        return pa.Table.from_pydict({
+            "media_id": media_ids,
+            "kind": kinds,
+            "n_bytes": n_bytes,
+            "content_sha256": shas,
+            "feature": pa.array(feats, type=pa.list_(pa.float32())),
+        }, schema=FEATURES_SCHEMA)
+
+
+def synth_media_dataset(n_rows: int = 64, seed: int = 11):
+    """Deterministic fake media table for tests/benchmarks."""
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_rows):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = zlib.compress(rng.bytes(1024 + 64 * i))
+        rows.append({
+            "media_id": f"m{i:05d}",
+            "url": f"https://pages.synthetic.test/media/{i}",
+            "kind": kind,
+            "payload": payload,
+            "width": 64 if kind == "image" else -1,
+            "height": 64 if kind == "image" else -1,
+            "sample_rate": 16000 if kind == "audio" else -1,
+        })
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+
+
+def media_features(n_rows: int = 64):
+    ds = synth_media_dataset(n_rows)
+    return ds.map_batches(MediaFeatureExtractor,
+                          fn_constructor_kwargs={"strict": False},
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=2, num_cpus=1)
