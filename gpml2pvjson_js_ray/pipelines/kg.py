@@ -59,12 +59,25 @@ def get_xref_ref():
     return _xref_ref_cache
 
 
+def _target_blocks() -> int:
+    """Blocks drive map task parallelism; with a handful of parquet files a
+    default read yields a handful of blocks and the CPUs starve. Target a
+    few blocks per CPU (harmless at real scale where files ≫ CPUs)."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus * 3)
+
+
 def read_pages(path: str):
     import ray.data as rd
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     # prune at the read: text/lang are not needed on the KG path
     return rd.read_parquet(files or path,
-                           columns=["url", "warc_ts", "html"])
+                           columns=["url", "warc_ts", "html"],
+                           override_num_blocks=_target_blocks())
 
 
 def islands_dataset(pages):
@@ -114,7 +127,8 @@ def text_invariant_dataset(path: str):
     import ray.data as rd
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     pages = rd.read_parquet(files or path,
-                            columns=["url", "lang", "html", "text"])
+                            columns=["url", "lang", "html", "text"],
+                            override_num_blocks=_target_blocks())
     return pages.map_batches(extract_text_batch, batch_format="pyarrow",
                              batch_size=256)
 
@@ -156,7 +170,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
             stats["partitions_skipped"] += 1
             continue
         pages = rd.read_parquet(part_files,
-                                columns=["url", "warc_ts", "html"])
+                                columns=["url", "warc_ts", "html"],
+                                override_num_blocks=_target_blocks())
         docs = docs_dataset(pages)
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         docs.write_parquet(docs_dir)

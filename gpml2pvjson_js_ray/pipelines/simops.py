@@ -17,8 +17,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-N_PLANES = 12
 _SEED = 2024
+
+
+def _n_planes(n_vectors: int) -> int:
+    """Adaptive: target ~64 vectors per bucket so the probe set (exact
+    bucket + Hamming-1 neighbors) holds enough candidates. With uniform
+    random embeddings LSH recall is bucket-coverage-bound; real embedding
+    corpora cluster and behave far better."""
+    import math
+    return max(3, min(16, int(math.log2(max(2, n_vectors / 64)))))
 
 
 def _read_emb(sf_dir: str, columns=None):
@@ -27,14 +35,15 @@ def _read_emb(sf_dir: str, columns=None):
                            columns=columns)
 
 
-def _planes(dim: int) -> np.ndarray:
+def _planes(dim: int, n_planes: int) -> np.ndarray:
     rng = np.random.RandomState(_SEED)
-    return rng.normal(size=(N_PLANES, dim))
+    return rng.normal(size=(n_planes, dim))
 
 
 def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    n_planes = planes.shape[0]
     bits = (mat @ planes.T) > 0
-    return bits.dot(1 << np.arange(N_PLANES)[::-1]).astype(np.int64)
+    return bits.dot(1 << np.arange(n_planes)[::-1]).astype(np.int64)
 
 
 def embeddings_ann_lsh_top10(sf_dir: str):
@@ -42,13 +51,15 @@ def embeddings_ann_lsh_top10(sf_dir: str):
     import ray.data as rd
 
     emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+    n_vectors = emb.count()
+    n_planes = _n_planes(n_vectors)
     query_row = emb.filter(expr="vec_id == 0").take(1)[0]
     q = np.asarray(query_row["embedding"], dtype=np.float64)
-    planes = _planes(q.shape[0])
+    planes = _planes(q.shape[0], n_planes)
     qn = q / np.linalg.norm(q)
     q_bucket = int(_bucket_of(qn[None, :], planes)[0])
     # multi-probe: exact bucket + Hamming-1 neighbors
-    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(N_PLANES)}
+    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(n_planes)}
 
     def bucket_and_sim(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)

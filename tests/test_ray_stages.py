@@ -1,0 +1,158 @@
+"""Ray Data stage tests: extraction, conversion, linking, dedup,
+canonicalization, adjacency, manifest resume, multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.compute as pc
+import pytest
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def pages_dir(ray_session):
+    from gpml2pvjson_js_ray.pipelines.kg import pages_path
+    return pages_path(N_PAGES)
+
+
+def test_text_extraction_invariant(ray_session, pages_dir):
+    from gpml2pvjson_js_ray.pipelines.kg import text_invariant_dataset
+    ds = text_invariant_dataset(pages_dir)
+    bad = ds.map_batches(
+        lambda b: b.filter(pc.invert(b.column("text_matches")
+                                     .combine_chunks())),
+        batch_format="pyarrow").count()
+    assert bad == 0, "extracted text must be byte-identical per url"
+
+
+def test_docs_quarantine_not_abort(ray_session, pages_dir):
+    from gpml2pvjson_js_ray.pipelines.kg import docs_dataset, read_pages
+    docs = docs_dataset(read_pages(pages_dir)).to_pandas()
+    assert len(docs) > 0
+    errors = docs[docs["error"] != ""]
+    oks = docs[docs["error"] == ""]
+    assert len(oks) > 0
+    # malformed islands are quarantined rows, with empty pvjson
+    assert (errors["pvjson"] == "").all()
+    # every good doc has a pathway id (sha256 fallback or IRI)
+    assert oks["pathway_id"].str.startswith("hash://sha256/").all()
+
+
+def test_linked_triples_canonicalization(ray_session, pages_dir):
+    from gpml2pvjson_js_ray.pipelines.kg import (linked_triples_dataset,
+                                                 read_pages)
+    df = linked_triples_dataset(read_pages(pages_dir)).to_pandas()
+    assert len(df) > 0
+    known = df[df["subj_xref"].str.startswith("Entrez Gene:")]
+    if len(known):
+        assert known["canonical_subj"].str.startswith(
+            "http://identifiers.org/ncbigene/").all()
+    wikidata = df[df["subj_xref"].str.startswith("Wikidata:")]
+    if len(wikidata):
+        assert wikidata["canonical_subj"].str.startswith(
+            "http://identifiers.org/wikidata/").all()
+    legacy = df[df["subj_xref"].str.startswith("LegacyDB:")]
+    if len(legacy):
+        assert legacy["canonical_subj"].str.startswith("unknown:").all()
+    # xref-less node subjects are doc-scoped
+    nodeonly = df[(df["subj_xref"] == "") & df["subj_is_node"]]
+    if len(nodeonly):
+        assert nodeonly["canonical_subj"].str.contains("#").all()
+
+
+def test_exact_dedup_removes_recrawl_duplicates(ray_session, pages_dir):
+    from gpml2pvjson_js_ray.pipelines.kg import (deduped_triples_dataset,
+                                                 linked_triples_dataset,
+                                                 read_pages)
+    raw = linked_triples_dataset(read_pages(pages_dir)).to_pandas()
+    ded = deduped_triples_dataset(read_pages(pages_dir)).to_pandas()
+    key = ["canonical_subj", "pred", "canonical_obj"]
+    assert len(ded) == len(raw.drop_duplicates(key))
+    assert not ded.duplicated(key).any()
+    # deterministic representative: min url per key
+    expected = raw.sort_values("url").groupby(key, sort=False).first()
+    merged = ded.set_index(key)["url"].to_dict()
+    for k, url in expected["url"].to_dict().items():
+        assert merged[k] == url
+
+
+def test_canonical_entities_alias_merge(ray_session, pages_dir):
+    from gpml2pvjson_js_ray.pipelines.kg import (canonical_entities_dataset,
+                                                 read_pages)
+    df = canonical_entities_dataset(read_pages(pages_dir)).to_pandas()
+    assert df["canonical_id"].is_unique
+    assert (df["n_mentions"] > 0).all()
+
+
+def test_run_pipeline_resume_and_adjacency(ray_session, pages_dir, tmp_path):
+    from gpml2pvjson_js_ray.pipelines.kg import run_kg_pipeline
+    out = str(tmp_path / "kg")
+    stats1 = run_kg_pipeline(pages_dir, out, files_per_partition=1)
+    assert stats1["partitions_skipped"] == 0
+    assert stats1["triples"] > 0
+    # adjacency is hive-partitioned by subj_bucket
+    adj_dirs = [d for d in os.listdir(os.path.join(out, "adjacency"))
+                if d.startswith("subj_bucket=")]
+    assert len(adj_dirs) > 1
+    # resume: all partitions skipped, same phase-2 outputs
+    stats2 = run_kg_pipeline(pages_dir, out, files_per_partition=1)
+    assert stats2["partitions_skipped"] == stats2["partitions_total"]
+    assert stats2["triples_deduped"] == stats1["triples_deduped"]
+    assert stats2["entities"] == stats1["entities"]
+
+
+def test_media_features_plumbing(ray_session):
+    from gpml2pvjson_js_ray.stages.multimodal import (FEATURE_DIM,
+                                                      media_features)
+    df = media_features(32).to_pandas()
+    assert len(df) == 32
+    assert df["feature"].map(len).eq(FEATURE_DIM).all()
+    assert df["content_sha256"].str.len().eq(64).all()
+
+
+def test_minhash_finds_near_duplicates(ray_session, tmp_path):
+    """Plant two near-identical docs + unrelated ones; LSH must find the
+    planted pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    near = base + " phi"
+    others = [f"unrelated text number {i} with words " +
+              " ".join(f"w{i}{j}" for j in range(30)) for i in range(10)]
+    table = pa.table({
+        "doc_id": list(range(12)),
+        "text": [base, near] + others,
+        "lang": ["en"] * 12,
+        "source": ["t"] * 12,
+        "n_chars": [len(t) for t in [base, near] + others],
+    })
+    d = tmp_path / "mh"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.textops import documents_minhash_dups
+    pairs = documents_minhash_dups(str(d)).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+    hit = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert (hit["jaccard"] > 0.9).all()
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session):
+    from gpml2pvjson_js_ray.pipelines.relational import \
+        embeddings_cosine_top10
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_ann_lsh_top10
+    sf = "/root/testdata/sf0.001"
+    brute = embeddings_cosine_top10(sf).to_pandas()
+    ann = embeddings_ann_lsh_top10(sf).to_pandas()
+    # synthetic embeddings are near-uniform random, which is the worst case
+    # for hyperplane LSH (recall ≈ probe-set coverage); require non-trivial
+    # overlap and exact sims for whatever it returns
+    overlap = set(brute["vec_id"]) & set(ann["vec_id"])
+    assert len(overlap) >= 2, f"ANN recall too low: {len(overlap)}/10"
+    b = brute.set_index("vec_id")["sim"]
+    a = ann.set_index("vec_id")["sim"]
+    for vid in overlap:
+        assert abs(a[vid] - b[vid]) < 1e-9
