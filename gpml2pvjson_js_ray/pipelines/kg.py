@@ -90,7 +90,7 @@ def docs_dataset(pages):
         convert_islands_batch, batch_format="pyarrow", batch_size=256)
 
 
-def linked_triples_dataset(pages, xref_ref=None, link_concurrency=(2, 8)):
+def linked_triples_dataset(pages, xref_ref=None, link_concurrency=(2, 16)):
     docs = docs_dataset(pages)
     triples = docs.map_batches(emit_triples_batch, batch_format="pyarrow",
                                batch_size=256)
@@ -139,7 +139,7 @@ def text_invariant_dataset(path: str):
 
 def run_kg_pipeline(pages_dir: str, out_dir: str,
                     files_per_partition: int | None = None,
-                    resume: bool = True, num_buckets: int = 32) -> dict:
+                    resume: bool = True, num_buckets: int = 16) -> dict:
     """End-to-end run with per-partition lineage manifest.
 
     Phase 1 (resumable per input partition): pages → linked triples parquet
@@ -184,7 +184,7 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         linked = triples.map_batches(
             XrefLinker, fn_constructor_args=(xref_ref,),
             batch_format="pyarrow", batch_size=8192,
-            concurrency=(1, 4), num_cpus=1)
+            concurrency=(2, 16), num_cpus=1)
         triples_dir = os.path.join(out_dir, "triples", f"part={pid}")
         linked.write_parquet(triples_dir)
 

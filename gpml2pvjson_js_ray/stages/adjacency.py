@@ -19,7 +19,7 @@ def _hash_bucket(values: pa.ChunkedArray, num_buckets: int) -> list[int]:
             for v in values.to_pylist()]
 
 
-def add_subject_bucket(batch: pa.Table, num_buckets: int = 64,
+def add_subject_bucket(batch: pa.Table, num_buckets: int = 16,
                        hot_subjects: frozenset = frozenset(),
                        salt_factor: int = 4) -> pa.Table:
     subj = batch.column("canonical_subj")
@@ -52,7 +52,7 @@ def find_hot_subjects(ds, threshold_fraction: float = 0.01,
     return frozenset(hot["canonical_subj"].tolist())
 
 
-def write_adjacency(ds, out_dir: str, num_buckets: int = 64,
+def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
                     hot_subjects: frozenset = frozenset()):
     """bucket → sort → partitioned parquet. Returns the written dataset."""
     bucketed = ds.map_batches(
