@@ -1,0 +1,109 @@
+"""CLI mirroring the reference bin/gpml2pvjson (stdin GPML → ndjson pvjson)
+plus the distributed pages pipeline.
+
+Usage:
+  python -m gpml2pvjson_js_ray convert [--id IRI] [--pathway-version V]
+      < concatenated.gpml > out.ndjson
+  python -m gpml2pvjson_js_ray run --pages DIR --out DIR [--num-cpus N]
+
+`convert` is single-process (one document at a time, exactly the reference
+CLI's semantics incl. the multi-document splitter and sha256 fallback id,
+bin/gpml2pvjson:61-121); `run` owns a Ray session and executes the full
+resumable KG pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_convert(args) -> int:
+    from .functions.convert import (ConversionError, convert_island,
+                                    sha256_island_id)
+    from .functions.islands import split_concatenated_gpml
+
+    data = sys.stdin.read()
+    for island in split_concatenated_gpml(data):
+        try:
+            doc = convert_island(island, pathway_iri=args.id)
+        except ConversionError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1  # reference CLI exits non-zero on conversion errors
+        if not doc["pathway"].get("id"):
+            doc["pathway"]["id"] = sha256_island_id(island)
+        if args.pathway_version:
+            doc["pathway"]["pathwayVersion"] = args.pathway_version
+        sys.stdout.write(json.dumps(doc, separators=(",", ":")) + "\n")
+    return 0
+
+
+def cmd_run(args) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        from .pipelines.kg import run_kg_pipeline
+        stats = run_kg_pipeline(args.pages, args.out,
+                                resume=not args.no_resume)
+        print(json.dumps(stats))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_jsonld(args) -> int:
+    """Materialize JSON-LD ndjson documents from a docs parquet directory
+    (S6 ndjson sink parity)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        import ray.data as rd
+        docs = rd.read_parquet(args.docs, columns=["pvjson", "error"])
+        with open(args.out, "w") as f:
+            for batch in docs.iter_batches(batch_size=1024,
+                                           batch_format="pyarrow"):
+                for blob, err in zip(batch.column("pvjson").to_pylist(),
+                                     batch.column("error").to_pylist()):
+                    if not err and blob:
+                        f.write(blob + "\n")
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gpml2pvjson_js_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_convert = sub.add_parser("convert", help="stdin GPML → ndjson pvjson")
+    p_convert.add_argument("--id", default=None,
+                           help="pathway IRI (else sha256 fallback)")
+    p_convert.add_argument("--pathway-version", default=None)
+    p_convert.set_defaults(fn=cmd_convert)
+
+    p_run = sub.add_parser("run", help="distributed pages → KG pipeline")
+    p_run.add_argument("--pages", required=True)
+    p_run.add_argument("--out", required=True)
+    p_run.add_argument("--num-cpus", type=int, default=32)
+    p_run.add_argument("--no-resume", action="store_true")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_jsonld = sub.add_parser("jsonld", help="docs parquet → ndjson JSON-LD")
+    p_jsonld.add_argument("--docs", required=True)
+    p_jsonld.add_argument("--out", required=True)
+    p_jsonld.add_argument("--num-cpus", type=int, default=8)
+    p_jsonld.set_defaults(fn=cmd_jsonld)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,28 @@ def get_xref_ref():
     return _xref_ref_cache
 
 
+def _ensure_fsspec_http_stub():
+    """fsspec.implementations.http fails to import here (no aiohttp). Ray's
+    path resolution catches ModuleNotFoundError on it — but under
+    CONCURRENT read_parquet calls a second thread can observe the
+    partially-initialized module and get a bare ImportError instead, which
+    Ray does not catch. Seed sys.modules with a benign stub once so the
+    import is deterministic and thread-safe (the class is only ever used in
+    isinstance checks)."""
+    import sys
+    import types
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - isinstance-only stub
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
 def _target_blocks() -> int:
     """Blocks drive map task parallelism; with a handful of parquet files a
     default read yields a handful of blocks and the CPUs starve. Target a
@@ -154,6 +176,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     """
     import ray.data as rd
 
+    _ensure_fsspec_http_stub()
+
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     if files_per_partition is None:
         files_per_partition = max(1, (len(files) + 3) // 4)
@@ -164,11 +188,9 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
              "pages": 0, "islands": 0, "docs": 0, "errors": 0, "triples": 0}
 
     xref_ref = get_xref_ref()
-    for pidx, part_files in enumerate(partitions):
+
+    def run_partition(pidx: int, part_files: list[str]) -> dict:
         pid = f"{pidx:05d}"
-        if pid in manifest:
-            stats["partitions_skipped"] += 1
-            continue
         pages = rd.read_parquet(part_files,
                                 columns=["url", "warc_ts", "html"],
                                 override_num_blocks=_target_blocks())
@@ -199,28 +221,46 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         counters = {"docs": n_docs, "errors": n_err, "triples": n_triples}
         record_partition(out_dir, pid, part_files, counters,
                          [docs_dir, triples_dir])
-        stats["docs"] += n_docs
-        stats["errors"] += n_err
-        stats["triples"] += n_triples
+        return counters
 
-    # phase 2: global dedup + canonicalization + adjacency. Phase-2 outputs
-    # are derived wholly from the (resumable) phase-1 partitions, so they are
-    # cleared and rebuilt: write_parquet appends files, it does not replace.
+    # Partitions run as CONCURRENT Ray Data pipelines (driver threads): the
+    # streaming executor multiplexes them over the cluster, so fixed
+    # per-pipeline latency (scheduling, actor spin-up, write barriers)
+    # overlaps instead of accumulating serially.
+    from concurrent.futures import ThreadPoolExecutor
+    todo = [(i, pf) for i, pf in enumerate(partitions)
+            if f"{i:05d}" not in manifest]
+    stats["partitions_skipped"] = len(partitions) - len(todo)
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+            for counters in pool.map(lambda args: run_partition(*args), todo):
+                stats["docs"] += counters["docs"]
+                stats["errors"] += counters["errors"]
+                stats["triples"] += counters["triples"]
+
+    # phase 2: fused dedup+adjacency and canonical entities, concurrently.
+    # Phase-2 outputs derive wholly from the (resumable) phase-1 partitions,
+    # so they are cleared and rebuilt: write_parquet appends, not replaces.
     import shutil
     for sub in ("adjacency", "entities"):
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
-    all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
-    combined = all_triples.map_batches(dedup_triples_within_batch,
-                                       batch_format="pyarrow")
-    deduped = dedup_triples_global(combined)
-    from ..stages.adjacency import write_adjacency
-    write_adjacency(deduped, os.path.join(out_dir, "adjacency"),
-                    num_buckets=num_buckets)
 
-    partials = all_triples.map_batches(entity_partials_batch,
-                                       batch_format="pyarrow")
-    entities = merge_entity_partials(partials)
-    entities.write_parquet(os.path.join(out_dir, "entities"))
+    def build_adjacency():
+        from ..stages.adjacency import write_adjacency_deduped
+        all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+        write_adjacency_deduped(all_triples,
+                                os.path.join(out_dir, "adjacency"),
+                                num_buckets=num_buckets)
+
+    def build_entities():
+        all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
+        partials = all_triples.map_batches(entity_partials_batch,
+                                           batch_format="pyarrow")
+        merge_entity_partials(partials).write_parquet(
+            os.path.join(out_dir, "entities"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: f(), [build_adjacency, build_entities]))
 
     import pyarrow.dataset as pads
     stats["triples_deduped"] = pads.dataset(

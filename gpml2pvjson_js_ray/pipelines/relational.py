@@ -261,6 +261,42 @@ FROM events GROUP BY event_type, window_id
 """
 
 
+# -- sliding event-time window (explode: one event → 2 windows) -------------
+
+def events_sliding_10min(sf_dir: str):
+    """10-minute windows sliding by 5 minutes: each event belongs to the
+    window starting at its own 5-min slot and the one before."""
+    from ray.data.aggregate import Count, Sum
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        micros = pc.cast(b.column("ts"), pa.int64())
+        slot = pc.cast(pc.floor(pc.divide(pc.cast(micros, pa.float64()),
+                                          pa.scalar(300_000_000.0))),
+                       pa.int64())
+        slot_prev = pc.subtract(slot, pa.scalar(1, type=pa.int64()))
+        twice = pa.concat_tables([
+            b.append_column("window_id", slot),
+            b.append_column("window_id", slot_prev)])
+        return twice.drop_columns(["ts"])
+
+    out = (events.map_batches(explode, batch_format="pyarrow")
+           .groupby(["event_type", "window_id"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(lambda b: _round_col(b, "sum_value", 4),
+                           batch_format="pyarrow")
+
+
+SQL_EVENTS_SLIDING_10MIN = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 300) AS BIGINT) - k AS window_id,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+GROUP BY event_type, window_id
+"""
+
+
 # -- gap sessionization (groupby + map_groups) ------------------------------
 
 SESSION_GAP_SECONDS = 1800

@@ -83,6 +83,47 @@ def embeddings_ann_lsh_top10(sf_dir: str):
             .limit(10))
 
 
+def embeddings_near_dups(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs via LSH bucket co-location:
+    bucket each normalized vector (map_batches, vectorized), groupby bucket,
+    exact pairwise cosine inside each bucket, keep pairs ≥ threshold.
+    Misses cross-bucket pairs by design (LSH recall); at 100 TB the bucket
+    count scales with corpus size and per-bucket work stays bounded."""
+    import pandas as pd
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+    n_vectors = emb.count()
+    n_planes = _n_planes(n_vectors)
+    first = emb.take(1)[0]
+    planes = _planes(len(first["embedding"]), n_planes)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        buckets = _bucket_of(mat / norms[:, None], planes)
+        return b.append_column("bucket",
+                               pa.array(buckets, type=pa.int64()))
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = df["vec_id"].to_numpy()
+        mat = np.array(df["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "vec_a": np.minimum(ids[ia[keep]], ids[ib[keep]]).astype("int64"),
+            "vec_b": np.maximum(ids[ia[keep]], ids[ib[keep]]).astype("int64"),
+            "cosine": np.round(sims[ia[keep], ib[keep]], 6)})
+
+    return (emb.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))
+
+
 def embeddings_label_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean
     emb = _read_emb(sf_dir, ["label", "embedding"])

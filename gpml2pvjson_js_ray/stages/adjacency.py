@@ -22,19 +22,22 @@ def _hash_bucket(values: pa.ChunkedArray, num_buckets: int) -> list[int]:
 def add_subject_bucket(batch: pa.Table, num_buckets: int = 16,
                        hot_subjects: frozenset = frozenset(),
                        salt_factor: int = 4) -> pa.Table:
-    subj = batch.column("canonical_subj")
-    urls = batch.column("url").to_pylist()
+    """Bucket by subject hash; hot subjects are salted into sub-buckets by
+    the (pred, obj) hash — NOT by provenance — so identical (s,p,o) triples
+    always land in the same bucket and per-bucket dedup remains globally
+    exact while a celebrity subject still spreads across salt_factor
+    partitions."""
+    subj = batch.column("canonical_subj").to_pylist()
+    preds = batch.column("pred").to_pylist()
+    objs = batch.column("canonical_obj").to_pylist()
     buckets = []
-    for v, url in zip(subj.to_pylist(), urls):
-        h = zlib.crc32(v.encode())
-        if v in hot_subjects:
-            # salt: spread a hot subject deterministically by provenance
-            h = zlib.crc32((v + "|" + url).encode())
-            buckets.append((h % salt_factor)
-                           + (zlib.crc32(v.encode()) % num_buckets)
-                           * salt_factor)
+    for s, p, o in zip(subj, preds, objs):
+        base = (zlib.crc32(s.encode()) % num_buckets) * salt_factor
+        if s in hot_subjects:
+            salt = zlib.crc32(f"{p}\x00{o}".encode()) % salt_factor
+            buckets.append(base + salt)
         else:
-            buckets.append((h % num_buckets) * salt_factor)
+            buckets.append(base)
     return batch.append_column("subj_bucket",
                                pa.array(buckets, type=pa.int32()))
 
@@ -54,9 +57,38 @@ def find_hot_subjects(ds, threshold_fraction: float = 0.01,
 
 def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
                     hot_subjects: frozenset = frozenset()):
-    """bucket → sort → partitioned parquet. Returns the written dataset."""
+    """bucket → sort → partitioned parquet."""
     bucketed = ds.map_batches(
         lambda b: add_subject_bucket(b, num_buckets, hot_subjects),
         batch_format="pyarrow")
     ordered = bucketed.sort(["subj_bucket", "canonical_subj"])
     ordered.write_parquet(out_dir, partition_cols=["subj_bucket"])
+
+
+def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
+                            hot_subjects: frozenset = frozenset()):
+    """Fused exact-dedup + adjacency layout in ONE shuffle.
+
+    Because the bucket is a pure function of (subj, and for hot subjects
+    pred/obj), every copy of an (s,p,o) triple lands in the same bucket, so
+    the per-bucket vectorized dedup is globally exact; the per-bucket sort
+    by canonical_subj plus hive partitioning by bucket yields the same
+    subject-clustered layout as a global sort — without the extra
+    all-to-all sort barrier (SURVEY.md §2.6 O4 + §2.7 D5 fused)."""
+    from .canonicalize import dedup_triples_within_batch
+
+    combined = linked_ds.map_batches(dedup_triples_within_batch,
+                                     batch_format="pyarrow")
+    bucketed = combined.map_batches(
+        lambda b: add_subject_bucket(b, num_buckets, hot_subjects),
+        batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # global-within-bucket dedup (sorts by s,p,o,url), then stable
+        # subject clustering
+        t = dedup_triples_within_batch(t)
+        return t.sort_by([("canonical_subj", "ascending")])
+
+    out = bucketed.groupby("subj_bucket").map_groups(
+        finalize, batch_format="pyarrow")
+    out.write_parquet(out_dir, partition_cols=["subj_bucket"])
