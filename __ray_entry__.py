@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_orders_by_priority": rel.high_value_orders_by_priority,
         "parts_by_brand": rel.parts_by_brand,
         "events_tumbling_5min": rel.events_tumbling_5min,
+        "events_sliding_10min": rel.events_sliding_10min,
         "events_sessionize": rel.events_sessionize,
         "documents_exact_dedup": rel.documents_exact_dedup,
         "documents_token_stats": rel.documents_token_stats,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_simhash": textops.documents_simhash,
         # similarity search over embeddings
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
+        "embeddings_near_dups": simops.embeddings_near_dups,
         "embeddings_label_stats": simops.embeddings_label_stats,
         # multimodal plumbing (stubbed decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "high_value_orders_by_priority": rel.SQL_HIGH_VALUE_ORDERS,
         "parts_by_brand": rel.SQL_PARTS_BY_BRAND,
         "events_tumbling_5min": rel.SQL_EVENTS_TUMBLING_5MIN,
+        "events_sliding_10min": rel.SQL_EVENTS_SLIDING_10MIN,
         "events_sessionize": rel.SQL_EVENTS_SESSIONIZE,
         "documents_exact_dedup": rel.SQL_DOCUMENTS_EXACT_DEDUP,
         "documents_token_stats": rel.SQL_DOCUMENTS_TOKEN_STATS,

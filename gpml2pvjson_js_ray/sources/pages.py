@@ -430,23 +430,36 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 
+def _write_shard(args) -> str:
+    out_dir, shard, start, end, seed = args
+    rows = [gen_page(i, seed) for i in range(start, end)]
+    table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+    pq.write_table(table, path)
+    return path
+
+
 def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
                         rows_per_file: int = 2048) -> str:
     """Write the synthetic corpus as a directory of parquet shards; returns
     out_dir. Cached: if the directory already has a _DONE marker for the same
-    (n_pages, seed), it is reused."""
+    (n_pages, seed), it is reused. Shards are generated in parallel
+    (deterministic: each shard derives only from (row index, seed))."""
     marker = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    shard = 0
-    for start in range(0, n_pages, rows_per_file):
-        rows = [gen_page(i, seed)
-                for i in range(start, min(start + rows_per_file, n_pages))]
-        table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
-        pq.write_table(table,
-                       os.path.join(out_dir, f"pages-{shard:05d}.parquet"))
-        shard += 1
+    jobs = []
+    for shard, start in enumerate(range(0, n_pages, rows_per_file)):
+        jobs.append((out_dir, shard, start,
+                     min(start + rows_per_file, n_pages), seed))
+    if len(jobs) > 2:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+            list(pool.map(_write_shard, jobs))
+    else:
+        for job in jobs:
+            _write_shard(job)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
