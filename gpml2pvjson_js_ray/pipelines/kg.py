@@ -118,10 +118,9 @@ def linked_triples_dataset(pages, xref_ref=None, link_concurrency=(2, 16)):
                                batch_size=256)
     if xref_ref is None:
         xref_ref = get_xref_ref()
-    return triples.map_batches(
-        XrefLinker, fn_constructor_args=(xref_ref,),
-        batch_format="pyarrow", batch_size=8192,
-        concurrency=link_concurrency, num_cpus=1)
+    from ..stages.link import make_link_fn
+    return triples.map_batches(make_link_fn(xref_ref),
+                               batch_format="pyarrow", batch_size=8192)
 
 
 def deduped_triples_dataset(pages, xref_ref=None):
@@ -203,10 +202,10 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         docs_written = rd.read_parquet(docs_dir)
         triples = docs_written.map_batches(emit_triples_batch,
                                            batch_format="pyarrow")
-        linked = triples.map_batches(
-            XrefLinker, fn_constructor_args=(xref_ref,),
-            batch_format="pyarrow", batch_size=8192,
-            concurrency=(2, 16), num_cpus=1)
+        from ..stages.link import make_link_fn
+        linked = triples.map_batches(make_link_fn(xref_ref),
+                                     batch_format="pyarrow",
+                                     batch_size=8192)
         triples_dir = os.path.join(out_dir, "triples", f"part={pid}")
         linked.write_parquet(triples_dir)
 

@@ -20,6 +20,36 @@ import pyarrow as pa
 from ..sources.xrefs import link_xref
 
 
+class _ProcessIndexCache:
+    """Per-worker-process lazy materialization of the broadcast index.
+    Because the XrefIndex is numpy-backed, ray.get from local plasma is
+    zero-copy, so STATELESS TASKS + this cache beat an actor pool: no pool
+    sizing, no per-execution actor spin-up, fully elastic scheduling. (An
+    actor pool remains the right shape when per-actor state is expensive to
+    materialize — see stages/multimodal.py.)"""
+    index = None
+    cache: dict = {}
+
+
+def make_link_fn(xref_ref):
+    """Build a stateless map_batches function closing over the ObjectRef."""
+
+    def link_batch(batch: pa.Table) -> pa.Table:
+        if _ProcessIndexCache.index is None:
+            import ray
+            from ..sources.xrefs import XrefIndex
+            _ProcessIndexCache.index = (
+                xref_ref if isinstance(xref_ref, (dict, XrefIndex))
+                else ray.get(xref_ref))
+            _ProcessIndexCache.cache = {}
+        linker = XrefLinker.__new__(XrefLinker)
+        linker.xrefs = _ProcessIndexCache.index
+        linker._cache = _ProcessIndexCache.cache
+        return linker(batch)
+
+    return link_batch
+
+
 class XrefLinker:
     def __init__(self, xref_ref):
         import ray
