@@ -252,11 +252,11 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
                                 num_buckets=num_buckets)
 
     def build_entities():
+        from ..stages.canonicalize import merge_entity_partials_fs
         all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
         partials = all_triples.map_batches(entity_partials_batch,
                                            batch_format="pyarrow")
-        merge_entity_partials(partials).write_parquet(
-            os.path.join(out_dir, "entities"))
+        merge_entity_partials_fs(partials, os.path.join(out_dir, "entities"))
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         list(pool.map(lambda f: f(), [build_adjacency, build_entities]))

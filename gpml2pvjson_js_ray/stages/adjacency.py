@@ -67,14 +67,29 @@ def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
 
 def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
                             hot_subjects: frozenset = frozenset()):
-    """Fused exact-dedup + adjacency layout in ONE shuffle.
+    """Fused exact-dedup + adjacency layout via a FILESYSTEM exchange.
 
     Because the bucket is a pure function of (subj, and for hot subjects
     pred/obj), every copy of an (s,p,o) triple lands in the same bucket, so
-    the per-bucket vectorized dedup is globally exact; the per-bucket sort
-    by canonical_subj plus hive partitioning by bucket yields the same
-    subject-clustered layout as a global sort — without the extra
-    all-to-all sort barrier (SURVEY.md §2.6 O4 + §2.7 D5 fused)."""
+    per-bucket vectorized dedup is globally exact; per-bucket sort by
+    canonical_subj plus bucket partitioning yields the subject-clustered
+    layout without a global sort (SURVEY.md §2.6 O4 + §2.7 D5 fused).
+
+    Exchange strategy: Ray Data's generic groupby is a sort shuffle with
+    multi-second fixed latency; with a SMALL KNOWN key space (num_buckets ×
+    salt) the hive-partitioned parquet write IS the map-side exchange
+    (tasks append bucket=K files), and one small raw-Ray task per bucket
+    does the reduce (read bucket dir → dedup → sort → single file). On a
+    multi-node cluster the same shape runs against shared storage — this is
+    the documented drop-to-raw-tasks fallback for an operator the Dataset
+    API can't express efficiently."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
     from .canonicalize import dedup_triples_within_batch
 
     combined = linked_ds.map_batches(dedup_triples_within_batch,
@@ -83,12 +98,26 @@ def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
         lambda b: add_subject_bucket(b, num_buckets, hot_subjects),
         batch_format="pyarrow")
 
-    def finalize(t: pa.Table) -> pa.Table:
-        # global-within-bucket dedup (sorts by s,p,o,url), then stable
-        # subject clustering
-        t = dedup_triples_within_batch(t)
-        return t.sort_by([("canonical_subj", "ascending")])
+    exchange_dir = out_dir + ".exchange"
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+    bucketed.write_parquet(exchange_dir, partition_cols=["subj_bucket"])
 
-    out = bucketed.groupby("subj_bucket").map_groups(
-        finalize, batch_format="pyarrow")
-    out.write_parquet(out_dir, partition_cols=["subj_bucket"])
+    @ray.remote(num_cpus=1)
+    def finalize_bucket(bucket_dir: str, final_dir: str):
+        t = pads.dataset(bucket_dir).to_table()
+        t = dedup_triples_within_batch(t)
+        t = t.sort_by([("canonical_subj", "ascending")])
+        os.makedirs(final_dir, exist_ok=True)
+        pq.write_table(t, os.path.join(final_dir, "part-0.parquet"))
+        return t.num_rows
+
+    futures = []
+    for name in sorted(os.listdir(exchange_dir)):
+        if not name.startswith("subj_bucket="):
+            continue
+        futures.append(finalize_bucket.remote(
+            os.path.join(exchange_dir, name),
+            os.path.join(out_dir, name)))
+    total = sum(ray.get(futures))
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+    return total

@@ -155,3 +155,62 @@ def merge_entity_partials(ds, num_buckets: int = NUM_ENTITY_BUCKETS):
     # merge_bucket's output frame already excludes the bucket column
     return bucketed.groupby("entity_bucket").map_groups(
         merge_bucket, batch_format="pandas")
+
+
+def merge_entity_partials_fs(ds, out_dir: str,
+                             num_buckets: int = NUM_ENTITY_BUCKETS) -> int:
+    """Filesystem-exchange variant of the A6 merge (same trick as
+    adjacency.write_adjacency_deduped): hive-partitioned write by entity
+    bucket is the map-side exchange; one raw-Ray task per bucket does the
+    vectorized merge. Returns the merged entity count."""
+    import os
+    import shutil
+    import zlib
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = [zlib.crc32(v.encode()) % num_buckets
+                   for v in b.column("canonical_id").to_pylist()]
+        return b.append_column("entity_bucket",
+                               pa.array(buckets, type=pa.int32()))
+
+    exchange_dir = out_dir + ".exchange"
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        exchange_dir, partition_cols=["entity_bucket"])
+
+    @ray.remote(num_cpus=1)
+    def merge_bucket_task(bucket_dir: str, final_path: str) -> int:
+        df = pads.dataset(bucket_dir).to_table().to_pandas()
+
+        def agg_aliases(blobs):
+            aliases: set = set()
+            for blob in blobs:
+                aliases.update(json.loads(blob))
+            return json.dumps(sorted(aliases)[:MAX_ALIASES])
+
+        g = df.groupby("canonical_id", sort=False)
+        out = g.agg(aliases_json=("aliases_json", agg_aliases),
+                    n_mentions=("n_mentions", "sum"),
+                    first_url=("first_url", "min")).reset_index()
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       final_path)
+        return len(out)
+
+    os.makedirs(out_dir, exist_ok=True)
+    futures = []
+    for name in sorted(os.listdir(exchange_dir)):
+        if not name.startswith("entity_bucket="):
+            continue
+        bucket = name.split("=", 1)[1]
+        futures.append(merge_bucket_task.remote(
+            os.path.join(exchange_dir, name),
+            os.path.join(out_dir, f"entities-{bucket}.parquet")))
+    total = sum(ray.get(futures))
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+    return total
