@@ -28,8 +28,13 @@ def _pred_for_edge(edge) -> str:
         or "Interaction"
 
 
-def emit_triples(pvjson: dict, url: str = "") -> list[dict]:
-    """pvjson {pathway, entitiesById} → triple dicts."""
+def emit_triples(pvjson: dict, url: str = "",
+                 copy_entities: bool = True) -> list[dict]:
+    """pvjson {pathway, entitiesById} → triple dicts.
+
+    copy_entities=False skips the defensive deepcopy (role assignment
+    mutates edge/controlled entities); pass it when the caller owns the
+    dict, e.g. fresh from json.loads in the Ray stage hot path."""
     pathway = pvjson["pathway"]
     entities_by_id = pvjson["entitiesById"]
     pathway_id = pathway.get("id") or ""
@@ -61,8 +66,9 @@ def emit_triples(pvjson: dict, url: str = "") -> list[dict]:
         t.update(extra)
         triples.append(t)
 
-    # role assignment works on a copy: it mutates edges/controlled entities
-    enriched = deepcopy(entities_by_id)
+    # role assignment mutates edges/controlled entities → copy unless the
+    # caller owns the dict
+    enriched = deepcopy(entities_by_id) if copy_entities else entities_by_id
     for eid, entity in enriched.items():
         if "points" in entity and entity.get("kaavioType") == "Edge":
             assign_interaction_roles(enriched, entity)

@@ -30,7 +30,7 @@ _PAGES_CACHE_ROOT = "/tmp/gpml2pvjson_pages"
 
 # corpus sizes per scale-factor directory name (sf0.001 ≈ smoke, sf0.01 ≈
 # correctness, sf0.1 ≈ bench) — deterministic, no external data
-SF_TO_N_PAGES = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 96000}
+SF_TO_N_PAGES = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 192000}
 
 _xref_ref_cache = None
 
@@ -186,32 +186,69 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     stats = {"partitions_total": len(partitions), "partitions_skipped": 0,
              "pages": 0, "islands": 0, "docs": 0, "errors": 0, "triples": 0}
 
+    import time as _time
+    _t_start = _time.perf_counter()
     xref_ref = get_xref_ref()
+
+    import hashlib
+    import shutil as _shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.link import make_link_fn
+
+    def partition_chain(pid: str, part_files: list[str]):
+        """pages → docs(write-through checkpoint) → triples → linked, with
+        a part_id column for the partitioned triples sink. One branch of
+        the single phase-1 execution."""
+        pages = rd.read_parquet(part_files,
+                                columns=["url", "warc_ts", "html"],
+                                override_num_blocks=max(
+                                    8, _target_blocks() // 4))
+        docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
+        os.makedirs(docs_dir, exist_ok=True)
+
+        def write_through_docs(batch):
+            # persist the docs checkpoint INSIDE the streaming pipeline (one
+            # parquet file per batch, content-addressed name → idempotent on
+            # task retry) instead of a separate write+re-read execution
+            if batch.num_rows:
+                key = hashlib.sha1(
+                    "|".join(batch.column("doc_id").to_pylist())
+                    .encode()).hexdigest()[:16]
+                pq.write_table(batch,
+                               os.path.join(docs_dir, f"docs-{key}.parquet"))
+            return batch
+
+        return (docs_dataset(pages)
+                .map_batches(write_through_docs, batch_format="pyarrow",
+                             batch_size=256)
+                .map_batches(emit_triples_batch, batch_format="pyarrow",
+                             batch_size=256)
+                .map_batches(make_link_fn(xref_ref),
+                             batch_format="pyarrow", batch_size=8192))
+
+    # Partitions run as CONCURRENT Ray Data pipelines (driver threads) —
+    # measured faster than a single union-of-branches execution, whose
+    # input branches the streaming executor drains mostly serially. Each
+    # partition is ONE execution: the docs checkpoint is written through
+    # inside the pipeline (no separate write+re-read execution).
+    todo = [(i, pf) for i, pf in enumerate(partitions)
+            if f"{i:05d}" not in manifest]
+    stats["partitions_skipped"] = len(partitions) - len(todo)
+    triples_root = os.path.join(out_dir, "triples")
 
     def run_partition(pidx: int, part_files: list[str]) -> dict:
         pid = f"{pidx:05d}"
-        pages = rd.read_parquet(part_files,
-                                columns=["url", "warc_ts", "html"],
-                                override_num_blocks=_target_blocks())
-        docs = docs_dataset(pages)
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
-        docs.write_parquet(docs_dir)
-
-        # continue the stream from the persisted docs (the write is the
-        # partition checkpoint boundary)
-        docs_written = rd.read_parquet(docs_dir)
-        triples = docs_written.map_batches(emit_triples_batch,
-                                           batch_format="pyarrow")
-        from ..stages.link import make_link_fn
-        linked = triples.map_batches(make_link_fn(xref_ref),
-                                     batch_format="pyarrow",
-                                     batch_size=8192)
-        triples_dir = os.path.join(out_dir, "triples", f"part={pid}")
+        triples_dir = os.path.join(triples_root, f"part_id={pid}")
+        # clear any half-written outputs from a previous failed run
+        _shutil.rmtree(docs_dir, ignore_errors=True)
+        _shutil.rmtree(triples_dir, ignore_errors=True)
+        linked = partition_chain(pid, part_files)
         linked.write_parquet(triples_dir)
-
-        # counters from parquet metadata / single-column scans (driver-local
-        # file reads — no extra Ray jobs)
-        import pyarrow.dataset as pads
         n_docs = pads.dataset(docs_dir).count_rows()
         n_err = pads.dataset(docs_dir).to_table(
             columns=["error"],
@@ -222,20 +259,13 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
                          [docs_dir, triples_dir])
         return counters
 
-    # Partitions run as CONCURRENT Ray Data pipelines (driver threads): the
-    # streaming executor multiplexes them over the cluster, so fixed
-    # per-pipeline latency (scheduling, actor spin-up, write barriers)
-    # overlaps instead of accumulating serially.
-    from concurrent.futures import ThreadPoolExecutor
-    todo = [(i, pf) for i, pf in enumerate(partitions)
-            if f"{i:05d}" not in manifest]
-    stats["partitions_skipped"] = len(partitions) - len(todo)
     if todo:
         with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
             for counters in pool.map(lambda args: run_partition(*args), todo):
                 stats["docs"] += counters["docs"]
                 stats["errors"] += counters["errors"]
                 stats["triples"] += counters["triples"]
+    stats["phase1_sec"] = round(_time.perf_counter() - _t_start, 3)
 
     # phase 2: fused dedup+adjacency and canonical entities, concurrently.
     # Phase-2 outputs derive wholly from the (resumable) phase-1 partitions,
@@ -258,8 +288,10 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
                                            batch_format="pyarrow")
         merge_entity_partials_fs(partials, os.path.join(out_dir, "entities"))
 
+    _t_p2 = _time.perf_counter()
     with ThreadPoolExecutor(max_workers=2) as pool:
         list(pool.map(lambda f: f(), [build_adjacency, build_entities]))
+    stats["phase2_sec"] = round(_time.perf_counter() - _t_p2, 3)
 
     import pyarrow.dataset as pads
     stats["triples_deduped"] = pads.dataset(

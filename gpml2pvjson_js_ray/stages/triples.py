@@ -37,7 +37,7 @@ def emit_triples_batch(batch: pa.Table) -> pa.Table:
         if error or not blob:
             continue
         doc = json.loads(blob)
-        for t in emit_triples(doc, url):
+        for t in emit_triples(doc, url, copy_entities=False):
             for name in TRIPLES_SCHEMA.names:
                 if name in _BOOL_COLS:
                     out[name].append(bool(t.get(name)))
