@@ -9,7 +9,7 @@ from __future__ import annotations
 import math
 
 from .calculate_points import calculate_all_points
-from .jsonld import arrayify, union_lsv
+from .jsonld import union_lsv
 from .mappings import MARKER_MAPPINGS
 
 

@@ -3,9 +3,12 @@ deduped → canonical entities + partitioned adjacency, with per-partition
 lineage manifest and exact resume.
 
 Ray-Data-first (SURVEY.md §3.4): every stage is a `map_batches` transform
-over Arrow batches; the only wide shuffles are the exact-dedup groupby, the
-canonical-entity groupby (both pre-combined per batch), and the adjacency
-sort. The xref dictionary is broadcast once via ray.put.
+over Arrow batches. The xref dictionary is broadcast once via ray.put as a
+numpy-backed index (zero-copy per worker). The only all-to-all exchanges
+are the exact-dedup + adjacency bucket exchange and the canonical-entity
+merge — both pre-combined per batch and executed as a hive-partitioned
+write (map side) + per-bucket raw-Ray reduce tasks, because the key space
+is small and known (see stages/adjacency.py).
 """
 
 from __future__ import annotations
@@ -22,7 +25,6 @@ from ..stages.canonicalize import (dedup_triples_global,
                                    merge_entity_partials)
 from ..stages.convert import convert_islands_batch
 from ..stages.extract import extract_islands_batch, extract_text_batch
-from ..stages.link import XrefLinker
 from ..stages.triples import emit_triples_batch
 from ..state.manifest import load_manifest, record_partition
 
@@ -179,7 +181,11 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     if files_per_partition is None:
-        files_per_partition = max(1, (len(files) + 3) // 4)
+        # Default: ONE partition — a single streaming execution saturates
+        # this node best (measured; concurrent sub-pipelines contend on the
+        # driver). On a real cluster, partition count follows data size —
+        # pass files_per_partition explicitly to get resume granularity.
+        files_per_partition = max(1, len(files))
     partitions = [files[i:i + files_per_partition]
                   for i in range(0, len(files), files_per_partition)]
     manifest = load_manifest(out_dir) if resume else {}

@@ -14,6 +14,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _exchange_blocks() -> int:
+    try:
+        import ray
+        return max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        return 8
+
+
 def _hash_bucket(values: pa.ChunkedArray, num_buckets: int) -> list[int]:
     return [zlib.crc32(v.encode()) % num_buckets
             for v in values.to_pylist()]
@@ -100,6 +108,9 @@ def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
 
     exchange_dir = out_dir + ".exchange"
     shutil.rmtree(exchange_dir, ignore_errors=True)
+    # coalesce blocks before the partitioned write: file count is
+    # blocks × buckets, and thousands of tiny files dominate exchange cost
+    bucketed = bucketed.repartition(_exchange_blocks())
     bucketed.write_parquet(exchange_dir, partition_cols=["subj_bucket"])
 
     @ray.remote(num_cpus=1)

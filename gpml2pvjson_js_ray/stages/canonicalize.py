@@ -180,8 +180,11 @@ def merge_entity_partials_fs(ds, out_dir: str,
 
     exchange_dir = out_dir + ".exchange"
     shutil.rmtree(exchange_dir, ignore_errors=True)
-    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        exchange_dir, partition_cols=["entity_bucket"])
+    from .adjacency import _exchange_blocks
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # coalesce before the partitioned write (see adjacency.py)
+    bucketed = bucketed.repartition(_exchange_blocks())
+    bucketed.write_parquet(exchange_dir, partition_cols=["entity_bucket"])
 
     @ray.remote(num_cpus=1)
     def merge_bucket_task(bucket_dir: str, final_path: str) -> int:

@@ -1,0 +1,52 @@
+"""CLI surface tests (reference bin/gpml2pvjson parity)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+GPML = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="t1" Version="1">\n'
+    '<Graphics BoardWidth="100.0" BoardHeight="100.0" />\n'
+    '<DataNode TextLabel="X" GraphId="ab123" Type="Protein">\n'
+    '<Graphics CenterX="50.0" CenterY="50.0" Width="80.0" Height="20.0" '
+    'ZOrder="32768" FontSize="10" Valign="Middle" />\n'
+    '<Xref Database="Entrez Gene" ID="77" />\n'
+    '</DataNode>\n'
+    '</Pathway>'
+)
+
+
+def _run(args, stdin_text):
+    return subprocess.run([sys.executable, "-m", "gpml2pvjson_js_ray"] + args,
+                          input=stdin_text, capture_output=True, text=True,
+                          cwd="/root/repo")
+
+
+def test_convert_multi_document_stream():
+    out = _run(["convert"], GPML + "\n" + GPML.replace("t1", "t2"))
+    assert out.returncode == 0, out.stderr
+    docs = [json.loads(line) for line in out.stdout.splitlines()]
+    assert len(docs) == 2
+    assert {d["pathway"]["name"] for d in docs} == {"t1", "t2"}
+    # sha256 fallback ids differ because the input bytes differ
+    assert docs[0]["pathway"]["id"] != docs[1]["pathway"]["id"]
+    assert all(d["pathway"]["id"].startswith("hash://sha256/") for d in docs)
+    assert docs[0]["entitiesById"]["ab123"]["xrefIdentifier"] == "77"
+
+
+def test_convert_id_and_version_flags():
+    out = _run(["convert", "--id", "http://x/WP1", "--pathway-version", "9"],
+               GPML)
+    doc = json.loads(out.stdout.splitlines()[0])
+    assert doc["pathway"]["id"] == "http://x/WP1"
+    assert doc["pathway"]["pathwayVersion"] == "9"
+    assert doc["pathway"]["@context"][1] == {"@base": "http://x/WP1/"}
+
+
+def test_convert_malformed_exits_nonzero():
+    out = _run(["convert"], GPML[:150] + "</Pathway>")
+    assert out.returncode == 1
+    assert "GPML parse failed" in out.stderr
