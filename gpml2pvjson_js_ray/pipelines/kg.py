@@ -281,11 +281,13 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
 
     def build_adjacency():
-        from ..stages.adjacency import write_adjacency_deduped
+        from ..stages.adjacency import (hot_subjects_from_sample,
+                                        write_adjacency_deduped)
+        hot = hot_subjects_from_sample(os.path.join(out_dir, "triples"))
         all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
         write_adjacency_deduped(all_triples,
                                 os.path.join(out_dir, "adjacency"),
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets, hot_subjects=hot)
 
     def build_entities():
         from ..stages.canonicalize import merge_entity_partials_fs

@@ -63,6 +63,34 @@ def find_hot_subjects(ds, threshold_fraction: float = 0.01,
     return frozenset(hot["canonical_subj"].tolist())
 
 
+def hot_subjects_from_sample(triples_dir: str,
+                             threshold_fraction: float = 0.01,
+                             max_rows: int = 200_000) -> frozenset:
+    """Heavy-hitter detection from a bounded sample of the written triples:
+    read one column of the first file(s), count subjects, flag those above
+    threshold_fraction of the sample. Driver-local metadata-cheap read — no
+    Ray job; at cluster scale the same sample comes from a handful of
+    shards."""
+    import os
+
+    import pyarrow.dataset as pads
+    try:
+        dataset = pads.dataset(triples_dir)
+    except (OSError, pa.ArrowInvalid):
+        return frozenset()
+    files = dataset.files[:4] if hasattr(dataset, "files") else []
+    if not files:
+        return frozenset()
+    sample = pads.dataset(files).head(max_rows, columns=["canonical_subj"])
+    if sample.num_rows == 0:
+        return frozenset()
+    counts = pc.value_counts(sample.column("canonical_subj"))
+    threshold = max(2.0, threshold_fraction * sample.num_rows)
+    hot = [str(entry["values"]) for entry in counts.to_pylist()
+           if entry["counts"] > threshold]
+    return frozenset(hot)
+
+
 def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
                     hot_subjects: frozenset = frozenset()):
     """bucket → sort → partitioned parquet."""

@@ -104,6 +104,42 @@ def test_run_pipeline_resume_and_adjacency(ray_session, pages_dir, tmp_path):
     assert stats2["entities"] == stats1["entities"]
 
 
+def test_hot_subject_salting_spreads_but_dedups_exactly(ray_session,
+                                                        tmp_path):
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from gpml2pvjson_js_ray.stages.adjacency import write_adjacency_deduped
+
+    rows = []
+    # one celebrity subject with 300 distinct objects, each duplicated 2×
+    # from different urls, plus some regular subjects
+    for i in range(300):
+        for url in (f"https://a/{i}", f"https://b/{i}"):
+            rows.append({"canonical_subj": "HOT", "pred": "p",
+                         "canonical_obj": f"o{i}", "url": url,
+                         "pathway_id": "x", "entity_id": "e",
+                         "subj_xref": "", "obj_xref": "",
+                         "subj_is_node": True, "obj_is_node": True,
+                         "biopax_type": "", "control_type": "",
+                         "conversion_direction": ""})
+    for i in range(50):
+        rows.append({**rows[0], "canonical_subj": f"s{i}",
+                     "canonical_obj": "o", "url": "https://c"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = str(tmp_path / "adj")
+    write_adjacency_deduped(ds, out, num_buckets=4,
+                            hot_subjects=frozenset(["HOT"]))
+    table = pads.dataset(out, partitioning="hive").to_table()
+    df = table.to_pandas()
+    key = ["canonical_subj", "pred", "canonical_obj"]
+    assert not df.duplicated(key).any()
+    assert len(df[df["canonical_subj"] == "HOT"]) == 300  # deduped 600→300
+    # hot subject spread across >1 salt bucket
+    hot_buckets = df[df["canonical_subj"] == "HOT"]["subj_bucket"].nunique()
+    assert hot_buckets > 1
+
+
 def test_media_features_plumbing(ray_session):
     from gpml2pvjson_js_ray.stages.multimodal import (FEATURE_DIM,
                                                       media_features)
