@@ -216,23 +216,13 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         os.makedirs(docs_dir, exist_ok=True)
 
-        def write_through_docs(batch):
-            # persist the docs checkpoint INSIDE the streaming pipeline (one
-            # parquet file per batch, content-addressed name → idempotent on
-            # task retry) instead of a separate write+re-read execution
-            if batch.num_rows:
-                key = hashlib.sha1(
-                    "|".join(batch.column("doc_id").to_pylist())
-                    .encode()).hexdigest()[:16]
-                pq.write_table(batch,
-                               os.path.join(docs_dir, f"docs-{key}.parquet"))
-            return batch
-
-        return (docs_dataset(pages)
-                .map_batches(write_through_docs, batch_format="pyarrow",
-                             batch_size=256)
-                .map_batches(emit_triples_batch, batch_format="pyarrow",
-                             batch_size=256)
+        # fused convert+docs-checkpoint+emit stage: writes the docs parquet
+        # inside the task and emits triples from the in-memory doc dicts —
+        # no dumps→parquet→loads round trip (stages/convert.py)
+        from ..stages.convert import make_convert_emit_fn
+        return (islands_dataset(pages)
+                .map_batches(make_convert_emit_fn(docs_dir),
+                             batch_format="pyarrow", batch_size=256)
                 .map_batches(make_link_fn(xref_ref),
                              batch_format="pyarrow", batch_size=8192))
 
