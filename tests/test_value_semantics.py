@@ -176,6 +176,26 @@ def test_rel_scalar_split():
     assert pos == 0 and ro == pytest.approx(-0.25)
 
 
+def test_pathway_contains_sorted_by_z_index():
+    # zIndex-sorted insertion (O1): document order b,a,c but zOrders 3,1,2
+    body = """
+  <DataNode TextLabel="B" GraphId="bbb01" Type="Protein">
+    <Graphics CenterX="100" CenterY="100" Width="80" Height="20" ZOrder="3" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <DataNode TextLabel="A" GraphId="aaa02" Type="Protein">
+    <Graphics CenterX="200" CenterY="100" Width="80" Height="20" ZOrder="1" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <DataNode TextLabel="C" GraphId="ccc03" Type="Protein">
+    <Graphics CenterX="300" CenterY="100" Width="80" Height="20" ZOrder="2" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+"""
+    out = _convert(body)
+    assert out["pathway"]["contains"] == ["aaa02", "ccc03", "bbb01"]
+
+
 def test_comments_and_href():
     body = """
   <Label TextLabel="L" GraphId="lb002" Href="http://example.org/a b?c=1&amp;d=2">
