@@ -189,8 +189,10 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     partitions = [files[i:i + files_per_partition]
                   for i in range(0, len(files), files_per_partition)]
     manifest = load_manifest(out_dir) if resume else {}
+    # docs = island rows (one per extracted island, including quarantined
+    # rows); errors = the quarantined subset
     stats = {"partitions_total": len(partitions), "partitions_skipped": 0,
-             "pages": 0, "islands": 0, "docs": 0, "errors": 0, "triples": 0}
+             "docs": 0, "errors": 0, "triples": 0}
 
     import time as _time
     _t_start = _time.perf_counter()
