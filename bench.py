@@ -25,6 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
 
 
 def run_bench() -> dict:
@@ -61,7 +62,7 @@ def run_bench() -> dict:
     out_dir = f"/tmp/bench_kg_{sf_name}_{NUM_CPUS}"
     trials = []
     stats = None
-    for trial in range(2):
+    for trial in range(TRIALS):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         stats = kg.run_kg_pipeline(pages_dir, out_dir)
@@ -108,29 +109,42 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N vs 4N parallelism on the same input (sandbox stand-in for cluster
+    sizes). This VM shows ±30-50% run-to-run wall-time variance, so the two
+    levels ALTERNATE across rounds (8,32,8,32) in fresh processes and each
+    level takes its best observation — temporal drift then hits both levels
+    symmetrically instead of biasing whichever ran second."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_TRIALS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    tp_lo = r_lo["triples_per_sec"]
-    tp_hi = r_hi["triples_per_sec"]
+    results = {lo: [], hi: []}
+    for _round in range(2):
+        for ncpu in (lo, hi):
+            results[ncpu].append(run(ncpu))
+    best_lo = min(results[lo], key=lambda r: r["value"])
+    best_hi = min(results[hi], key=lambda r: r["value"])
+    tp_lo = best_lo["triples_per_sec"]
+    tp_hi = best_hi["triples_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
+        "sec_8": best_lo["value"],
+        "sec_32": best_hi["value"],
+        "sec_8_all": [r["value"] for r in results[lo]],
+        "sec_32_all": [r["value"] for r in results[hi]],
         "triples_per_sec_8": tp_lo,
         "triples_per_sec_32": tp_hi,
-        "sf": r_lo["sf"],
-        "queries": {"kg_pipeline_8": r_lo["value"],
-                    "kg_pipeline_32": r_hi["value"]},
+        "sf": best_lo["sf"],
+        "queries": {"kg_pipeline_8": best_lo["value"],
+                    "kg_pipeline_32": best_hi["value"]},
     }
 
 

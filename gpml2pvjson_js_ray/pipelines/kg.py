@@ -32,7 +32,7 @@ _PAGES_CACHE_ROOT = "/tmp/gpml2pvjson_pages"
 
 # corpus sizes per scale-factor directory name (sf0.001 ≈ smoke, sf0.01 ≈
 # correctness, sf0.1 ≈ bench) — deterministic, no external data
-SF_TO_N_PAGES = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 192000}
+SF_TO_N_PAGES = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 384000}
 
 _xref_ref_cache = None
 
