@@ -246,7 +246,7 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         _shutil.rmtree(docs_dir, ignore_errors=True)
         _shutil.rmtree(triples_dir, ignore_errors=True)
         linked = partition_chain(pid, part_files)
-        linked.write_parquet(triples_dir)
+        linked.write_parquet(triples_dir, compression="zstd")
         n_docs = pads.dataset(docs_dir).count_rows()
         n_err = pads.dataset(docs_dir).to_table(
             columns=["error"],

@@ -22,6 +22,19 @@ def _exchange_blocks() -> int:
         return 8
 
 
+def _exchange_dir_for(out_dir: str) -> str:
+    """Exchange data is transient scratch (deleted after the reduce): put it
+    on tmpfs when available — disk writeback stalls on the VM's virtual
+    disk are the single largest source of phase-2 variance. On a multi-node
+    cluster the exchange would live on shared storage instead."""
+    import hashlib
+    import os
+    if os.path.isdir("/dev/shm"):
+        tag = hashlib.sha1(out_dir.encode()).hexdigest()[:12]
+        return f"/dev/shm/kg_exchange_{tag}"
+    return out_dir + ".exchange"
+
+
 def _hash_bucket(values: pa.ChunkedArray, num_buckets: int) -> list[int]:
     return [zlib.crc32(v.encode()) % num_buckets
             for v in values.to_pylist()]
@@ -134,7 +147,7 @@ def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
         lambda b: add_subject_bucket(b, num_buckets, hot_subjects),
         batch_format="pyarrow")
 
-    exchange_dir = out_dir + ".exchange"
+    exchange_dir = _exchange_dir_for(out_dir)
     shutil.rmtree(exchange_dir, ignore_errors=True)
     # coalesce blocks before the partitioned write: file count is
     # blocks × buckets, and thousands of tiny files dominate exchange cost
@@ -147,7 +160,8 @@ def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
         t = dedup_triples_within_batch(t)
         t = t.sort_by([("canonical_subj", "ascending")])
         os.makedirs(final_dir, exist_ok=True)
-        pq.write_table(t, os.path.join(final_dir, "part-0.parquet"))
+        pq.write_table(t, os.path.join(final_dir, "part-0.parquet"),
+                       compression="zstd")
         return t.num_rows
 
     futures = []

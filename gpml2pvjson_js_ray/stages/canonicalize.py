@@ -178,9 +178,9 @@ def merge_entity_partials_fs(ds, out_dir: str,
         return b.append_column("entity_bucket",
                                pa.array(buckets, type=pa.int32()))
 
-    exchange_dir = out_dir + ".exchange"
+    from .adjacency import _exchange_blocks, _exchange_dir_for
+    exchange_dir = _exchange_dir_for(out_dir)
     shutil.rmtree(exchange_dir, ignore_errors=True)
-    from .adjacency import _exchange_blocks
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
     # coalesce before the partitioned write (see adjacency.py)
     bucketed = bucketed.repartition(_exchange_blocks())
@@ -202,7 +202,7 @@ def merge_entity_partials_fs(ds, out_dir: str,
                     first_url=("first_url", "min")).reset_index()
         out["n_mentions"] = out["n_mentions"].astype("int64")
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                       final_path)
+                       final_path, compression="zstd")
         return len(out)
 
     os.makedirs(out_dir, exist_ok=True)

@@ -90,7 +90,8 @@ def make_convert_emit_fn(docs_dir: str):
                 "|".join(docs_table.column("doc_id").to_pylist())
                 .encode()).hexdigest()[:16]
             pq.write_table(docs_table,
-                           os.path.join(docs_dir, f"docs-{key}.parquet"))
+                           os.path.join(docs_dir, f"docs-{key}.parquet"),
+                           compression="zstd")
         out = {name: [] for name in TRIPLES_SCHEMA.names}
         for url, doc in parsed:
             for t in emit_triples(doc, url, copy_entities=False):
