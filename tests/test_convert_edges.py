@@ -38,6 +38,70 @@ def test_edge_elbow_top1_to_right1():
         assert_entity_matches(out, expected, eid)
 
 
+def test_edge_curved_bottom1_to_top1():
+    gpml = GPML_HEADER + """
+<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130813">
+  <Graphics BoardWidth="1047.7865523249097" BoardHeight="825.09187756604" />
+  <DataNode TextLabel="GeneProduct" GraphId="d5cad" Type="GeneProduct">
+    <Graphics CenterX="200.68118567178323" CenterY="125.33238139805435" Width="80.0" Height="20.0" ZOrder="33005" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <DataNode TextLabel="0021" GraphId="cf964" Type="GeneProduct">
+    <Graphics CenterX="52.46064141579781" CenterY="66.50135987235078" Width="80.0" Height="20.0" ZOrder="33006" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <Interaction GraphId="e3b17">
+    <Graphics ZOrder="33004" LineThickness="1.0" ConnectorType="Curved">
+      <Point X="32.46064141579781" Y="76.50135987235078" GraphRef="cf964" RelX="-0.5" RelY="1.0" ArrowHead="TBar" />
+      <Point X="200.68118567178323" Y="115.33238139805434" GraphRef="d5cad" RelX="0.0" RelY="-1.0" ArrowHead="Arrow" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <InfoBox CenterX="0.0" CenterY="0.0" />
+</Pathway>"""
+    out = convert_island(gpml)
+    expected = load_expected("edge-curved-bottom1-to-top1")
+    for eid in expected["entitiesById"]:
+        assert_entity_matches(out, expected, eid,
+                              ignore={"x", "y"} if eid in ("d5cad", "cf964")
+                              else ())
+    # node geometry matches to float precision of the reconstruction
+    e = out["entitiesById"]["e3b17"]
+    assert e["points"] == expected["entitiesById"]["e3b17"]["points"]
+
+
+def test_edge_elbow_waypoints_pass_through():
+    # "waypoint" fixture family: >2 explicit points pass through unchanged
+    # (calculateAllPoints.ts:142-144), endpoint orientations still assigned
+    gpml = GPML_HEADER + """
+<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130813">
+  <Graphics BoardWidth="1047.7865523249097" BoardHeight="825.09187756604" />
+  <DataNode TextLabel="A" GraphId="fe12c" Type="GeneProduct">
+    <Graphics CenterX="213.9937029287637" CenterY="104.91908337772578" Width="80.0" Height="20.0" ZOrder="32972" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <DataNode TextLabel="B" GraphId="fc22c" Type="GeneProduct">
+    <Graphics CenterX="63.354108824975164" CenterY="85.64749377680056" Width="80.0" Height="20.0" ZOrder="32973" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <Interaction GraphId="c0fac">
+    <Graphics ZOrder="32971" LineThickness="1.0" ConnectorType="Elbow">
+      <Point X="63.354108824975164" Y="75.64749377680056" GraphRef="fc22c" RelX="0.0" RelY="-1.0" />
+      <Point X="182.6889787043376" Y="66.33070321840864" />
+      <Point X="302.0238485837" Y="85.6248932980672" />
+      <Point X="253.9937029287637" Y="104.91908337772578" GraphRef="fe12c" RelX="1.0" RelY="0.0" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <InfoBox CenterX="0.0" CenterY="0.0" />
+</Pathway>"""
+    out = convert_island(gpml)
+    expected = load_expected("edge-elbow-top1-to-right1-waypoint")
+    e = out["entitiesById"]["c0fac"]
+    assert e["points"] == expected["entitiesById"]["c0fac"]["points"]
+    assert e["isAttachedTo"] == ["fc22c", "fe12c"]
+
+
 def test_hyperedge_singleend_depth1_straight():
     gpml = GPML_HEADER + """
 <Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130715">
