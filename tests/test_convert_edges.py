@@ -102,6 +102,46 @@ def test_edge_elbow_waypoints_pass_through():
     assert e["isAttachedTo"] == ["fc22c", "fe12c"]
 
 
+def test_hyperedge_singleend_depth1_elbow():
+    """Edge attached via anchor to an ELBOW edge: exercises polyline path
+    position + the hyperedge orientation scoring on a multi-segment path
+    (edge/orientation.ts:30-173). NOTE the reference quirk reproduced here:
+    mim-* arrowheads convert to 'Mim*' but MarkerMappings is keyed 'MIM*',
+    so mim-* markers never enrich the edge type (only Arrow/TBar do)."""
+    gpml = GPML_HEADER + """
+<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130715">
+  <Graphics BoardWidth="193.78600823045275" BoardHeight="183.20987654320976" />
+  <DataNode TextLabel="GeneProduct" GraphId="faa53" Type="GeneProduct">
+    <Graphics CenterX="70.71829405162859" CenterY="153.20987654320973" Width="80.0" Height="20.0" ZOrder="32768" FontSize="10" Valign="Middle" />
+    <Xref Database="" ID="" />
+  </DataNode>
+  <Interaction GraphId="idaf905386">
+    <Graphics ZOrder="12288" LineThickness="1.0" ConnectorType="Elbow">
+      <Point X="30.452674897119397" Y="66.6666666666666" />
+      <Point X="10.452674897119397" Y="81.06060606060603" />
+      <Point X="99.31724653946877" Y="95.45454545454545" />
+      <Point X="188.18181818181816" Y="81.06060606060602" />
+      <Point X="163.78600823045275" Y="66.66666666666659" />
+      <Anchor Position="0.5617283950617287" GraphId="e0874" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <Interaction GraphId="id28382a1c">
+    <Graphics ZOrder="12288" LineThickness="1.0" ConnectorType="Elbow">
+      <Point X="70.71829405162859" Y="143.20987654320973" GraphRef="faa53" RelX="0.0" RelY="-1.0" />
+      <Point X="94.74946077140926" Y="123.20987654320973" />
+      <Point X="118.78062749118993" Y="95.45454545454545" GraphRef="e0874" RelX="0.0" RelY="0.0" ArrowHead="mim-catalysis" />
+    </Graphics>
+    <Xref Database="" ID="" />
+  </Interaction>
+  <InfoBox CenterX="0.0" CenterY="0.0" />
+</Pathway>"""
+    out = convert_island(gpml)
+    expected = load_expected("hyperedge-singleend-depth1-elbow.updated")
+    for eid in expected["entitiesById"]:
+        assert_entity_matches(out, expected, eid)
+
+
 def test_hyperedge_singleend_depth1_straight():
     gpml = GPML_HEADER + """
 <Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="test case" Version="20130715">
