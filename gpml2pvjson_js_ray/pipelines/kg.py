@@ -46,7 +46,9 @@ def pages_path_for_sf(sf_dir: str, seed: int = SEED) -> str:
 
 
 def pages_path(n_pages: int, seed: int = SEED) -> str:
-    out = os.path.join(_PAGES_CACHE_ROOT, f"n{n_pages}_s{seed}")
+    from ..sources.pages import GEN_VERSION
+    out = os.path.join(_PAGES_CACHE_ROOT,
+                       f"n{n_pages}_s{seed}_v{GEN_VERSION}")
     return write_pages_parquet(out, n_pages, seed)
 
 

@@ -340,6 +340,86 @@ def island_malformed(rng) -> str:
     return good[: len(good) // 2] + "</Pathway>"
 
 
+def island_full_pathway(rng) -> str:
+    """WP-scale document (~40-90 entities): nodes with xrefs, typed edges
+    with anchors, a hyperedge, groups, states, labels/shapes, citations —
+    the composition shape of the reference's 14 full WP fixtures."""
+    parts = []
+    n_nodes = rng.randrange(15, 35)
+    node_ids = []
+    for i in range(n_nodes):
+        gid = f"fn{i:02d}{rng.randrange(4096):03x}"
+        node_ids.append(gid)
+        parts.append(_data_node(rng, gid,
+                                x=round(60 + (i % 6) * 150
+                                        + rng.uniform(-20, 20), 4),
+                                y=round(80 + (i // 6) * 110
+                                        + rng.uniform(-15, 15), 4)))
+    # chain of typed edges + one anchor/hyperedge pair
+    edge_ids = []
+    anchor_id = f"fa{rng.randrange(4096):03x}"
+    for i in range(min(n_nodes - 1, rng.randrange(8, 18))):
+        gid = f"fe{i:02d}{rng.randrange(4096):03x}"
+        edge_ids.append(gid)
+        a, b = node_ids[i], node_ids[i + 1]
+        anchors = ((round(rng.uniform(0.3, 0.7), 6), anchor_id, ""),) \
+            if i == 0 else ()
+        parts.append(_interaction(
+            rng, gid,
+            (round(rng.uniform(50, 900), 4), round(rng.uniform(50, 700), 4)),
+            (round(rng.uniform(50, 900), 4), round(rng.uniform(50, 700), 4)),
+            ref0=a, ref1=b, arrow=rng.choice(ARROWHEADS),
+            connector=rng.choice([None, "Elbow", "Curved"]),
+            anchors=anchors))
+    # hyperedge onto the first edge's anchor
+    hx = round(rng.uniform(100, 500), 4)
+    parts.append(
+        f'  <Interaction GraphId="fh{rng.randrange(4096):03x}">\n'
+        f'    <Graphics ZOrder="12288" LineThickness="1.0">\n'
+        f'      <Point X="{hx}" Y="400.0" GraphRef="{node_ids[-1]}" '
+        f'RelX="0.0" RelY="-1.0" />\n'
+        f'      <Point X="{hx}" Y="300.0" GraphRef="{anchor_id}" RelX="0.0" '
+        f'RelY="0.0" ArrowHead="mim-catalysis" />\n'
+        f"    </Graphics>\n"
+        f'    <Xref Database="" ID="" />\n'
+        f"  </Interaction>\n")
+    # a group over two nodes
+    group_id = f"fg{rng.randrange(4096):03x}"
+    parts.append(_data_node(rng, f"fm1{rng.randrange(256):02x}", x=700, y=500,
+                            group_ref=group_id))
+    parts.append(_data_node(rng, f"fm2{rng.randrange(256):02x}", x=790, y=500,
+                            group_ref=group_id))
+    parts.append(f'  <Group GroupId="{group_id}" '
+                 f'GraphId="fgg{rng.randrange(256):02x}" '
+                 f'Style="{rng.choice(["Complex", "Group", "None"])}" />\n')
+    # a state on the first node
+    parts.append(
+        f'  <State GraphRef="{node_ids[0]}" TextLabel="P" '
+        f'GraphId="fs{rng.randrange(4096):03x}">\n'
+        f'    <Graphics RelX="1.0" RelY="-1.0" Width="15.0" Height="15.0" '
+        f'ShapeType="Oval" />\n'
+        f'    <Xref Database="" ID="" />\n'
+        f"  </State>\n")
+    # citations
+    rid = f"{rng.randrange(16**3):03x}"
+    parts.append(
+        '  <Biopax>\n'
+        f'    <bp:PublicationXref xmlns:bp="http://www.biopax.org/release/'
+        f'biopax-level3.owl#" xmlns:rdf="http://www.w3.org/1999/02/'
+        f'22-rdf-syntax-ns#" rdf:id="{rid}">\n'
+        f"      <bp:ID>{rng.randrange(10**7, 10**8)}</bp:ID>\n"
+        "      <bp:DB>PubMed</bp:DB>\n"
+        "      <bp:TITLE>Full pathway study</bp:TITLE>\n"
+        "      <bp:SOURCE>J Synth Biol</bp:SOURCE>\n"
+        f"      <bp:YEAR>{rng.randrange(1990, 2025)}</bp:YEAR>\n"
+        "      <bp:AUTHORS>Doe J</bp:AUTHORS>\n"
+        "    </bp:PublicationXref>\n"
+        "  </Biopax>\n")
+    return _pathway(rng, "".join(parts),
+                    name=f"Full pathway {rng.randrange(1, 10**5)} "
+                         f"(synthetic)")
+
+
 FAMILIES = [
     ("data-nodes", island_data_nodes),
     ("interactions", island_interactions),
@@ -349,11 +429,15 @@ FAMILIES = [
     ("states", island_states),
     ("labels-shapes", island_labels_shapes),
     ("publication-xrefs", island_publication_xrefs),
+    ("full-pathway", island_full_pathway),
     ("malformed", island_malformed),
 ]
 
 # family sampling weights: malformed is rare
-_FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 1]
+_FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 6, 1]
+
+# bump when generator output changes — part of the corpus cache key
+GEN_VERSION = 2
 
 _EPOCH = datetime.datetime(2024, 1, 1)
 
@@ -445,7 +529,7 @@ def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
     out_dir. Cached: if the directory already has a _DONE marker for the same
     (n_pages, seed), it is reused. Shards are generated in parallel
     (deterministic: each shard derives only from (row index, seed))."""
-    marker = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}")
+    marker = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}_v{GEN_VERSION}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
