@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_quality": textops.documents_quality,
         "documents_fingerprint": textops.documents_fingerprint,
         "documents_minhash_dups": textops.documents_minhash_dups,
+        "documents_ngram_jaccard": textops.documents_ngram_jaccard,
         "documents_simhash": textops.documents_simhash,
         # similarity search over embeddings
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,

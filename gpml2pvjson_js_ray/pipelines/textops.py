@@ -265,6 +265,48 @@ def documents_minhash_dups(sf_dir: str):
     return rd.from_pandas(df)
 
 
+# -- n-gram Jaccard (blocked exact) -----------------------------------------
+
+def documents_ngram_jaccard(sf_dir: str, threshold: float = 0.3,
+                            num_buckets: int = 8):
+    """Exact word-3-gram Jaccard similarity pairs, blocked by
+    (lang, length band) to bound the pairwise work per group — the
+    complementary exact method to MinHash-LSH (which approximates the
+    candidate set instead of the similarity)."""
+    import itertools
+
+    import pandas as pd
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def add_block(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        blocks = [f"{lang}:{len((t or '').split()) // 40}"
+                  for lang, t in zip(langs, texts)]
+        return b.append_column("block", pa.array(blocks, type=pa.string()))
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        sh = {int(r.doc_id): _shingles(r.text)
+              for r in df.itertuples(index=False)}
+        out = []
+        for a, b in itertools.combinations(sorted(sh), 2):
+            sa, sb = sh[a], sh[b]
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= threshold:
+                out.append((a, b, round(j, 4)))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+    return (docs.map_batches(add_block, batch_format="pyarrow")
+            .groupby("block")
+            .map_groups(pairs, batch_format="pandas"))
+
+
 # -- SimHash ---------------------------------------------------------------
 
 def _simhash64(tokens: list[str]) -> int:

@@ -176,6 +176,57 @@ def test_minhash_finds_near_duplicates(ray_session, tmp_path):
     assert (hit["jaccard"] > 0.9).all()
 
 
+def test_entity_merge_fs_matches_dataset_merge(ray_session, pages_dir,
+                                               tmp_path):
+    """The filesystem-exchange A6 merge must produce exactly the same
+    canonical-entity table as the Dataset groupby variant."""
+    import json as _json
+
+    import pyarrow.dataset as pads
+    from gpml2pvjson_js_ray.pipelines.kg import (canonical_entities_dataset,
+                                                 linked_triples_dataset,
+                                                 read_pages)
+    from gpml2pvjson_js_ray.stages.canonicalize import (
+        entity_partials_batch, merge_entity_partials_fs)
+
+    via_dataset = canonical_entities_dataset(read_pages(pages_dir)) \
+        .to_pandas().sort_values("canonical_id").reset_index(drop=True)
+
+    partials = linked_triples_dataset(read_pages(pages_dir)).map_batches(
+        entity_partials_batch, batch_format="pyarrow")
+    out = str(tmp_path / "ents")
+    merge_entity_partials_fs(partials, out)
+    via_fs = pads.dataset(out).to_table().to_pandas() \
+        .sort_values("canonical_id").reset_index(drop=True)
+
+    assert len(via_dataset) == len(via_fs)
+    for col in ("canonical_id", "n_mentions", "first_url"):
+        assert (via_dataset[col] == via_fs[col]).all(), col
+    for a, b in zip(via_dataset["aliases_json"], via_fs["aliases_json"]):
+        assert _json.loads(a) == _json.loads(b)
+
+
+def test_ngram_jaccard_finds_planted_pair(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base + " extra"
+    table = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [base, near, "completely different " * 20],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [len(base), len(near), 400],
+    })
+    d = tmp_path / "nj"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.textops import documents_ngram_jaccard
+    pairs = documents_ngram_jaccard(str(d)).to_pandas()
+    hit = pairs[(pairs["doc_a"] == 1) & (pairs["doc_b"] == 2)]
+    assert len(hit) == 1 and hit["jaccard"].iloc[0] > 0.9
+
+
 def test_ann_lsh_recall_vs_brute_force(ray_session):
     from gpml2pvjson_js_ray.pipelines.relational import \
         embeddings_cosine_top10
