@@ -153,8 +153,27 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print ds.stats() for the linked-triples pipeline — per-stage
+    wall/cpu breakdown used to confirm wall time is dominated by useful
+    compute (map stages), not scheduling or conversion overhead."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from gpml2pvjson_js_ray.pipelines import kg
+    pages_dir = kg.pages_path_for_sf(SF_DIR)
+    ds = kg.linked_triples_dataset(kg.read_pages(pages_dir))
+    ds.count()
+    print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

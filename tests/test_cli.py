@@ -46,6 +46,21 @@ def test_convert_id_and_version_flags():
     assert doc["pathway"]["@context"][1] == {"@base": "http://x/WP1/"}
 
 
+def test_convert_header_variants():
+    """lowercase-utf-8 / single-quotes / headerless fixtures
+    (bin/gpml2pvjson:60-61 case-insensitive header regex)."""
+    lower = GPML.replace('<?xml version="1.0" encoding="UTF-8"?>',
+                         '<?xml version="1.0" encoding="utf-8"?>')
+    single = GPML.replace('<?xml version="1.0" encoding="UTF-8"?>',
+                          "<?xml version='1.0' encoding='UTF-8'?>")
+    out = _run(["convert"], lower + "\n" + single)
+    assert out.returncode == 0, out.stderr
+    docs = [json.loads(line) for line in out.stdout.splitlines()]
+    assert len(docs) == 2
+    assert all(d["entitiesById"]["ab123"]["textContent"] == "X"
+               for d in docs)
+
+
 def test_convert_malformed_exits_nonzero():
     out = _run(["convert"], GPML[:150] + "</Pathway>")
     assert out.returncode == 1
