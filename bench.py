@@ -165,8 +165,7 @@ def run_stats() -> None:
     from gpml2pvjson_js_ray.pipelines import kg
     pages_dir = kg.pages_path_for_sf(SF_DIR)
     ds = kg.linked_triples_dataset(kg.read_pages(pages_dir))
-    ds.count()
-    print(ds.stats())
+    print(ds.materialize().stats())
     ray.shutdown()
 
 
