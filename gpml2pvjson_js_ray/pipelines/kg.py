@@ -172,10 +172,10 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     Phase 2 (global): exact dedup → adjacency layout + canonical entities.
 
     Partition sizing: each partition is a full Ray Data sub-pipeline with
-    fixed startup cost (actor pool spin-up, scheduling); default targets ~4
-    partitions so that cost stays amortized while retaining resume
-    granularity. On a real multi-node run, size partitions to O(minutes) of
-    work each.
+    fixed startup cost; the single-node default is ONE partition (max
+    throughput). Pass files_per_partition to trade throughput for resume
+    granularity — on a real multi-node run size partitions to O(minutes)
+    of work each.
     """
     import ray.data as rd
 
@@ -200,12 +200,10 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     _t_start = _time.perf_counter()
     xref_ref = get_xref_ref()
 
-    import hashlib
     import shutil as _shutil
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
 
     from ..stages.link import make_link_fn
 

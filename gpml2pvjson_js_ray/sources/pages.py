@@ -434,10 +434,10 @@ FAMILIES = [
 ]
 
 # family sampling weights: malformed is rare
-_FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 6, 1]
+_FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 2, 1]
 
 # bump when generator output changes — part of the corpus cache key
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 _EPOCH = datetime.datetime(2024, 1, 1)
 
