@@ -207,14 +207,14 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
 
     from ..stages.link import make_link_fn
 
-    def partition_chain(pid: str, part_files: list[str]):
-        """pages → docs(write-through checkpoint) → triples → linked, with
-        a part_id column for the partitioned triples sink. One branch of
-        the single phase-1 execution."""
-        pages = rd.read_parquet(part_files,
-                                columns=["url", "warc_ts", "html"],
-                                override_num_blocks=max(
-                                    8, _target_blocks() // 4))
+    def partition_chain(pid: str, part_files: list[str],
+                        n_concurrent_partitions: int = 1):
+        """pages → islands → fused convert+checkpoint+emit → linked. One
+        resumable partition's full chain."""
+        pages = rd.read_parquet(
+            part_files, columns=["url", "warc_ts", "html"],
+            override_num_blocks=max(
+                8, _target_blocks() // max(1, n_concurrent_partitions)))
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         os.makedirs(docs_dir, exist_ok=True)
 
@@ -245,7 +245,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         # clear any half-written outputs from a previous failed run
         _shutil.rmtree(docs_dir, ignore_errors=True)
         _shutil.rmtree(triples_dir, ignore_errors=True)
-        linked = partition_chain(pid, part_files)
+        linked = partition_chain(pid, part_files,
+                                 n_concurrent_partitions=min(4, len(todo)))
         linked.write_parquet(triples_dir, compression="zstd")
         n_docs = pads.dataset(docs_dir).count_rows()
         n_err = pads.dataset(docs_dir).to_table(
