@@ -307,7 +307,11 @@ def convert_island(island_text: str, pathway_iri: str | None = None) -> dict:
                 raise ConversionError(
                     f"State {el.get('GraphId')} references missing "
                     f"DataNode {el.get('GraphRef')!r}")
-            processor.fill_in_gpml_properties_from_parent(parent, el)
+            # NOTE: the reference calls fillInGPMLPropertiesFromParent here
+            # (Processor.ts:251-276) but it observably never lands: NO State
+            # in any reference fixture carries a zIndex, even when its
+            # parent does (the cxml sentinel on State.Graphics.ZOrder blocks
+            # lodash defaultsDeep). States therefore get no zIndex.
             entity = processor.process_properties_and_type("State", el)
         elif name == "Shape":
             entity = processor.process_properties_and_type("Shape", el)
@@ -349,7 +353,10 @@ def convert_island(island_text: str, pathway_iri: str | None = None) -> dict:
                 raise ConversionError(
                     f'Anchor Shape "{shape}" is not supported.')
             processor.preprocess_gpml_element(anchor)
-            processor.fill_in_gpml_properties_from_parent(el, anchor)
+            # anchors keep their own XSD-default ZOrder (12288, see
+            # mappings.GPML_DEFAULTS) — the parent fill-in never lands in
+            # the reference either (interactions.json: anchors stay 12288
+            # under edges with explicit different ZOrder)
             anchor["GraphRef"] = el["GraphId"]
             prepared.append(anchor)
         anchor_batches.append(prepared)

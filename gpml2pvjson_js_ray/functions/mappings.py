@@ -360,12 +360,18 @@ GPML_DEFAULTS = {
         },
         "Style": "None",
     },
-    "Anchor": {"Shape": "None", "Graphics": {"LineThickness": 0}},
+    # ZOrder 12288 is the XSD schema default the cxsd-generated Anchor and
+    # edge-Graphics prototypes carry (observed in interactions.json: anchors
+    # keep 12288 even when their parent edge has an explicit different
+    # ZOrder — the prototype default preempts the parent fill-in,
+    # Processor.ts:251-276)
+    "Anchor": {"Shape": "None",
+               "Graphics": {"LineThickness": 0, "ZOrder": 12288}},
     "Interaction": {
         "Graphics": {
             "Color": "Black", "LineStyle": "Solid",
             "ConnectorType": "Straight", "FillColor": "None",
-            "LineThickness": 1,
+            "LineThickness": 1, "ZOrder": 12288,
         },
     },
     "Label": {

@@ -126,7 +126,10 @@ def _parse_publication_xref(el: ET.Element) -> dict:
             d["$ID"] = v
     for child in el:
         name = _localname(child.tag)
-        record = {"content": (child.text or "").strip()}
+        text = (child.text or "").strip()
+        # bp:YEAR is numeric in the Biopax fragment (the reference's year
+        # sort does parseInt, and expected pvjson carries it as a number)
+        record = {"content": coerce_number(text) if name == "YEAR" else text}
         _add_child(d, name, record)
     return d
 

@@ -132,7 +132,14 @@ class Processor:
     def fill_in_gpml_properties_from_parent(self, parent: dict,
                                             child: dict) -> dict:
         """defaultsDeep the parent's Graphics.ZOrder into the child
-        (Processor.ts:251-276)."""
+        (Processor.ts:251-276).
+
+        NOTE: retained for API parity but NOT called by the conversion
+        driver — across every reference fixture this fill-in observably
+        never lands (States carry no zIndex even under parents that do;
+        Anchors keep their XSD-default 12288 under edges with different
+        explicit ZOrder), because the cxml prototype sentinels defeat
+        lodash defaultsDeep in the reference."""
         z = parent.get("Graphics", {}).get("ZOrder")
         graphics = child.setdefault("Graphics", {})
         if "ZOrder" not in graphics and z is not None:

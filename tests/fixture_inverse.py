@@ -29,6 +29,9 @@ DRAW_AS_TO_SHAPE_TYPE = {
     "GolgiApparatus": "Golgi Apparatus",
     "SarcoplasmicReticulum": "Sarcoplasmic Reticulum",
     "MimDegradation": "mim-degradation",
+    # several GPML arrowheads map to canonical "none" (Line, Receptor, …);
+    # "Line" is the schema-default spelling
+    "none": "Line",
 }
 
 KEBAB_INVERSE = {"middle": "Middle", "top": "Top", "bottom": "Bottom",
@@ -41,6 +44,14 @@ def _attr(value) -> str:
     s = escape(s, {'"': "&quot;"})
     s = s.replace("\n", "&#xA;")
     return s
+
+
+def _comments_xml(e: dict) -> str:
+    out = ""
+    for c in e.get("comments", []):
+        src = f' Source="{_attr(c["source"])}"' if "source" in c else ""
+        out += f'    <Comment{src}>{escape(c["content"])}</Comment>\n'
+    return out
 
 
 def _color_to_gpml(css: str) -> str:
@@ -70,8 +81,9 @@ def entity_to_gpml(e: dict) -> str:
         attrs.append(f'Href="{_attr(e["href"])}"')
 
     g = [f'CenterX="{cx!r}"', f'CenterY="{cy!r}"', f'Width="{width!r}"',
-         f'Height="{height!r}"', f'ZOrder="{e["zIndex"]}"',
-         f'FontSize="{e.get("fontSize", 12)}"']
+         f'Height="{height!r}"', f'FontSize="{e.get("fontSize", 12)}"']
+    if "zIndex" in e:
+        g.append(f'ZOrder="{e["zIndex"]}"')
     if "verticalAlign" in e:
         g.append(f'Valign="{KEBAB_INVERSE[e["verticalAlign"]]}"')
     if "textAlign" in e:
@@ -102,7 +114,10 @@ def entity_to_gpml(e: dict) -> str:
     if "rotation" in e:
         g.append(f'Rotation="{math.radians(e["rotation"])!r}"')
 
-    children = [f'    <Graphics {" ".join(g)} />']
+    children = [_comments_xml(e).rstrip("\n")] if e.get("comments") else []
+    children += [f'    <BiopaxRef>{c[len("publicationXref"):]}</BiopaxRef>'
+                 for c in e.get("citations", [])]
+    children.append(f'    <Graphics {" ".join(g)} />')
     attributes = []
     if double:
         attributes.append(
@@ -128,15 +143,54 @@ DRAW_AS_TO_CONNECTOR = {
     "SegmentedLine": "Segmented",
 }
 
+# canonical marker (pvjson) → GPML ArrowHead (inverse of ValueMappings)
+MARKER_TO_ARROWHEAD = {
+    "Arrow": "Arrow", "TBar": "TBar",
+    "MimBinding": "mim-binding", "MimBranchingLeft": "mim-branching-left",
+    "MimBranchingRight": "mim-branching-right",
+    "MimCatalysis": "mim-catalysis", "MimCleavage": "mim-cleavage",
+    "MimConversion": "mim-conversion",
+    "MimCovalentBond": "mim-covalent-bond", "MimGap": "mim-gap",
+    "MimInhibition": "mim-inhibition",
+    "MimModification": "mim-modification",
+    "MimNecessaryStimulation": "mim-necessary-stimulation",
+    "MimStimulation": "mim-stimulation",
+    "MimTranscriptionTranslation": "mim-transcription-translation",
+    "MimDegradation": "mim-degradation",
+    # several GPML arrowheads map to canonical "none" (Line, Receptor, …);
+    # "Line" is the schema-default spelling
+    "none": "Line",
+}
 
-def edge_to_gpml(e: dict, offset=(0.0, 0.0)) -> str:
-    """Unattached GraphicalLine/Interaction → GPML. For Elbow/Curved,
-    implicit middle points are regenerated by the converter, so only the
-    explicit endpoints are emitted; Straight/Segmented keep all points.
-    `offset` shifts group-relative coordinates back to absolute."""
+
+def _rel_from_attachment(point: dict, ref_entity: dict):
+    """Invert RelX/RelY from attachmentDisplay position+offset
+    (2013a/ValueConverters.ts:405-463 / edge/edge.ts:40-84)."""
+    ad = point["attachmentDisplay"]
+    px, py = ad["position"]
+    off = ad.get("offset") or [0, 0]
+    w = ref_entity.get("width") or 1
+    h = ref_entity.get("height") or 1
+    off_x = off[0] if len(off) > 0 else 0
+    off_y = off[1] if len(off) > 1 else 0
+    rel_x = (px * 2 - 1) + 2 * off_x / w
+    rel_y = (py * 2 - 1) + 2 * off_y / h
+    return rel_x, rel_y
+
+
+def edge_to_gpml(e: dict, ents: dict | None = None,
+                 offset=(0.0, 0.0)) -> str:
+    """GraphicalLine/Interaction → GPML, including point attachments
+    (GraphRef/RelX/RelY), arrowhead markers and Anchor children. For
+    Elbow/Curved, implicit middle points are regenerated by the converter,
+    so only the explicit endpoints are emitted; Straight/Segmented keep all
+    points. `offset` shifts group-relative coordinates back to absolute."""
+    ents = ents or {}
     name = e["gpmlElementName"]
-    g = [f'ZOrder="{e["zIndex"]}"',
-         f'LineThickness="{e.get("strokeWidth", 1)}"']
+    g = [f'LineThickness="{e.get("strokeWidth", 1)}"']
+    if "zIndex" in e and e["zIndex"] != 12288:
+        # 12288 is the XSD default; omitting it exercises the default path
+        g.insert(0, f'ZOrder="{e["zIndex"]}"')
     if "stroke" in e:
         g.append(f'Color="{_color_to_gpml(e["stroke"])}"')
     if e.get("strokeDasharray") == "5,3":
@@ -144,17 +198,80 @@ def edge_to_gpml(e: dict, offset=(0.0, 0.0)) -> str:
     connector = DRAW_AS_TO_CONNECTOR[e["drawAs"]]
     if connector != "Straight":
         g.append(f'ConnectorType="{connector}"')
+    # emit ALL points: >2 explicit points pass through the converter
+    # unchanged (calculateAllPoints.ts:142-144), so computed output points
+    # are always a valid explicit input reproducing themselves
     points = e["points"]
-    if e["drawAs"] in ("ElbowLine", "CurvedLine") and len(points) > 2:
-        points = [points[0], points[-1]]
     ox, oy = offset
-    pts = "".join(
-        f'      <Point X="{p["x"] + ox!r}" Y="{p["y"] + oy!r}" />\n'
-        for p in points)
+    lines = []
+    last = len(points) - 1
+    for idx, p in enumerate(points):
+        attrs = f'X="{p["x"] + ox!r}" Y="{p["y"] + oy!r}"'
+        if "isAttachedTo" in p:
+            ref = ents.get(p["isAttachedTo"], {})
+            if ref.get("gpmlElementName") == "Anchor":
+                attrs += (f' GraphRef="{p["isAttachedTo"]}" RelX="0.0" '
+                          f'RelY="0.0"')
+            else:
+                rel_x, rel_y = _rel_from_attachment(p, ref)
+                attrs += (f' GraphRef="{p["isAttachedTo"]}" '
+                          f'RelX="{rel_x!r}" RelY="{rel_y!r}"')
+        marker = e.get("markerStart") if idx == 0 else (
+            e.get("markerEnd") if idx == last else None)
+        if marker:
+            attrs += f' ArrowHead="{MARKER_TO_ARROWHEAD[marker]}"'
+        lines.append(f"      <Point {attrs} />")
+    # Anchor children: burrs attached to this edge
+    for aid, a in ents.items():
+        if a.get("gpmlElementName") == "Anchor" \
+                and a.get("isAttachedTo") == e["id"]:
+            pos = a["attachmentDisplay"]["position"][0]
+            if a.get("drawAs") == "Ellipse":
+                lines.append(f'      <Anchor Position="{pos!r}" '
+                             f'Shape="Circle" GraphId="{aid}" />')
+            elif a.get("width", 0) == 0:
+                lines.append(f'      <Anchor Position="{pos!r}" '
+                             f'GraphId="{aid}" />')
+            else:
+                # 4x4 None-shape anchor: original had no GraphId; the
+                # converter regenerates one deterministically
+                lines.append(f'      <Anchor Position="{pos!r}" />')
+    pts = "\n".join(lines) + "\n"
+    refs = _comments_xml(e)
+    refs += "".join(f'    <BiopaxRef>{c[len("publicationXref"):]}</BiopaxRef>\n'
+                    for c in e.get("citations", []))
+    if e.get("strokeStyle") == "double":
+        refs += ('    <Attribute Key="org.pathvisio.DoubleLineProperty" '
+                 'Value="Double" />\n')
     xref = '    <Xref Database="" ID="" />\n' if name == "Interaction" else ""
-    return (f'  <{name} GraphId="{e["id"]}">\n'
+    return (f'  <{name} GraphId="{e["id"]}">\n{refs}'
             f'    <Graphics {" ".join(g)}>\n{pts}    </Graphics>\n'
             f"{xref}  </{name}>\n")
+
+
+def state_to_gpml(e: dict, ents: dict) -> str:
+    """State burr → GPML (RelX/RelY from position + offset vs parent)."""
+    parent = ents.get(e.get("isAttachedTo"), {})
+    rel_x, rel_y = _rel_from_attachment({"attachmentDisplay":
+                                         e["attachmentDisplay"]}, parent)
+    attrs = [f'GraphId="{e["id"]}"', f'GraphRef="{e["isAttachedTo"]}"']
+    if "textContent" in e:
+        attrs.append(f'TextLabel="{_attr(e["textContent"])}"')
+    g = [f'RelX="{rel_x!r}"', f'RelY="{rel_y!r}"',
+         f'Width="{e["width"]!r}"', f'Height="{e["height"]!r}"']
+    if "fill" in e:
+        g.append(f'FillColor="{_color_to_gpml(e["fill"])}"')
+    if "rx" in e:
+        g.append('ShapeType="RoundedRectangle"')
+    elif "drawAs" in e:
+        g.append(f'ShapeType="{DRAW_AS_TO_SHAPE_TYPE[e["drawAs"]]}"')
+    ds = e.get("xrefDataSource", "")
+    xid = e.get("xrefIdentifier", "")
+    return (f'  <State {" ".join(attrs)}>\n'
+            + _comments_xml(e)
+            + f'    <Graphics {" ".join(g)} />\n'
+            f'    <Xref Database="{_attr(ds)}" ID="{_attr(xid)}" />\n'
+            f"  </State>\n")
 
 
 GROUP_TYPE_TO_STYLE = {"GroupNone": "None", "GroupGroup": "Group",
@@ -185,30 +302,73 @@ def expected_to_gpml(expected: dict) -> str:
             offset = (groups[gid]["x"], groups[gid]["y"])
             group_ref = gid
         if "points" in e:
-            return edge_to_gpml(e, offset)
-        e2 = dict(e)
-        if gid is not None:
-            e2["x"] = e["x"] + offset[0]
-            e2["y"] = e["y"] + offset[1]
-        out = entity_to_gpml(e2)
+            out = edge_to_gpml(e, ents, offset)
+        elif e["gpmlElementName"] == "State":
+            out = state_to_gpml(e, ents)
+        else:
+            e2 = dict(e)
+            if gid is not None:
+                e2["x"] = e["x"] + offset[0]
+                e2["y"] = e["y"] + offset[1]
+            out = entity_to_gpml(e2)
         if group_ref:
             # inject GroupRef attribute (the converter re-derives isPartOf)
             out = out.replace(f'GraphId="{e["id"]}"',
                               f'GraphId="{e["id"]}" GroupRef="grp_{gid}"', 1)
         return out
 
-    emit_order = {"DataNode": 0, "Label": 1, "Shape": 2, "Interaction": 3,
-                  "GraphicalLine": 4}
+    emit_order = {"DataNode": 0, "State": 1, "Label": 2, "Shape": 3,
+                  "Interaction": 4, "GraphicalLine": 5}
     node_ids = [eid for eid in ents
-                if ents[eid].get("kaavioType") != "Group"]
+                if ents[eid].get("kaavioType") != "Group"
+                and ents[eid].get("gpmlElementName")
+                not in ("Anchor", "PublicationXref",
+                        "openControlledVocabulary")]
     node_ids.sort(key=lambda i: (emit_order[ents[i]["gpmlElementName"]],
                                  ents[i].get("zIndex", 0)))
     body = "".join(emit(eid) for eid in node_ids)
     for gid, group in groups.items():
         style = next((GROUP_TYPE_TO_STYLE[t] for t in group.get("type", [])
                       if t in GROUP_TYPE_TO_STYLE), "None")
-        body += (f'  <Group GroupId="grp_{gid}" GraphId="{gid}" '
-                 f'Style="{style}" />\n')
+        gattrs = (f'GroupId="grp_{gid}" GraphId="{gid}" '
+                  f'Style="{style}"')
+        if "textContent" in group:
+            gattrs += f' TextLabel="{_attr(group["textContent"])}"'
+        children = _comments_xml(group)
+        children += "".join(
+            f'    <BiopaxRef>{c[len("publicationXref"):]}</BiopaxRef>\n'
+            for c in group.get("citations", []))
+        if children:
+            body += f'  <Group {gattrs}>\n{children}  </Group>\n'
+        else:
+            body += f'  <Group {gattrs} />\n'
+
+
+    # citations → Biopax PublicationXref block (rank order so the year sort
+    # reproduces textContent numbering)
+    pubs = [e for e in ents.values()
+            if e.get("gpmlElementName") == "PublicationXref"]
+    if pubs:
+        pubs.sort(key=lambda e: int(e.get("textContent", "0")))
+        bp = ['  <Biopax>']
+        for e in pubs:
+            rid = e["id"][len("publicationXref"):]
+            authors = "".join(
+                f"      <bp:AUTHORS>{_attr(a)}</bp:AUTHORS>\n"
+                for a in e.get("authors", []))
+            bp.append(
+                '    <bp:PublicationXref xmlns:bp="http://www.biopax.org/'
+                'release/biopax-level3.owl#" xmlns:rdf="http://www.w3.org/'
+                f'1999/02/22-rdf-syntax-ns#" rdf:id="{rid}">\n'
+                f'      <bp:ID>{_attr(e.get("xrefIdentifier", ""))}</bp:ID>\n'
+                f'      <bp:DB>{_attr(e.get("xrefDataSource", ""))}</bp:DB>\n'
+                f'      <bp:TITLE>{_attr(e.get("standardName", ""))}'
+                '</bp:TITLE>\n'
+                f'      <bp:SOURCE>{_attr(e.get("source", ""))}</bp:SOURCE>\n'
+                f'      <bp:YEAR>{_attr(e.get("year", ""))}</bp:YEAR>\n'
+                f'{authors}    </bp:PublicationXref>')
+        bp.append('  </Biopax>')
+        body += "\n".join(bp) + "\n"
 
     version = pathway.get("dataSourceVersion", "20130813")
     return (

@@ -99,8 +99,9 @@ def test_state_burr_attachment():
     assert ad["position"] == [1, 1]
     assert ad["offset"] == [0, 0]
     assert "relativeOffset" not in ad
-    # state inherits parent ZOrder
-    assert state["zIndex"] == 32768
+    # states carry NO zIndex (reference fixtures: the parent ZOrder fill-in
+    # never lands — see functions/convert.py note)
+    assert "zIndex" not in state
     assert state["kaavioType"] == "Burr"
     assert state["drawAs"] == "Ellipse"  # Oval → Ellipse
 
