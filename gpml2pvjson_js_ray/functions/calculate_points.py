@@ -48,7 +48,8 @@ def get_orientation_of_hyperedge_start_point(referenced_edge, start_point,
     angle_of_current_vector_sum = vector_sum_angle(start_point, end_point)
     ref_points = referenced_edge["points"]
     angle_at_point = path_position(
-        ref_points, start_point["attachmentDisplay"]["position"][0])[2]
+        ref_points, start_point["attachmentDisplay"]["position"][0],
+        draw_as=referenced_edge.get("drawAs"))[2]
 
     candidates = []
     for detail in START_SEGMENT_DETAILS_MAPS:

@@ -70,16 +70,41 @@ def validate_orientation(orientation) -> bool:
         return False
 
 
-def path_position(points, fraction: float):
+def _curved_samples(pts, samples_per_seg: int = 32):
+    """Sample a smoothed curve through `pts`: quadratic Bézier chain with
+    the original points as control points and segment midpoints as knots
+    (the classic polyline smoothing scheme kaavio-style curved edge
+    drawers use). Returns a list of (x, y) samples."""
+    n = len(pts)
+    if n < 3:
+        return pts
+    mids = [((pts[i][0] + pts[i + 1][0]) / 2,
+             (pts[i][1] + pts[i + 1][1]) / 2) for i in range(n - 1)]
+    out = [pts[0], mids[0]]
+    for i in range(1, n - 1):
+        p0, c, p1 = mids[i - 1], pts[i], mids[i]
+        for k in range(1, samples_per_seg + 1):
+            t = k / samples_per_seg
+            x = (1 - t) ** 2 * p0[0] + 2 * (1 - t) * t * c[0] + t ** 2 * p1[0]
+            y = (1 - t) ** 2 * p0[1] + 2 * (1 - t) * t * c[1] + t ** 2 * p1[1]
+            out.append((x, y))
+    out.append(pts[-1])
+    return out
+
+
+def path_position(points, fraction: float, draw_as: str | None = None):
     """(x, y, tangent angle) at arc-length `fraction` ∈ [0,1] along the
     polyline through `points` (list of {"x","y"} dicts).
 
     Stands in for the reference's SmartPath.position (geom-utils.ts:157-182),
     which delegates to kaavio edge drawers; with all implicit points made
     explicit, Straight/Segmented/Elbow paths are exactly this polyline.
-    Curved paths are approximated by the same polyline (documented
-    divergence for hyperedges referencing curved edges)."""
+    CurvedLine paths are smoothed with a midpoint quadratic-Bézier chain
+    before sampling (matches the kaavio curved drawer's shape closely
+    enough for the tangent-based orientation scoring)."""
     pts = [(p["x"], p["y"]) for p in points]
+    if draw_as == "CurvedLine" and len(pts) >= 3:
+        pts = _curved_samples(pts)
     if len(pts) < 2:
         x, y = pts[0] if pts else (0.0, 0.0)
         return x, y, 0.0

@@ -50,7 +50,8 @@ def _comments_xml(e: dict) -> str:
     out = ""
     for c in e.get("comments", []):
         src = f' Source="{_attr(c["source"])}"' if "source" in c else ""
-        out += f'    <Comment{src}>{escape(c["content"])}</Comment>\n'
+        out += (f'    <Comment{src}>{escape(c.get("content", ""))}'
+                '</Comment>\n')
     return out
 
 
@@ -127,6 +128,10 @@ def entity_to_gpml(e: dict) -> str:
         attributes.append(
             '    <Attribute Key="org.pathvisio.CellularComponentProperty" '
             f'Value="{_attr(e["cellularComponent"])}" />')
+    if e.get("backpageHead"):
+        attributes.append(
+            '    <Attribute Key="org.pathvisio.model.BackpageHead" '
+            f'Value="{_attr(e["backpageHead"])}" />')
     if name == "DataNode":
         ds = e.get("xrefDataSource", "")
         xid = e.get("xrefIdentifier", "")
@@ -210,8 +215,20 @@ def edge_to_gpml(e: dict, ents: dict | None = None,
         if "isAttachedTo" in p:
             ref = ents.get(p["isAttachedTo"], {})
             if ref.get("gpmlElementName") == "Anchor":
-                attrs += (f' GraphRef="{p["isAttachedTo"]}" RelX="0.0" '
-                          f'RelY="0.0"')
+                # anchor-attached: position was REPLACED by the anchor's,
+                # but relativeOffset survives — invert the out-of-bounds
+                # Rel value from it (ValueConverters.ts:405-432)
+                ro = p["attachmentDisplay"].get("relativeOffset", [0, 0])
+
+                def _inv_rel(r):
+                    if r > 0:
+                        return 2 * (1 + r) - 1
+                    if r < 0:
+                        return 2 * r - 1
+                    return 0.0
+                attrs += (f' GraphRef="{p["isAttachedTo"]}" '
+                          f'RelX="{_inv_rel(ro[0])!r}" '
+                          f'RelY="{_inv_rel(ro[1])!r}"')
             else:
                 rel_x, rel_y = _rel_from_attachment(p, ref)
                 attrs += (f' GraphRef="{p["isAttachedTo"]}" '
@@ -243,7 +260,12 @@ def edge_to_gpml(e: dict, ents: dict | None = None,
     if e.get("strokeStyle") == "double":
         refs += ('    <Attribute Key="org.pathvisio.DoubleLineProperty" '
                  'Value="Double" />\n')
-    xref = '    <Xref Database="" ID="" />\n' if name == "Interaction" else ""
+    xref = ""
+    if name == "Interaction":
+        ds = e.get("xrefDataSource", "")
+        xid = e.get("xrefIdentifier", "")
+        xref = (f'    <Xref Database="{_attr(ds)}" '
+                f'ID="{_attr(xid)}" />\n')
     return (f'  <{name} GraphId="{e["id"]}">\n{refs}'
             f'    <Graphics {" ".join(g)}>\n{pts}    </Graphics>\n'
             f"{xref}  </{name}>\n")
@@ -346,8 +368,23 @@ def expected_to_gpml(expected: dict) -> str:
 
     # citations → Biopax PublicationXref block (rank order so the year sort
     # reproduces textContent numbering)
+    ocvs = [e for e in ents.values()
+            if e.get("gpmlElementName") == "openControlledVocabulary"]
+    ocv_xml = ""
+    for e in ocvs:
+        ocv_xml += (
+            '    <bp:openControlledVocabulary xmlns:bp="http://www.biopax'
+            '.org/release/biopax-level3.owl#">\n'
+            f'      <bp:TERM>{escape(e.get("term", ""))}</bp:TERM>\n'
+            f'      <bp:ID>{escape(str(e.get("xrefIdentifier", "")))}'
+            '</bp:ID>\n'
+            f'      <bp:Ontology>{escape(e.get("ontology", ""))}'
+            '</bp:Ontology>\n'
+            '    </bp:openControlledVocabulary>\n')
     pubs = [e for e in ents.values()
             if e.get("gpmlElementName") == "PublicationXref"]
+    if ocv_xml and not pubs:
+        body += "  <Biopax>\n" + ocv_xml + "  </Biopax>\n"
     if pubs:
         pubs.sort(key=lambda e: int(e.get("textContent", "0")))
         bp = ['  <Biopax>']
@@ -367,6 +404,8 @@ def expected_to_gpml(expected: dict) -> str:
                 f'      <bp:SOURCE>{_attr(e.get("source", ""))}</bp:SOURCE>\n'
                 f'      <bp:YEAR>{_attr(e.get("year", ""))}</bp:YEAR>\n'
                 f'{authors}    </bp:PublicationXref>')
+        if ocv_xml:
+            bp.append(ocv_xml.rstrip("\n"))
         bp.append('  </Biopax>')
         body += "\n".join(bp) + "\n"
 
