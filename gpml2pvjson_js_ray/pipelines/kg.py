@@ -238,7 +238,7 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     stats["partitions_skipped"] = len(partitions) - len(todo)
     triples_root = os.path.join(out_dir, "triples")
 
-    def run_partition(pidx: int, part_files: list[str]) -> dict:
+    def run_partition(pidx: int, part_files: list[str]) -> tuple:
         pid = f"{pidx:05d}"
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         triples_dir = os.path.join(triples_root, f"part_id={pid}")
@@ -248,6 +248,14 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         linked = partition_chain(pid, part_files,
                                  n_concurrent_partitions=min(4, len(todo)))
         linked.write_parquet(triples_dir, compression="zstd")
+        return pid, part_files, docs_dir, triples_dir
+
+    def finish_partition(done: tuple) -> dict:
+        """Counters (driver-local parquet scans) + manifest write. Runs in a
+        background thread OVERLAPPED with phase 2: the manifest marks the
+        partition complete, and on a crash before it lands the partition
+        simply reruns (idempotent outputs)."""
+        pid, part_files, docs_dir, triples_dir = done
         n_docs = pads.dataset(docs_dir).count_rows()
         n_err = pads.dataset(docs_dir).to_table(
             columns=["error"],
@@ -258,12 +266,13 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
                          [docs_dir, triples_dir])
         return counters
 
+    counter_futures = []
+    counter_pool = ThreadPoolExecutor(max_workers=2)
     if todo:
         with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
-            for counters in pool.map(lambda args: run_partition(*args), todo):
-                stats["docs"] += counters["docs"]
-                stats["errors"] += counters["errors"]
-                stats["triples"] += counters["triples"]
+            for done in pool.map(lambda args: run_partition(*args), todo):
+                counter_futures.append(
+                    counter_pool.submit(finish_partition, done))
     stats["phase1_sec"] = round(_time.perf_counter() - _t_start, 3)
 
     # phase 2: fused dedup+adjacency and canonical entities, concurrently.
@@ -293,6 +302,13 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     with ThreadPoolExecutor(max_workers=2) as pool:
         list(pool.map(lambda f: f(), [build_adjacency, build_entities]))
     stats["phase2_sec"] = round(_time.perf_counter() - _t_p2, 3)
+
+    for fut in counter_futures:
+        counters = fut.result()
+        stats["docs"] += counters["docs"]
+        stats["errors"] += counters["errors"]
+        stats["triples"] += counters["triples"]
+    counter_pool.shutdown()
 
     import pyarrow.dataset as pads
     stats["triples_deduped"] = pads.dataset(
