@@ -339,8 +339,8 @@ def events_sessionize(sf_dir: str, num_buckets: int = 32):
 
 SQL_EVENTS_SESSIONIZE = f"""
 SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN gap > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
-           AS n_sessions
+       CAST(1 + sum(CASE WHEN gap > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id,
          epoch(ts) - lag(epoch(ts))
