@@ -127,7 +127,13 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N CPUs = 6 vs 24, NOT 8 vs 32: a pure-CPU ladder on this host
+    # (BASELINE.md) shows per-process throughput flat through 16-24 procs
+    # but dropping ~30% at 32 — the last vCPUs are oversubscribed host
+    # threads. The criterion models N vs 4N NODES (identical per-node
+    # headroom); 6→24 keeps both levels on full-speed cores and leaves the
+    # driver/raylet off the measured cores at both levels.
+    lo, hi = 6, 24
     results = {lo: [], hi: []}
     for _round in range(2):
         for ncpu in (lo, hi):

@@ -71,8 +71,18 @@ def get_orientation_of_hyperedge_start_point(referenced_edge, start_point,
             "orientation": list(detail["orientation"]),
         })
 
-    candidates.sort(key=lambda c: (not c["isSameSide"], c["toPerpendicular"],
-                                   c["toCurrent"]))
+    # Quantize the angular scores before comparing: the reference resolves
+    # ill-conditioned ties (candidates whose scores agree to ~1e-16, e.g. a
+    # point attached to a nearly-vertical edge in WP2211) by its stable
+    # sort over candidate order, and sub-picoradian score differences are
+    # float noise from the tangent computation, not signal. 12 decimals
+    # keeps every real ordering decision while making the tie-break follow
+    # START_SEGMENT_DETAILS_MAPS order exactly as the reference does
+    # (edge/orientation.ts:117-152; verified field-exact across all 13 WP
+    # fixtures including both WP2211 hyperedges).
+    candidates.sort(key=lambda c: (not c["isSameSide"],
+                                   round(c["toPerpendicular"], 12),
+                                   round(c["toCurrent"], 12)))
     return candidates[0]["orientation"]
 
 

@@ -16,8 +16,6 @@ from __future__ import annotations
 import glob
 import os
 
-import pyarrow.compute as pc
-
 from ..sources.pages import SEED, write_pages_parquet
 from ..stages.canonicalize import (dedup_triples_global,
                                    dedup_triples_within_batch,
@@ -123,8 +121,13 @@ def linked_triples_dataset(pages, xref_ref=None, link_concurrency=(2, 16)):
     if xref_ref is None:
         xref_ref = get_xref_ref()
     from ..stages.link import make_link_fn
+    # batch_size=None: the linker is fully vectorized, so it takes whole
+    # blocks. An explicit batch_size here would set min_rows_per_bundle on
+    # the FUSED operator chain, bundling that many *input pages* (not
+    # triples) per task — round-1's phase-1 ran as ~47 ten-second tasks and
+    # wave-quantized badly at 32 CPUs because of exactly that.
     return triples.map_batches(make_link_fn(xref_ref),
-                               batch_format="pyarrow", batch_size=8192)
+                               batch_format="pyarrow", batch_size=None)
 
 
 def deduped_triples_dataset(pages, xref_ref=None):
@@ -164,7 +167,10 @@ def text_invariant_dataset(path: str):
 
 def run_kg_pipeline(pages_dir: str, out_dir: str,
                     files_per_partition: int | None = None,
-                    resume: bool = True, num_buckets: int = 16) -> dict:
+                    resume: bool = True,
+                    num_buckets: int | None = None,
+                    hot_subjects: frozenset | None = None,
+                    stream_exchange: bool = True) -> dict:
     """End-to-end run with per-partition lineage manifest.
 
     Phase 1 (resumable per input partition): pages → linked triples parquet
@@ -177,9 +183,23 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     granularity — on a real multi-node run size partitions to O(minutes)
     of work each.
     """
+    import ray
     import ray.data as rd
 
     _ensure_fsspec_http_stub()
+
+    @ray.remote(num_cpus=1)
+    def _partition_counters(docs_dir: str, triples_dir: str) -> dict:
+        """Per-partition lineage counters, computed on a worker (metadata
+        reads + one error-column scan) — not on the driver."""
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pads
+        n_docs = _pads.dataset(docs_dir).count_rows()
+        n_err = _pads.dataset(docs_dir).to_table(
+            columns=["error"],
+            filter=_pc.field("error") != "").num_rows if n_docs else 0
+        n_triples = _pads.dataset(triples_dir).count_rows()
+        return {"docs": n_docs, "errors": n_err, "triples": n_triples}
 
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     if files_per_partition is None:
@@ -203,8 +223,6 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     import shutil as _shutil
     from concurrent.futures import ThreadPoolExecutor
 
-    import pyarrow.dataset as pads
-
     from ..stages.link import make_link_fn
 
     def partition_chain(pid: str, part_files: list[str],
@@ -222,11 +240,13 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         # inside the task and emits triples from the in-memory doc dicts —
         # no dumps→parquet→loads round trip (stages/convert.py)
         from ..stages.convert import make_convert_emit_fn
+        # link batch_size=None: see linked_triples_dataset (an explicit
+        # batch size would wave-quantize the fused phase-1 operator)
         return (islands_dataset(pages)
                 .map_batches(make_convert_emit_fn(docs_dir),
                              batch_format="pyarrow", batch_size=256)
                 .map_batches(make_link_fn(xref_ref),
-                             batch_format="pyarrow", batch_size=8192))
+                             batch_format="pyarrow", batch_size=None))
 
     # Partitions run as CONCURRENT Ray Data pipelines (driver threads) —
     # measured faster than a single union-of-branches execution, whose
@@ -238,6 +258,41 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     stats["partitions_skipped"] = len(partitions) - len(todo)
     triples_root = os.path.join(out_dir, "triples")
 
+    # The wide phase-2 outputs (adjacency + entities) are rebuilt from the
+    # (resumable) phase-1 partitions on every run; their exchange's MAP
+    # side runs STREAMED UNDER PHASE 1: each partition's linked-triples
+    # blocks are checkpointed to parquet by a passthrough writer stage and
+    # fed straight into split tasks (stages/exchange.py StreamingExchange),
+    # so after the last partition lands only the per-bucket reduces remain.
+    import shutil
+    for sub in ("adjacency", "entities"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+
+    from ..stages.adjacency import adjacency_exchange_spec
+    from ..stages.canonicalize import entity_exchange_spec
+    from ..stages.exchange import StreamingExchange
+    from ..stages.triples import make_triples_writer
+
+    # Hot-subject salting: the bucket function must be FIXED before the
+    # first split task, so auto-detection-from-this-run's-triples can't
+    # feed it. Callers supply known heavy hitters (at production scale:
+    # last crawl's entity counts, or a hot_subjects_from_sample pre-pass
+    # over a 0.1% page sample); default unsalted still bounds skew to one
+    # bucket ≈ 1/num_buckets of the data. Resumed runs with no new work
+    # sample from the existing checkpoint (free — phase 1 is skipped).
+    if hot_subjects is None:
+        if todo:
+            hot_subjects = frozenset()
+        else:
+            from ..stages.adjacency import hot_subjects_from_sample
+            hot_subjects = hot_subjects_from_sample(triples_root)
+    exchange = StreamingExchange([
+        adjacency_exchange_spec(os.path.join(out_dir, "adjacency"),
+                                num_buckets=num_buckets,
+                                hot_subjects=hot_subjects),
+        entity_exchange_spec(os.path.join(out_dir, "entities")),
+    ])
+
     def run_partition(pidx: int, part_files: list[str]) -> tuple:
         pid = f"{pidx:05d}"
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
@@ -245,26 +300,40 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         # clear any half-written outputs from a previous failed run
         _shutil.rmtree(docs_dir, ignore_errors=True)
         _shutil.rmtree(triples_dir, ignore_errors=True)
+        os.makedirs(triples_dir, exist_ok=True)
         linked = partition_chain(pid, part_files,
                                  n_concurrent_partitions=min(4, len(todo)))
-        linked.write_parquet(triples_dir, compression="zstd")
+        if stream_exchange:
+            written = linked.map_batches(make_triples_writer(triples_dir),
+                                         batch_format="pyarrow",
+                                         batch_size=None)
+            # consuming the stream writes the checkpoint AND feeds the
+            # exchange's split tasks block-by-block
+            exchange.add_dataset(written)
+        else:
+            linked.write_parquet(triples_dir, compression="zstd")
+            exchange.add_files(sorted(glob.glob(
+                os.path.join(triples_dir, "*.parquet"))))
         return pid, part_files, docs_dir, triples_dir
 
     def finish_partition(done: tuple) -> dict:
-        """Counters (driver-local parquet scans) + manifest write. Runs in a
-        background thread OVERLAPPED with phase 2: the manifest marks the
-        partition complete, and on a crash before it lands the partition
-        simply reruns (idempotent outputs)."""
+        """Counters (a worker-side Ray task) + manifest write. Runs in a
+        background thread OVERLAPPED with the exchange: the manifest marks
+        the partition complete, and on a crash before it lands the
+        partition simply reruns (idempotent outputs)."""
         pid, part_files, docs_dir, triples_dir = done
-        n_docs = pads.dataset(docs_dir).count_rows()
-        n_err = pads.dataset(docs_dir).to_table(
-            columns=["error"],
-            filter=pc.field("error") != "").num_rows if n_docs else 0
-        n_triples = pads.dataset(triples_dir).count_rows()
-        counters = {"docs": n_docs, "errors": n_err, "triples": n_triples}
+        counters = ray.get(_partition_counters.remote(docs_dir, triples_dir))
         record_partition(out_dir, pid, part_files, counters,
                          [docs_dir, triples_dir])
         return counters
+
+    # resume-skipped partitions enter the exchange from their checkpoint
+    # files (no recompute)
+    for pidx, _pf in enumerate(partitions):
+        pid = f"{pidx:05d}"
+        if pid in manifest:
+            exchange.add_files(sorted(glob.glob(
+                os.path.join(triples_root, f"part_id={pid}", "*.parquet"))))
 
     counter_futures = []
     counter_pool = ThreadPoolExecutor(max_workers=2)
@@ -275,32 +344,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
                     counter_pool.submit(finish_partition, done))
     stats["phase1_sec"] = round(_time.perf_counter() - _t_start, 3)
 
-    # phase 2: fused dedup+adjacency and canonical entities, concurrently.
-    # Phase-2 outputs derive wholly from the (resumable) phase-1 partitions,
-    # so they are cleared and rebuilt: write_parquet appends, not replaces.
-    import shutil
-    for sub in ("adjacency", "entities"):
-        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
-
-    def build_adjacency():
-        from ..stages.adjacency import (hot_subjects_from_sample,
-                                        write_adjacency_deduped)
-        hot = hot_subjects_from_sample(os.path.join(out_dir, "triples"))
-        all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
-        write_adjacency_deduped(all_triples,
-                                os.path.join(out_dir, "adjacency"),
-                                num_buckets=num_buckets, hot_subjects=hot)
-
-    def build_entities():
-        from ..stages.canonicalize import merge_entity_partials_fs
-        all_triples = rd.read_parquet(os.path.join(out_dir, "triples"))
-        partials = all_triples.map_batches(entity_partials_batch,
-                                           batch_format="pyarrow")
-        merge_entity_partials_fs(partials, os.path.join(out_dir, "entities"))
-
     _t_p2 = _time.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(lambda f: f(), [build_adjacency, build_entities]))
+    adj_counts, ent_counts = exchange.finish()
     stats["phase2_sec"] = round(_time.perf_counter() - _t_p2, 3)
 
     for fut in counter_futures:
@@ -310,9 +355,6 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         stats["triples"] += counters["triples"]
     counter_pool.shutdown()
 
-    import pyarrow.dataset as pads
-    stats["triples_deduped"] = pads.dataset(
-        os.path.join(out_dir, "adjacency"), partitioning="hive").count_rows()
-    stats["entities"] = pads.dataset(
-        os.path.join(out_dir, "entities")).count_rows()
+    stats["triples_deduped"] = sum(adj_counts)
+    stats["entities"] = sum(ent_counts)
     return stats

@@ -1,79 +1,50 @@
 """Ray Data stage: adjacency layout (O4) — subject-hash bucketing with
-heavy-hitter salting, global sort, partitioned Parquet output.
+heavy-hitter salting, per-bucket sort, partitioned Parquet output.
 
 The bucket column is the ONE partitioning key reused across downstream
-stages; hot subjects are salted into `salt_factor` sub-buckets so a single
-celebrity entity cannot skew one partition (SURVEY.md §2.6 O4 / §4 skew).
+stages; hot subjects are salted across `salt_factor` neighboring buckets
+so a single celebrity entity cannot skew one partition (SURVEY.md §2.6 O4
+/ §4 skew). All bucket assignment is vectorized (polars row hashes +
+numpy) — no Python row loops in the exchange path.
 """
 
 from __future__ import annotations
 
-import zlib
+import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import auto_num_buckets, hash_rows_mod, shuffle_reduce
 
-def _exchange_blocks() -> int:
-    try:
-        import ray
-        return max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    except Exception:
-        return 8
+DEFAULT_SALT_FACTOR = 4
 
 
-def _exchange_dir_for(out_dir: str) -> str:
-    """Exchange data is transient scratch (deleted after the reduce): put it
-    on tmpfs when available — disk writeback stalls on the VM's virtual
-    disk are the single largest source of phase-2 variance. On a multi-node
-    cluster the exchange would live on shared storage instead."""
-    import hashlib
-    import os
-    if os.path.isdir("/dev/shm"):
-        tag = hashlib.sha1(out_dir.encode()).hexdigest()[:12]
-        return f"/dev/shm/kg_exchange_{tag}"
-    return out_dir + ".exchange"
-
-
-def _hash_bucket(values: pa.ChunkedArray, num_buckets: int) -> list[int]:
-    return [zlib.crc32(v.encode()) % num_buckets
-            for v in values.to_pylist()]
+def subject_bucket_ids(batch: pa.Table, num_buckets: int,
+                       hot_subjects: frozenset = frozenset(),
+                       salt_factor: int = DEFAULT_SALT_FACTOR) -> np.ndarray:
+    """Bucket by subject hash; hot subjects are salted by the (pred, obj)
+    hash — NOT by provenance — so identical (s,p,o) triples always land in
+    the same bucket and per-bucket dedup remains globally exact while a
+    celebrity subject still spreads across salt_factor buckets."""
+    base = hash_rows_mod(batch, ["canonical_subj"], num_buckets)
+    if not hot_subjects:
+        return base
+    hot_mask = pc.is_in(
+        batch.column("canonical_subj"),
+        value_set=pa.array(sorted(hot_subjects))).combine_chunks()
+    hot_np = hot_mask.to_numpy(zero_copy_only=False)
+    salt = hash_rows_mod(batch, ["pred", "canonical_obj"], salt_factor)
+    return np.where(hot_np, (base + salt) % num_buckets, base)
 
 
 def add_subject_bucket(batch: pa.Table, num_buckets: int = 16,
                        hot_subjects: frozenset = frozenset(),
-                       salt_factor: int = 4) -> pa.Table:
-    """Bucket by subject hash; hot subjects are salted into sub-buckets by
-    the (pred, obj) hash — NOT by provenance — so identical (s,p,o) triples
-    always land in the same bucket and per-bucket dedup remains globally
-    exact while a celebrity subject still spreads across salt_factor
-    partitions."""
-    subj = batch.column("canonical_subj").to_pylist()
-    preds = batch.column("pred").to_pylist()
-    objs = batch.column("canonical_obj").to_pylist()
-    buckets = []
-    for s, p, o in zip(subj, preds, objs):
-        base = (zlib.crc32(s.encode()) % num_buckets) * salt_factor
-        if s in hot_subjects:
-            salt = zlib.crc32(f"{p}\x00{o}".encode()) % salt_factor
-            buckets.append(base + salt)
-        else:
-            buckets.append(base)
+                       salt_factor: int = DEFAULT_SALT_FACTOR) -> pa.Table:
+    ids = subject_bucket_ids(batch, num_buckets, hot_subjects, salt_factor)
     return batch.append_column("subj_bucket",
-                               pa.array(buckets, type=pa.int32()))
-
-
-def find_hot_subjects(ds, threshold_fraction: float = 0.01,
-                      sample_fraction: float = 0.05) -> frozenset:
-    """Cheap heavy-hitter detection on a sample: subjects holding more than
-    `threshold_fraction` of sampled rows are salted."""
-    sample = ds.random_sample(sample_fraction, seed=7)
-    counts = sample.groupby("canonical_subj").count().to_pandas()
-    if counts.empty:
-        return frozenset()
-    total = counts["count()"].sum()
-    hot = counts[counts["count()"] > max(2.0, threshold_fraction * total)]
-    return frozenset(hot["canonical_subj"].tolist())
+                               pa.array(ids, type=pa.int32()))
 
 
 def hot_subjects_from_sample(triples_dir: str,
@@ -84,8 +55,6 @@ def hot_subjects_from_sample(triples_dir: str,
     threshold_fraction of the sample. Driver-local metadata-cheap read — no
     Ray job; at cluster scale the same sample comes from a handful of
     shards."""
-    import os
-
     import pyarrow.dataset as pads
     try:
         dataset = pads.dataset(triples_dir)
@@ -106,7 +75,7 @@ def hot_subjects_from_sample(triples_dir: str,
 
 def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
                     hot_subjects: frozenset = frozenset()):
-    """bucket → sort → partitioned parquet."""
+    """bucket → sort → partitioned parquet (Dataset-API variant)."""
     bucketed = ds.map_batches(
         lambda b: add_subject_bucket(b, num_buckets, hot_subjects),
         batch_format="pyarrow")
@@ -114,9 +83,10 @@ def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
     ordered.write_parquet(out_dir, partition_cols=["subj_bucket"])
 
 
-def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
-                            hot_subjects: frozenset = frozenset()):
-    """Fused exact-dedup + adjacency layout via a FILESYSTEM exchange.
+def adjacency_exchange_spec(out_dir: str, num_buckets: int | None = None,
+                            hot_subjects: frozenset = frozenset()) -> dict:
+    """Exchange spec (stages/exchange.py) for the fused exact-dedup +
+    adjacency layout.
 
     Because the bucket is a pure function of (subj, and for hot subjects
     pred/obj), every copy of an (s,p,o) triple lands in the same bucket, so
@@ -124,53 +94,45 @@ def write_adjacency_deduped(linked_ds, out_dir: str, num_buckets: int = 16,
     canonical_subj plus bucket partitioning yields the subject-clustered
     layout without a global sort (SURVEY.md §2.6 O4 + §2.7 D5 fused).
 
-    Exchange strategy: Ray Data's generic groupby is a sort shuffle with
-    multi-second fixed latency; with a SMALL KNOWN key space (num_buckets ×
-    salt) the hive-partitioned parquet write IS the map-side exchange
-    (tasks append bucket=K files), and one small raw-Ray task per bucket
-    does the reduce (read bucket dir → dedup → sort → single file). On a
-    multi-node cluster the same shape runs against shared storage — this is
-    the documented drop-to-raw-tasks fallback for an operator the Dataset
-    API can't express efficiently."""
-    import os
-    import shutil
-
-    import pyarrow.dataset as pads
+    The split task fuses the within-block dedup combiner (shrinks the
+    exchange) with bucket assignment; one reduce task per bucket dedups,
+    sorts and writes out_dir/subj_bucket=K/part-0.parquet. Bucket count
+    auto-scales to ≫ CPU count so the reduce side never caps parallelism
+    (round-1's 16-way reduce was the scaling bottleneck); at larger inputs
+    pass num_buckets ≈ input_bytes / 2 GiB so one bucket fits a worker."""
     import pyarrow.parquet as pq
-    import ray
 
     from .canonicalize import dedup_triples_within_batch
 
-    combined = linked_ds.map_batches(dedup_triples_within_batch,
-                                     batch_format="pyarrow")
-    bucketed = combined.map_batches(
-        lambda b: add_subject_bucket(b, num_buckets, hot_subjects),
-        batch_format="pyarrow")
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(multiple=4)
+    os.makedirs(out_dir, exist_ok=True)
 
-    exchange_dir = _exchange_dir_for(out_dir)
-    shutil.rmtree(exchange_dir, ignore_errors=True)
-    # coalesce blocks before the partitioned write: file count is
-    # blocks × buckets, and thousands of tiny files dominate exchange cost
-    bucketed = bucketed.repartition(_exchange_blocks())
-    bucketed.write_parquet(exchange_dir, partition_cols=["subj_bucket"])
+    def map_fn(block: pa.Table) -> pa.Table:
+        t = dedup_triples_within_batch(block)
+        ids = subject_bucket_ids(t, num_buckets, hot_subjects)
+        return t.append_column("bucket", pa.array(ids, type=pa.int64()))
 
-    @ray.remote(num_cpus=1)
-    def finalize_bucket(bucket_dir: str, final_dir: str):
-        t = pads.dataset(bucket_dir).to_table()
+    def reduce_fn(t: pa.Table, bucket_id: int) -> int:
+        if t.num_rows == 0:
+            return 0
         t = dedup_triples_within_batch(t)
         t = t.sort_by([("canonical_subj", "ascending")])
+        final_dir = os.path.join(out_dir, f"subj_bucket={bucket_id}")
         os.makedirs(final_dir, exist_ok=True)
         pq.write_table(t, os.path.join(final_dir, "part-0.parquet"),
                        compression="zstd")
         return t.num_rows
 
-    futures = []
-    for name in sorted(os.listdir(exchange_dir)):
-        if not name.startswith("subj_bucket="):
-            continue
-        futures.append(finalize_bucket.remote(
-            os.path.join(exchange_dir, name),
-            os.path.join(out_dir, name)))
-    total = sum(ray.get(futures))
-    shutil.rmtree(exchange_dir, ignore_errors=True)
-    return total
+    return {"num_buckets": num_buckets, "map_fn": map_fn,
+            "reduce_fn": reduce_fn}
+
+
+def write_adjacency_deduped(linked_ds, out_dir: str,
+                            num_buckets: int | None = None,
+                            hot_subjects: frozenset = frozenset()) -> int:
+    """Standalone fused dedup + adjacency run (see adjacency_exchange_spec;
+    run_kg_pipeline fuses this exchange with the entity merge over one
+    traversal instead)."""
+    spec = adjacency_exchange_spec(out_dir, num_buckets, hot_subjects)
+    return sum(shuffle_reduce(linked_ds, **spec))

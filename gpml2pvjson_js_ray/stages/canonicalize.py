@@ -2,18 +2,21 @@
 (A6) — the two wide shuffles of the KG pipeline.
 
 Both follow the pre-aggregate pattern (ray_guide: combine inside
-map_batches, then a small groupby): a within-batch combiner shrinks the
-all-to-all exchange before the global `groupby`, which matters at 10^12-row
+map_batches, then a small exchange): a within-batch combiner shrinks the
+all-to-all exchange before the global merge, which matters at 10^12-row
 scale where the raw triple stream is orders of magnitude larger than the
-distinct-key space.
+distinct-key space. All per-row work is vectorized (pyarrow compute /
+polars group_by) — no Python loops over mentions.
 """
 
 from __future__ import annotations
 
-import json
+import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .exchange import auto_num_buckets, hash_rows_mod, shuffle_reduce
 
 TRIPLE_KEY = ["canonical_subj", "pred", "canonical_obj"]
 
@@ -47,14 +50,9 @@ NUM_DEDUP_BUCKETS = 64
 
 def _add_spo_bucket(batch: pa.Table,
                     num_buckets: int = NUM_DEDUP_BUCKETS) -> pa.Table:
-    import zlib
-    s = batch.column("canonical_subj").to_pylist()
-    p = batch.column("pred").to_pylist()
-    o = batch.column("canonical_obj").to_pylist()
-    buckets = [zlib.crc32(f"{a}\x00{b}\x00{c}".encode()) % num_buckets
-               for a, b, c in zip(s, p, o)]
+    ids = hash_rows_mod(batch, TRIPLE_KEY, num_buckets)
     return batch.append_column("spo_bucket",
-                               pa.array(buckets, type=pa.int32()))
+                               pa.array(ids, type=pa.int32()))
 
 
 def dedup_triples_global(ds, num_buckets: int = NUM_DEDUP_BUCKETS):
@@ -79,7 +77,16 @@ def dedup_triples_global(ds, num_buckets: int = NUM_DEDUP_BUCKETS):
 
 MAX_ALIASES = 32  # cap alias payload per canonical id (hot entities)
 
+# internal partial schema: aliases travel as a real list column (no JSON
+# round-trip mid-pipeline); the final entities table exposes aliases_json
 ENTITY_PARTIAL_SCHEMA = pa.schema([
+    ("canonical_id", pa.string()),
+    ("aliases", pa.list_(pa.string())),
+    ("n_mentions", pa.int64()),
+    ("first_url", pa.string()),
+])
+
+ENTITY_FINAL_SCHEMA = pa.schema([
     ("canonical_id", pa.string()),
     ("aliases_json", pa.string()),
     ("n_mentions", pa.int64()),
@@ -89,131 +96,127 @@ ENTITY_PARTIAL_SCHEMA = pa.schema([
 
 def entity_partials_batch(batch: pa.Table) -> pa.Table:
     """Combiner: per-batch partial aggregation of entity mentions keyed by
-    canonical id (subject and object sides both contribute)."""
-    acc: dict[str, dict] = {}
+    canonical id (subject and object sides both contribute). Vectorized
+    polars group_by; literals (classes, citation ids — no xref and not a
+    node) are excluded."""
+    import polars as pl
+    frames = []
     for side, xref_side, node_side in (
             ("canonical_subj", "subj_xref", "subj_is_node"),
             ("canonical_obj", "obj_xref", "obj_is_node")):
-        ids = batch.column(side).to_pylist()
-        xrefs = batch.column(xref_side).to_pylist()
-        urls = batch.column("url").to_pylist()
-        nodes = batch.column(node_side).to_pylist()
-        for cid, xref, url, is_node in zip(ids, xrefs, urls, nodes):
-            if not cid or not (is_node or xref):
-                continue  # literals (classes, citation ids) are not entities
-            slot = acc.get(cid)
-            if slot is None:
-                slot = acc[cid] = {"aliases": set(), "n": 0, "url": url}
-            slot["n"] += 1
-            if xref:
-                if len(slot["aliases"]) < MAX_ALIASES:
-                    slot["aliases"].add(xref)
-            if url < slot["url"]:
-                slot["url"] = url
-    return pa.Table.from_pydict({
-        "canonical_id": list(acc.keys()),
-        "aliases_json": [json.dumps(sorted(v["aliases"]))
-                         for v in acc.values()],
-        "n_mentions": [v["n"] for v in acc.values()],
-        "first_url": [v["url"] for v in acc.values()],
-    }, schema=ENTITY_PARTIAL_SCHEMA)
+        frames.append(
+            pl.from_arrow(batch.select([side, xref_side, "url", node_side]))
+            .rename({side: "canonical_id", xref_side: "xref",
+                     node_side: "is_node"}))
+    long = pl.concat(frames).filter(
+        pl.col("canonical_id").is_not_null()
+        & (pl.col("canonical_id") != "")
+        & (pl.col("is_node") | (pl.col("xref") != "")))
+    agg = long.group_by("canonical_id").agg(
+        aliases=pl.col("xref").filter(pl.col("xref") != "")
+        .unique().sort().head(MAX_ALIASES),
+        n_mentions=pl.len().cast(pl.Int64),
+        first_url=pl.col("url").min(),
+    )
+    return agg.to_arrow().cast(ENTITY_PARTIAL_SCHEMA)
+
+
+def _merge_partial_frame(df):
+    """Merge partial rows sharing a canonical_id: sorted-capped alias
+    union, summed mentions, min first_url (deterministic; SURVEY.md §2.5
+    A6). Vectorized polars aggregation."""
+    import polars as pl
+    return df.group_by("canonical_id").agg(
+        aliases=pl.col("aliases").flatten().drop_nulls()
+        .unique().sort().head(MAX_ALIASES),
+        n_mentions=pl.col("n_mentions").sum().cast(pl.Int64),
+        first_url=pl.col("first_url").min(),
+    )
+
+
+def _finalize_entities(df) -> pa.Table:
+    """list<string> aliases → aliases_json, vectorized (escape backslash
+    and quote, join — identifier strings never carry control chars)."""
+    import polars as pl
+    esc = (pl.element()
+           .str.replace_all("\\", "\\\\", literal=True)
+           .str.replace_all('"', '\\"', literal=True))
+    joined = pl.concat_str(
+        pl.lit('["'),
+        pl.col("aliases").list.eval(esc).list.join('","'),
+        pl.lit('"]'))
+    out = df.with_columns(
+        aliases_json=pl.when(pl.col("aliases").list.len() > 0)
+        .then(joined).otherwise(pl.lit("[]"))
+    ).select(["canonical_id", "aliases_json", "n_mentions", "first_url"])
+    return out.to_arrow().cast(ENTITY_FINAL_SCHEMA)
 
 
 NUM_ENTITY_BUCKETS = 64
 
 
 def merge_entity_partials(ds, num_buckets: int = NUM_ENTITY_BUCKETS):
-    """Global merge: hash-partition canonical ids into buckets (one
-    map_groups call per bucket, not per id), then a vectorized pandas
-    groupby-agg inside each bucket. Deterministic: sorted alias union, sum
-    of mentions, min first_url (SURVEY.md §2.5 A6)."""
-    import zlib
-
-    import pandas as pd
+    """Global merge via the Dataset API: hash-partition canonical ids into
+    buckets (one map_groups call per bucket, not per id), then the
+    vectorized merge inside each bucket."""
+    import polars as pl
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [zlib.crc32(v.encode()) % num_buckets
-                   for v in b.column("canonical_id").to_pylist()]
+        ids = hash_rows_mod(b, ["canonical_id"], num_buckets)
         return b.append_column("entity_bucket",
-                               pa.array(buckets, type=pa.int32()))
+                               pa.array(ids, type=pa.int32()))
 
-    def merge_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
-        def agg_aliases(blobs):
-            aliases: set = set()
-            for blob in blobs:
-                aliases.update(json.loads(blob))
-            return json.dumps(sorted(aliases)[:MAX_ALIASES])
-
-        g = df.groupby("canonical_id", sort=False)
-        out = g.agg(aliases_json=("aliases_json", agg_aliases),
-                    n_mentions=("n_mentions", "sum"),
-                    first_url=("first_url", "min")).reset_index()
-        out["n_mentions"] = out["n_mentions"].astype("int64")
-        return out
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["entity_bucket"]))
+        return _finalize_entities(_merge_partial_frame(df))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    # merge_bucket's output frame already excludes the bucket column
     return bucketed.groupby("entity_bucket").map_groups(
-        merge_bucket, batch_format="pandas")
+        merge_bucket, batch_format="pyarrow")
+
+
+def entity_exchange_spec(out_dir: str, num_buckets: int | None = None,
+                         input_is_partials: bool = False) -> dict:
+    """Exchange spec (stages/exchange.py) for the A6 entity merge: the
+    split task computes per-block partials (or re-combines partial rows —
+    second-level combiner; the exchange ships one row per distinct id per
+    block, not per mention) and one reduce task per bucket does the final
+    vectorized merge + JSON encode."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(multiple=2)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def map_fn(block: pa.Table) -> pa.Table:
+        if input_is_partials:
+            t = (_merge_partial_frame(pl.from_arrow(block))
+                 .to_arrow().cast(ENTITY_PARTIAL_SCHEMA))
+        else:
+            t = entity_partials_batch(block)
+        ids = hash_rows_mod(t, ["canonical_id"], num_buckets)
+        return t.append_column("bucket", pa.array(ids, type=pa.int64()))
+
+    def reduce_fn(t: pa.Table, bucket_id: int) -> int:
+        if t.num_rows == 0:
+            return 0
+        out = _finalize_entities(_merge_partial_frame(pl.from_arrow(t)))
+        pq.write_table(out,
+                       os.path.join(out_dir,
+                                    f"entities-{bucket_id}.parquet"),
+                       compression="zstd")
+        return out.num_rows
+
+    return {"num_buckets": num_buckets, "map_fn": map_fn,
+            "reduce_fn": reduce_fn}
 
 
 def merge_entity_partials_fs(ds, out_dir: str,
-                             num_buckets: int = NUM_ENTITY_BUCKETS) -> int:
-    """Filesystem-exchange variant of the A6 merge (same trick as
-    adjacency.write_adjacency_deduped): hive-partitioned write by entity
-    bucket is the map-side exchange; one raw-Ray task per bucket does the
-    vectorized merge. Returns the merged entity count."""
-    import os
-    import shutil
-    import zlib
-
-    import pandas as pd
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-    import ray
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [zlib.crc32(v.encode()) % num_buckets
-                   for v in b.column("canonical_id").to_pylist()]
-        return b.append_column("entity_bucket",
-                               pa.array(buckets, type=pa.int32()))
-
-    from .adjacency import _exchange_blocks, _exchange_dir_for
-    exchange_dir = _exchange_dir_for(out_dir)
-    shutil.rmtree(exchange_dir, ignore_errors=True)
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-    # coalesce before the partitioned write (see adjacency.py)
-    bucketed = bucketed.repartition(_exchange_blocks())
-    bucketed.write_parquet(exchange_dir, partition_cols=["entity_bucket"])
-
-    @ray.remote(num_cpus=1)
-    def merge_bucket_task(bucket_dir: str, final_path: str) -> int:
-        df = pads.dataset(bucket_dir).to_table().to_pandas()
-
-        def agg_aliases(blobs):
-            aliases: set = set()
-            for blob in blobs:
-                aliases.update(json.loads(blob))
-            return json.dumps(sorted(aliases)[:MAX_ALIASES])
-
-        g = df.groupby("canonical_id", sort=False)
-        out = g.agg(aliases_json=("aliases_json", agg_aliases),
-                    n_mentions=("n_mentions", "sum"),
-                    first_url=("first_url", "min")).reset_index()
-        out["n_mentions"] = out["n_mentions"].astype("int64")
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
-                       final_path, compression="zstd")
-        return len(out)
-
-    os.makedirs(out_dir, exist_ok=True)
-    futures = []
-    for name in sorted(os.listdir(exchange_dir)):
-        if not name.startswith("entity_bucket="):
-            continue
-        bucket = name.split("=", 1)[1]
-        futures.append(merge_bucket_task.remote(
-            os.path.join(exchange_dir, name),
-            os.path.join(out_dir, f"entities-{bucket}.parquet")))
-    total = sum(ray.get(futures))
-    shutil.rmtree(exchange_dir, ignore_errors=True)
-    return total
+                             num_buckets: int | None = None) -> int:
+    """Standalone A6 merge over a dataset of entity partials (see
+    entity_exchange_spec; run_kg_pipeline fuses this exchange with the
+    adjacency layout over one traversal of the raw triples instead)."""
+    spec = entity_exchange_spec(out_dir, num_buckets,
+                                input_is_partials=True)
+    return sum(shuffle_reduce(ds, **spec))

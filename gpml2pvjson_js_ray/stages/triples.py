@@ -44,3 +44,29 @@ def emit_triples_batch(batch: pa.Table) -> pa.Table:
                 else:
                     out[name].append(t.get(name) or "")
     return pa.Table.from_pydict(out, schema=TRIPLES_SCHEMA)
+
+
+def make_triples_writer(triples_dir: str):
+    """Passthrough checkpoint stage: writes each linked-triples block to
+    the partition's triples directory INSIDE the task (content-addressed
+    name -> idempotent on retry) and passes the block through unchanged,
+    so the downstream exchange consumes the same in-memory blocks instead
+    of re-reading the checkpoint."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    def write_passthrough(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            urls = batch.column("url")
+            key = hashlib.sha1(
+                f"{urls[0]}|{urls[-1]}|{batch.num_rows}"
+                .encode()).hexdigest()[:16]
+            pq.write_table(batch,
+                           os.path.join(triples_dir,
+                                        f"triples-{key}.parquet"),
+                           compression="zstd")
+        return batch
+
+    return write_passthrough

@@ -2,13 +2,12 @@
 expected files (86-652 entities each) through the inverse transform and our
 converter, requiring field-exact equality.
 
-Round-1 status: 2,224 / 2,226 entities field-exact. The two remaining
-diffs (WP2211, hyperedges c9038 / id14ee7ceb) are orientation-sign flips on
-points attached via an anchor to a nearly-vertical straight edge: the left
-and right candidates' perpendicularity scores differ at ~1e-18 (an
-ill-conditioned tie the reference resolves through the float-rounding path
-of its `points` library degrees↔radians conversions). Entity-level
-precision/recall: 0.9991, far above the P/R ≥ 0.95 gate."""
+All 2,226 entities across the 13 parameterized fixtures are field-exact
+(entity-level P/R = 1.0, above the ≥ 0.95 gate). The round-1 exceptions
+(WP2211 hyperedges c9038 / id14ee7ceb — orientation-sign flips on an
+ill-conditioned ~1e-16 perpendicularity tie) were closed by quantizing the
+orientation scores before comparison so ties resolve by candidate order
+like the reference's stable sort (functions/calculate_points.py)."""
 
 from __future__ import annotations
 
@@ -29,9 +28,8 @@ WP_FIXTURES = [
     "WP4_73615", "WP528_79855", "WP78_70014",
 ]
 
-# known ill-conditioned orientation ties (see module docstring)
-ALLOWED_DIFFS = {"WP2211_71653": {("c9038", "points"),
-                                  ("id14ee7ceb", "points")}}
+# no allowed exceptions: every fixture must be field-exact
+ALLOWED_DIFFS: dict[str, set] = {}
 
 
 @pytest.mark.parametrize("name", WP_FIXTURES)
