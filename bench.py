@@ -147,15 +147,17 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": best_lo["value"],
-        "sec_32": best_hi["value"],
-        "sec_8_all": [r["value"] for r in results[lo]],
-        "sec_32_all": [r["value"] for r in results[hi]],
-        "triples_per_sec_8": tp_lo,
-        "triples_per_sec_32": tp_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": best_lo["value"],
+        f"sec_{hi}": best_hi["value"],
+        f"sec_{lo}_all": [r["value"] for r in results[lo]],
+        f"sec_{hi}_all": [r["value"] for r in results[hi]],
+        f"triples_per_sec_{lo}": tp_lo,
+        f"triples_per_sec_{hi}": tp_hi,
         "sf": best_lo["sf"],
-        "queries": {"kg_pipeline_8": best_lo["value"],
-                    "kg_pipeline_32": best_hi["value"]},
+        "queries": {f"kg_pipeline_{lo}": best_lo["value"],
+                    f"kg_pipeline_{hi}": best_hi["value"]},
     }
 
 

@@ -19,13 +19,24 @@ import json
 import sys
 
 
+def _stdin_chunks(chunk_size: int = 65536):
+    """Chunked stdin reader: the CLI streams its input like the reference's
+    highland pipeline (bin/gpml2pvjson:61-96) instead of slurping — a
+    throttled/chunked feed converts document-by-document with bounded
+    memory."""
+    while True:
+        chunk = sys.stdin.read(chunk_size)
+        if not chunk:
+            return
+        yield chunk
+
+
 def cmd_convert(args) -> int:
     from .functions.convert import (ConversionError, convert_island,
                                     sha256_island_id)
-    from .functions.islands import split_concatenated_gpml
+    from .functions.islands import iter_split_gpml_stream
 
-    data = sys.stdin.read()
-    for island in split_concatenated_gpml(data):
+    for island in iter_split_gpml_stream(_stdin_chunks()):
         try:
             doc = convert_island(island, pathway_iri=args.id)
         except ConversionError as exc:

@@ -21,7 +21,7 @@ from .edge import postprocess_edge_pvjson, preprocess_edge_gpml
 from .group import postprocess_group_pvjson, preprocess_group_gpml
 from .jsonld import (arrayify, insert_if_not_exists, intersects_lsv,
                      sort_by_map, union_lsv)
-from .mappings import SUPPORTED_NAMESPACES, VOCABULARY_NAME_TO_IRI
+from .mappings import VOCABULARY_NAME_TO_IRI
 from .parser import parse_gpml
 from .processor import Processor
 
@@ -70,7 +70,7 @@ def _process_pathway_metadata(processor: Processor, parsed, pathway_iri):
         pathway["id"] = pathway_iri
 
     ns = parsed.pathway.get("_namespace")
-    if ns not in SUPPORTED_NAMESPACES:
+    if ns not in processor.profile.supported_namespaces:
         raise ConversionError(f"Unsupported namespace: {ns}")
 
     metadata = processor.process_properties(parsed.pathway)
@@ -189,7 +189,9 @@ def _postprocess_entities(processor: Processor, ordered_entities):
                 referenced["burrs"] = insert_sorted(burrs, eid)
                 processor.set_pvjson_entity(referenced)
             else:
-                edge = postprocess_edge_pvjson(entities_by_id, entity)
+                edge = postprocess_edge_pvjson(
+                    entities_by_id, entity,
+                    marker_mappings=processor.profile.marker_mappings)
                 pathway["contains"] = insert_sorted(pathway["contains"], eid)
                 processor.set_pvjson_entity(edge)
         elif _is_group(entity):
@@ -263,16 +265,24 @@ def _process_vocab_and_citations(processor: Processor, parsed):
         processor.entities_by_id[xref["id"]] = xref
 
 
-def convert_island(island_text: str, pathway_iri: str | None = None) -> dict:
+def convert_island(island_text: str, pathway_iri: str | None = None,
+                   profile=None) -> dict:
     """Convert one GPML island to {"pathway", "entitiesById"}.
 
+    `profile` (functions/profile.py ConversionProfile) selects the schema
+    version's table set; None = GPML2013a, matching the reference's
+    exported GPML2013aToPVJSON plug-in (index.ts:5).
     Raises ConversionError on malformed islands (callers quarantine)."""
+    if profile is None:
+        from .profile import GPML2013A
+        profile = GPML2013A
     try:
-        parsed = parse_gpml(island_text)
+        parsed = parse_gpml(island_text,
+                            defaults_table=profile.gpml_defaults)
     except Exception as exc:
         raise ConversionError(f"GPML parse failed: {exc}") from exc
 
-    processor = Processor()
+    processor = Processor(profile=profile)
     _process_pathway_metadata(processor, parsed, pathway_iri)
     pathway = processor.pathway
 

@@ -52,10 +52,15 @@ def _offset_and_orientation_scalars(position_scalar, relative_offset_scalar,
     return offset_scalar, orientation_scalar
 
 
-def postprocess_edge_pvjson(referenced_entities: dict, edge: dict) -> dict:
+def postprocess_edge_pvjson(referenced_entities: dict, edge: dict,
+                            marker_mappings: dict | None = None) -> dict:
     """edge/edge.ts:115-383 — resolve point attachments, set markers and
     marker-derived types, compute orientations, synthesize implicit points
-    for Elbow/Curved, and set edge-level isAttachedTo."""
+    for Elbow/Curved, and set edge-level isAttachedTo.
+
+    marker_mappings overrides the profile's marker→type table; None =
+    GPML2013a MarkerMappings."""
+    mm = MARKER_MAPPINGS if marker_mappings is None else marker_mappings
     points = edge["points"]
     point_count = len(points)
     draw_as = edge.get("drawAs")
@@ -69,8 +74,8 @@ def postprocess_edge_pvjson(referenced_entities: dict, edge: dict) -> dict:
                 edge["markerStart"] = marker
             elif index == point_count - 1:
                 edge["markerEnd"] = marker
-            if marker in MARKER_MAPPINGS:
-                for _, more_types in MARKER_MAPPINGS[marker].items():
+            if marker in mm:
+                for _, more_types in mm[marker].items():
                     edge["type"] = union_lsv(edge["type"], more_types)
 
         if is_attachable_point(point):

@@ -24,7 +24,11 @@ def preprocess_group_gpml(processor, group: dict) -> dict:
     with the style winning; the style's `type` list unions with any existing;
     scalars only fill when absent. Then resolve Contains."""
     style = group.get("Style", "None")
-    mappings = GROUP_MAPPINGS_BY_STYLE.get(style, {})
+    table = getattr(getattr(processor, "profile", None),
+                    "group_mappings_by_style", None)
+    if table is None:
+        table = GROUP_MAPPINGS_BY_STYLE
+    mappings = table.get(style, {})
     for mapping_key, mapping_value in mappings.items():
         old_value = group.get(mapping_key)
         if isinstance(mapping_value, dict):

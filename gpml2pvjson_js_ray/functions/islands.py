@@ -47,3 +47,68 @@ def split_concatenated_gpml(stream_text: str) -> list[str]:
             continue
         out.append(chunk + "</Pathway>")
     return out
+
+_TAIL_RE = re.compile(r"</Pathway>[\r\n]*")
+
+_HEADER_PROBE = '<?xml version="1.0" encoding="utf-8"?>'
+
+
+def _could_be_header_prefix(s: str) -> bool:
+    """Whether `s` might still grow into an XML header (delimiters span
+    chunk boundaries)."""
+    norm = s[:len(_HEADER_PROBE)].lower().replace("'", '"')
+    return _HEADER_PROBE.startswith(norm)
+
+
+def iter_split_gpml_stream(chunks):
+    """Incremental form of split_concatenated_gpml: consume an iterable of
+    text chunks (arbitrary boundaries — delimiters may span chunks) and
+    yield each GPML document as soon as its closing tag arrives, holding
+    only the unfinished tail in memory. Byte-equivalent to the batch
+    splitter (property-tested across chunkings), mirroring the reference
+    CLI's highland pipeline (bin/gpml2pvjson:61-96): documents before the
+    first XML header are dropped (so nothing is emitted until the first
+    header arrives or the stream ends headerless), later headers are
+    removed wherever they appear, newlines trailing a closing tag are
+    consumed even across removed headers, and the closing tag is
+    re-appended to each split piece — including a trailing fragment at
+    EOF."""
+    buf = ""
+    header_seen = False
+    swallow_nl = False  # inside a delimiter's trailing-newline run
+
+    def strip_headers():
+        nonlocal buf, header_seen
+        while True:
+            m = XML_HEADER_RE.search(buf)
+            if not m:
+                return
+            buf = (buf[:m.start()] + buf[m.end():]) if header_seen \
+                else buf[m.end():]
+            header_seen = True
+
+    for chunk in chunks:
+        buf += chunk
+        strip_headers()
+        if not header_seen:
+            continue  # a future header would drop this prefix — hold it
+        while True:
+            if swallow_nl:
+                buf = buf.lstrip("\r\n")
+                if not buf or _could_be_header_prefix(buf):
+                    break  # more delimiter newlines / a header may follow
+                swallow_nl = False
+            m = _TAIL_RE.search(buf)
+            if not m:
+                break
+            doc = buf[:m.start()]
+            if doc.strip():
+                yield doc + "</Pathway>"
+            buf = buf[m.end():]
+            swallow_nl = True
+            strip_headers()  # a removed header keeps the swallow active
+    if swallow_nl:
+        buf = buf.lstrip("\r\n")
+    for piece in re.split(r"</Pathway>[\r\n]*", buf):
+        if piece.strip():
+            yield piece + "</Pathway>"

@@ -152,13 +152,15 @@ def _defaults_deep(target: dict, defaults: dict) -> dict:
     return target
 
 
-def apply_class_defaults(element: dict, gpml_element_name: str) -> dict:
-    defaults = GPML_DEFAULTS.get(gpml_element_name)
+def apply_class_defaults(element: dict, gpml_element_name: str,
+                         defaults_table: dict | None = None) -> dict:
+    table = GPML_DEFAULTS if defaults_table is None else defaults_table
+    defaults = table.get(gpml_element_name)
     if defaults:
         _defaults_deep(element, defaults)
         if gpml_element_name in ("Interaction", "GraphicalLine"):
             for anchor in element.get("Graphics", {}).get("Anchor", []) or []:
-                _defaults_deep(anchor, GPML_DEFAULTS["Anchor"])
+                _defaults_deep(anchor, table["Anchor"])
     return element
 
 
@@ -186,8 +188,12 @@ class GPMLParseResult:
         self.open_controlled_vocabularies = []
 
 
-def parse_gpml(xml_text: str) -> GPMLParseResult:
-    """Parse one GPML island (string) into per-class element dicts."""
+def parse_gpml(xml_text: str,
+               defaults_table: dict | None = None) -> GPMLParseResult:
+    """Parse one GPML island (string) into per-class element dicts.
+
+    defaults_table overrides the schema profile's XSD attribute defaults
+    (functions/profile.py); None = GPML2013a."""
     root = ET.fromstring(fixup_rdf_id(xml_text))
     if _localname(root.tag) != "Pathway":
         raise ValueError(f"Expected <Pathway> root, got <{_localname(root.tag)}>")
@@ -195,7 +201,7 @@ def parse_gpml(xml_text: str) -> GPMLParseResult:
     res = GPMLParseResult()
     res.pathway = _attrs_to_dict(root)
     res.pathway["_namespace"] = _namespace(root.tag)
-    apply_class_defaults(res.pathway, "Pathway")
+    apply_class_defaults(res.pathway, "Pathway", defaults_table)
 
     for doc_order, child in enumerate(root):
         name = _localname(child.tag)
@@ -204,7 +210,8 @@ def parse_gpml(xml_text: str) -> GPMLParseResult:
         elif name == "Comment":
             res.comments.append(_parse_comment(child))
         elif name in _CLASS_LISTS:
-            el = apply_class_defaults(_parse_generic(child), name)
+            el = apply_class_defaults(_parse_generic(child), name,
+                                      defaults_table)
             # "_"-prefixed keys are private and dropped by the key-mapping
             # engine (Processor.ts:499-506); used to preserve document order
             # across classes for id-generation determinism.

@@ -63,14 +63,28 @@ def _parse_int_hex(s):
 
 class Processor:
     def __init__(self,
-                 key_mappings=KEY_MAPPINGS,
-                 key_value_converters=KEY_VALUE_CONVERTERS,
-                 value_mappings=VALUE_MAPPINGS,
-                 value_converters=VALUE_CONVERTERS):
-        self.key_mappings = key_mappings
-        self.key_value_converters = key_value_converters
-        self.value_mappings = value_mappings
-        self.value_converters = value_converters
+                 key_mappings=None,
+                 key_value_converters=None,
+                 value_mappings=None,
+                 value_converters=None,
+                 profile=None):
+        """Tables default from the ConversionProfile (functions/profile.py;
+        GPML2013a when neither tables nor profile are given) — the
+        reference's pluggable-table constructor (Processor.ts:148-166)."""
+        if profile is None:
+            from .profile import GPML2013A
+            profile = GPML2013A
+        self.profile = profile
+        self.key_mappings = (key_mappings if key_mappings is not None
+                             else profile.key_mappings)
+        self.key_value_converters = (
+            key_value_converters if key_value_converters is not None
+            else profile.key_value_converters)
+        self.value_mappings = (value_mappings if value_mappings is not None
+                               else profile.value_mappings)
+        self.value_converters = (value_converters
+                                 if value_converters is not None
+                                 else profile.value_converters)
 
         self.graph_id_manager = GraphIdManager()
         self.graph_ids_by_graph_ref: dict[str, list] = {}

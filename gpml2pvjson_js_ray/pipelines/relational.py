@@ -92,18 +92,39 @@ GROUP BY l_returnflag, l_linestatus
 
 # -- broadcast join: orders ⋈ customer → revenue per segment ----------------
 
+def _broadcast_kv(ds, key_col: str, val_col: str):
+    """Materialize a SMALL dimension as (keys, values) Arrow arrays and
+    ray.put them ONCE — every join task then reads the pair zero-copy from
+    the object store instead of having a Python dict pickled into each
+    task (the round-1 anti-pattern)."""
+    import ray
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    return ray.put((tbl.column(key_col).combine_chunks(),
+                    tbl.column(val_col).combine_chunks()))
+
+
+def _make_attach(lookup_ref, key_col: str, out_col: str):
+    """Vectorized broadcast-join probe: pc.index_in + take (nulls where
+    the key is absent, like dict.get)."""
+    def attach(b: pa.Table) -> pa.Table:
+        import ray
+        keys, vals = ray.get(lookup_ref)
+        col = b.column(key_col).combine_chunks()
+        if col.type != keys.type:
+            col = col.cast(keys.type)
+        idx = pc.index_in(col, value_set=keys)
+        return b.append_column(out_col, vals.take(idx))
+    return attach
+
+
 def orders_by_segment(sf_dir: str):
     from ray.data.aggregate import Count, Sum
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_by_key = dict(zip(*[customer.to_pandas()[c]
-                            for c in ("c_custkey", "c_mktsegment")]))
+    lookup = _broadcast_kv(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        "c_custkey", "c_mktsegment")
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def attach(b: pa.Table) -> pa.Table:
-        segs = [seg_by_key.get(k) for k in b.column("o_custkey").to_pylist()]
-        return b.append_column("c_mktsegment",
-                               pa.array(segs, type=pa.string()))
-
+    attach = _make_attach(lookup, "o_custkey", "c_mktsegment")
     out = (orders.map_batches(attach, batch_format="pyarrow")
            .groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_orders"),
@@ -127,15 +148,13 @@ def top10_customers(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     spend = orders.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="spend"))
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    name_by_key = dict(zip(*[customer.to_pandas()[c]
-                             for c in ("c_custkey", "c_name")]))
+    lookup = _broadcast_kv(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", "c_name")
+    base_attach = _make_attach(lookup, "o_custkey", "c_name")
 
     def attach(b: pa.Table) -> pa.Table:
-        names = [name_by_key.get(k)
-                 for k in b.column("o_custkey").to_pylist()]
-        b = b.append_column("c_name", pa.array(names, type=pa.string()))
-        return _round_col(b, "spend", 2)
+        return _round_col(base_attach(b), "spend", 2)
 
     return (spend.map_batches(attach, batch_format="pyarrow")
             .sort(["spend", "o_custkey"], descending=[True, False])
@@ -156,18 +175,19 @@ LIMIT 10
 
 def customers_per_region(sf_dir: str):
     from ray.data.aggregate import Count, Mean
+    import ray
+
+    # two-hop dimension collapse on the driver (nation ⋈ region: 25×5
+    # rows), broadcast once as arrow arrays
     nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
-    region_by_nation = {
-        int(n): region.set_index("r_regionkey").loc[int(rk), "r_name"]
-        for n, rk in zip(nation["n_nationkey"], nation["n_regionkey"])}
+    region = _read(sf_dir, "region").to_pandas().set_index("r_regionkey")
+    keys = pa.array(nation["n_nationkey"].astype("int64"))
+    vals = pa.array([region.loc[int(rk), "r_name"]
+                     for rk in nation["n_regionkey"]], type=pa.string())
+    lookup = ray.put((keys, vals))
     customer = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
-    def attach(b: pa.Table) -> pa.Table:
-        names = [region_by_nation.get(k)
-                 for k in b.column("c_nationkey").to_pylist()]
-        return b.append_column("r_name", pa.array(names, type=pa.string()))
-
+    attach = _make_attach(lookup, "c_nationkey", "r_name")
     out = (customer.map_batches(attach, batch_format="pyarrow")
            .groupby("r_name")
            .aggregate(Count(alias_name="n_customers"),

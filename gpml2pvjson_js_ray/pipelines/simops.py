@@ -46,39 +46,108 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.dot(1 << np.arange(n_planes)[::-1]).astype(np.int64)
 
 
-def embeddings_ann_lsh_top10(sf_dir: str):
-    """Top-10 cosine neighbors of vec_id 0 via LSH bucket restriction."""
-    import ray.data as rd
+def _emb_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy-ish extraction of the fixed-width list<float> embedding
+    column: flatten the values buffer and reshape — no Python list
+    round-trip."""
+    ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+    arr = b.column("embedding").combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False)
+    return ids, flat.reshape(len(arr), -1)
+
+
+_ANN_INDEX_ROOT = "/tmp/gpml2pvjson_ann_index"
+
+
+def _ann_index_dir(sf_dir: str, n_planes: int) -> str:
+    import hashlib
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{n_planes}|{_SEED}"
+        .encode()).hexdigest()[:16]
+    return os.path.join(_ANN_INDEX_ROOT, tag)
+
+
+def build_ann_index(sf_dir: str) -> tuple[str, int]:
+    """Build (once; content-addressed cache) the LSH 'inverted file': the
+    embeddings rewritten as parquet hive-partitioned by hyperplane bucket.
+    Queries then read ONLY their probe buckets via partition pruning —
+    the index build is the linear pass, each query is sublinear. At
+    100 TB this layout is exactly an IVF: build amortizes across all
+    subsequent queries."""
+    import shutil
 
     emb = _read_emb(sf_dir, ["vec_id", "embedding"])
     n_vectors = emb.count()
     n_planes = _n_planes(n_vectors)
+    idx_dir = _ann_index_dir(sf_dir, n_planes)
+    if os.path.isdir(idx_dir):
+        return idx_dir, n_planes
+    first = emb.take(1)[0]
+    planes = _planes(len(first["embedding"]), n_planes)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        buckets = _bucket_of(mat / norms[:, None], planes)
+        return b.append_column("bucket",
+                               pa.array(buckets, type=pa.int64()))
+
+    tmp_dir = idx_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    emb.map_batches(add_bucket, batch_format="pyarrow") \
+        .write_parquet(tmp_dir, partition_cols=["bucket"])
+    try:
+        os.rename(tmp_dir, idx_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent builder won
+    return idx_dir, n_planes
+
+
+def embeddings_ann_lsh_top10(sf_dir: str):
+    """Top-10 cosine neighbors of vec_id 0: probe ONLY the query's LSH
+    bucket plus Hamming-1 neighbors of the persisted bucket-partitioned
+    index — similarity is computed for the probed candidates alone, never
+    the full corpus (round-1 version scanned everything and filtered).
+    Partition pruning is explicit: only the probe buckets' directories are
+    even opened."""
+    import ray.data as rd
+
+    idx_dir, n_planes = build_ann_index(sf_dir)
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
     query_row = emb.filter(expr="vec_id == 0").take(1)[0]
     q = np.asarray(query_row["embedding"], dtype=np.float64)
     planes = _planes(q.shape[0], n_planes)
     qn = q / np.linalg.norm(q)
     q_bucket = int(_bucket_of(qn[None, :], planes)[0])
     # multi-probe: exact bucket + Hamming-1 neighbors
-    probe = {q_bucket} | {q_bucket ^ (1 << i) for i in range(n_planes)}
+    probe = sorted({q_bucket} |
+                   {q_bucket ^ (1 << i) for i in range(n_planes)})
 
-    def bucket_and_sim(b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+    import glob
+    probe_dirs = [f for b in probe
+                  for f in sorted(glob.glob(
+                      os.path.join(idx_dir, f"bucket={b}", "*.parquet")))]
+    if not probe_dirs:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}))
+    candidates = rd.read_parquet(probe_dirs)
+
+    def sim(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        buckets = _bucket_of(mat / norms[:, None], planes)
         sims = (mat @ qn) / norms
-        keep = np.array([i != 0 and bkt in probe
-                         for i, bkt in zip(ids, buckets)])
-        if not keep.any():
-            return pa.Table.from_pydict(
-                {"vec_id": pa.array([], type=pa.int64()),
-                 "sim": pa.array([], type=pa.float64())})
+        keep = ids != 0
         return pa.Table.from_pydict({
             "vec_id": pa.array(ids[keep], type=pa.int64()),
             "sim": pa.array(np.round(sims[keep], 6), type=pa.float64())})
 
-    return (emb.map_batches(bucket_and_sim, batch_format="pyarrow")
+    return (candidates.map_batches(sim, batch_format="pyarrow")
             .sort(["sim", "vec_id"], descending=[True, False])
             .limit(10))
 
@@ -98,7 +167,7 @@ def embeddings_near_dups(sf_dir: str, threshold: float = 0.95):
     planes = _planes(len(first["embedding"]), n_planes)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        _, mat = _emb_matrix(b)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         buckets = _bucket_of(mat / norms[:, None], planes)
@@ -129,7 +198,9 @@ def embeddings_label_stats(sf_dir: str):
     emb = _read_emb(sf_dir, ["label", "embedding"])
 
     def norms(b: pa.Table) -> pa.Table:
-        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        arr = b.column("embedding").combine_chunks()
+        mat = (arr.flatten().to_numpy(zero_copy_only=False)
+               .astype(np.float64, copy=False).reshape(len(arr), -1))
         n = np.linalg.norm(mat, axis=1)
         return pa.Table.from_pydict({
             "label": b.column("label"),

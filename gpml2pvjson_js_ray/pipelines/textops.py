@@ -189,22 +189,31 @@ class MinHashBands:
 
 def documents_minhash_dups(sf_dir: str):
     """MinHash→band→bucket-groupby candidate pairs, verified by exact
-    shingle Jaccard. The verify step broadcasts the candidate doc texts
-    (small by construction: only bucket-colliding docs); at 100 TB the same
-    shape holds because candidates ≪ corpus (ray_guide near-dup pattern).
+    shingle Jaccard — fully distributed, nothing materializes on the
+    driver:
+
+      1. band rows → groupby(bucket) → candidate pairs (as before);
+      2. pairs explode into (doc_id, doc_a, doc_b) side rows; a
+         union + groupby(doc_id) joins each side row to its doc text
+         (the canonical Ray-Data repartition join — one shuffle of the
+         text column keyed by doc_id);
+      3. groupby(doc_a, doc_b) brings both sides of a pair together and
+         computes exact shingle Jaccard inside the group (duplicate
+         candidates from multiple colliding bands collapse here for free).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
     import itertools
 
     import pandas as pd
 
+    from ..stages.exchange import hash_rows_mod
+
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(MinHashBands(), batch_format="pyarrow",
                              batch_size=1024)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [int(h[:4], 16) % 16
-                   for h in b.column("band_hash").to_pylist()]
+        buckets = hash_rows_mod(b, ["band_hash"], 16)
         return b.append_column("bucket",
                                pa.array(buckets, type=pa.int32()))
 
@@ -220,49 +229,77 @@ def documents_minhash_dups(sf_dir: str):
         if not out:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"]) \
+            .drop_duplicates()
 
     candidate_pairs = (bands.map_batches(add_bucket, batch_format="pyarrow")
                        .groupby("bucket")
                        .map_groups(pairs, batch_format="pandas"))
-    cand = candidate_pairs.to_pandas()
-    if cand.empty:
-        import ray.data as rd
-        return rd.from_pandas(pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}))
-    cand = cand.drop_duplicates().astype({"doc_a": "int64",
-                                          "doc_b": "int64"})
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
 
-    # verify: fetch shingles for candidate docs only (small side)
-    def shingle_map(batch: pa.Table) -> pa.Table:
-        rows = [(d, t) for d, t in zip(batch.column("doc_id").to_pylist(),
-                                       batch.column("text").to_pylist())
-                if d in needed]
-        return pa.Table.from_pydict({
-            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            "text": pa.array([r[1] for r in rows], type=pa.string())})
+    # ---- distributed text join: explode pair sides, union with docs,
+    # group by doc_id (side rows have text="", the doc row carries it)
+    JOIN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("text", pa.string())])
 
-    texts = {r["doc_id"]: r["text"]
-             for r in docs.map_batches(shingle_map, batch_format="pyarrow")
-             .take_all()}
-    sh = {d: _shingles(t) for d, t in texts.items()}
-    out_rows = []
-    for a, b in cand.itertuples(index=False):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= JACCARD_THRESHOLD:
-            out_rows.append((int(a), int(b), round(j, 4)))
-    import ray.data as rd
-    df = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "jaccard"]) \
-        if out_rows else pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")})
-    return rd.from_pandas(df)
+    def explode_sides(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a")
+        bb = b.column("doc_b")
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
+             pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+             pa.concat_arrays([bb.combine_chunks(), bb.combine_chunks()]),
+             pa.array([""] * (2 * b.num_rows), type=pa.string())],
+            schema=JOIN_SCHEMA)
+
+    def docs_as_join_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        minus = pa.array([-1] * n, type=pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id").cast(pa.int64()).combine_chunks(),
+             minus, minus,
+             b.column("text").cast(pa.string()).combine_chunks()],
+            schema=JOIN_SCHEMA)
+
+    sides = candidate_pairs.map_batches(explode_sides,
+                                        batch_format="pyarrow")
+    doc_rows = docs.map_batches(docs_as_join_rows, batch_format="pyarrow")
+
+    def attach_text(df: "pd.DataFrame") -> "pd.DataFrame":
+        side_rows = df[df["doc_a"] >= 0]
+        if side_rows.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "text": pd.Series([], dtype="object")})
+        texts = df[df["doc_a"] < 0].set_index("doc_id")["text"]
+        out = side_rows[["doc_a", "doc_b", "doc_id"]].copy()
+        out["text"] = side_rows["doc_id"].map(texts).fillna("")
+        return out
+
+    joined = (sides.union(doc_rows).groupby("doc_id")
+              .map_groups(attach_text, batch_format="pandas"))
+
+    def verify_pair(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=False):
+            ta = g[g["doc_id"] == a]["text"]
+            tb = g[g["doc_id"] == b]["text"]
+            sa = _shingles(ta.iloc[0] if len(ta) else "")
+            sb = _shingles(tb.iloc[0] if len(tb) else "")
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= JACCARD_THRESHOLD:
+                rows.append((int(a), int(b), round(j, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+            if rows else pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")})
+
+    return joined.groupby(["doc_a", "doc_b"]).map_groups(
+        verify_pair, batch_format="pandas")
 
 
 # -- n-gram Jaccard (blocked exact) -----------------------------------------

@@ -35,14 +35,36 @@ FEATURES_SCHEMA = pa.schema([
     ("n_bytes", pa.int64()),
     ("content_sha256", pa.string()),
     ("feature", pa.list_(pa.float32())),   # fixed-dim feature vector
+    ("decoder", pa.string()),              # pil | stub (capability-gated)
 ])
 
 FEATURE_DIM = 64
 
 
+def _load_real_decoder():
+    """Capability check: return a real image decoder when an imaging
+    library is importable, else None (→ labeled stub). One attempt per
+    actor, in __init__."""
+    try:
+        import io
+
+        from PIL import Image
+
+        def decode(payload: bytes) -> np.ndarray:
+            img = Image.open(io.BytesIO(payload)).convert("L") \
+                .resize((FEATURE_DIM, FEATURE_DIM))
+            arr = np.asarray(img, dtype=np.float32)
+            # column-mean luminance profile → FEATURE_DIM vector
+            return arr.mean(axis=0) / 255.0
+
+        return decode
+    except ImportError:
+        return None
+
+
 def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
-    """STUB decode. Production: PIL.Image.open(io.BytesIO(payload)).
-    Deterministic fake: a FEATURE_DIM histogram of payload bytes."""
+    """STUB decode (no imaging library in this container). Deterministic
+    fake: a FEATURE_DIM histogram of payload bytes."""
     if strict:
         raise NotImplementedError(
             "image decode requires an imaging library not present in this "
@@ -65,28 +87,44 @@ class MediaFeatureExtractor:
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # stand-in for one-time model load: a fixed projection matrix
+        # one-time per-actor capability check + model load
+        self.real_decode = _load_real_decoder()
+        if strict and self.real_decode is None:
+            raise NotImplementedError(
+                "strict mode requires an imaging library (PIL/cv2)")
         rng = np.random.RandomState(7)
         self.projection = rng.normal(
             size=(FEATURE_DIM, FEATURE_DIM)).astype(np.float32)
+
+    def _decode(self, payload: bytes, kind: str) -> tuple[np.ndarray, str]:
+        if kind == "image" and self.real_decode is not None:
+            try:
+                return self.real_decode(payload), "pil"
+            except Exception:
+                if self.strict:
+                    raise
+                # non-image bytes (or corrupt payload) → labeled stub
+        return _decode_image_stub(payload, False), "stub"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         media_ids = batch.column("media_id").to_pylist()
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        n_bytes, shas, feats = [], [], []
+        n_bytes, shas, feats, decoders = [], [], [], []
         for payload, kind in zip(payloads, kinds):
             payload = payload or b""
             n_bytes.append(len(payload))
             shas.append(hashlib.sha256(payload).hexdigest())
-            raw = _decode_image_stub(payload, self.strict)
+            raw, used = self._decode(payload, kind)
             feats.append((self.projection @ raw).tolist())
+            decoders.append(used)
         return pa.Table.from_pydict({
             "media_id": media_ids,
             "kind": kinds,
             "n_bytes": n_bytes,
             "content_sha256": shas,
             "feature": pa.array(feats, type=pa.list_(pa.float32())),
+            "decoder": decoders,
         }, schema=FEATURES_SCHEMA)
 
 

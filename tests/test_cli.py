@@ -65,3 +65,51 @@ def test_convert_malformed_exits_nonzero():
     out = _run(["convert"], GPML[:150] + "</Pathway>")
     assert out.returncode == 1
     assert "GPML parse failed" in out.stderr
+
+
+def test_convert_chunked_stdin_equals_batch():
+    """Chunked/throttled stdin feed (the reference's chunked-stream test,
+    package.json test:chunkedStream) must produce byte-identical output to
+    a single-write feed — the CLI streams the splitter over stdin chunks,
+    it does not slurp."""
+    stream = GPML + "\r\n" + GPML.replace("t1", "t2") + "\n"
+    whole = _run(["convert"], stream)
+    assert whole.returncode == 0, whole.stderr
+    # same text fed through a pipe in tiny chunks with delays
+    import subprocess
+    import time
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "gpml2pvjson_js_ray", "convert"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd="/root/repo")
+    step = 37  # prime-sized chunks so every delimiter spans a boundary
+    for i in range(0, len(stream), step):
+        proc.stdin.write(stream[i:i + step])
+        proc.stdin.flush()
+        if i % (step * 8) == 0:
+            time.sleep(0.005)
+    stdout, stderr = proc.communicate()
+    assert proc.returncode == 0, stderr
+    assert stdout == whole.stdout
+    assert len(stdout.splitlines()) == 2
+
+
+def test_incremental_splitter_matches_batch():
+    """Property: iter_split_gpml_stream over arbitrary chunkings equals
+    split_concatenated_gpml over the whole text."""
+    from gpml2pvjson_js_ray.functions.islands import (
+        iter_split_gpml_stream, split_concatenated_gpml)
+    g2 = GPML.replace("t1", "t2")
+    cases = [
+        GPML + "\n" + g2,
+        "junk before header " + GPML + "\r\n\r\n" + g2,
+        GPML.split("?>", 1)[1] + "\n" + GPML,   # headerless first doc
+        g2.split("?>", 1)[1],                    # fully headerless stream
+        GPML + "\n<Pathway trailing fragment",
+    ]
+    for text in cases:
+        batch = split_concatenated_gpml(text)
+        for size in (1, 7, 64, 100000):
+            chunks = [text[i:i + size] for i in range(0, len(text), size)]
+            assert list(iter_split_gpml_stream(chunks)) == batch, \
+                (size, text[:60])

@@ -1,0 +1,78 @@
+"""ConversionProfile seam (SURVEY.md §2.11): the schema-version table set
+is a pluggable parameter of conversion, mirroring the reference Processor's
+table constructor (Processor.ts:148-166) and its GPML2013aToPVJSON export
+(index.ts:5). A toy variant profile must change conversion behavior without
+touching converter code; the default must stay GPML2013a."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+
+from gpml2pvjson_js_ray.functions.convert import ConversionError, convert_island
+from gpml2pvjson_js_ray.functions.profile import GPML2013A, ConversionProfile
+
+GPML_TEMPLATE = (
+    '<Pathway xmlns="{ns}" Name="t" Version="1">\n'
+    '<Graphics BoardWidth="100.0" BoardHeight="100.0" />\n'
+    '<DataNode TextLabel="A" GraphId="aaa11" Type="Protein">\n'
+    '<Graphics CenterX="20.0" CenterY="20.0" Width="20.0" Height="10.0" '
+    'ZOrder="32768" FontSize="10" Valign="Middle" />\n'
+    '<Xref Database="Entrez Gene" ID="1" /></DataNode>\n'
+    '<DataNode TextLabel="B" GraphId="bbb22" Type="Protein">\n'
+    '<Graphics CenterX="80.0" CenterY="20.0" Width="20.0" Height="10.0" '
+    'ZOrder="32768" FontSize="10" Valign="Middle" />\n'
+    '<Xref Database="Entrez Gene" ID="2" /></DataNode>\n'
+    '<Interaction GraphId="eee33"><Graphics ZOrder="12288" '
+    'LineThickness="1.0">\n'
+    '<Point X="30.0" Y="20.0" GraphRef="aaa11" RelX="1.0" RelY="0.0" />\n'
+    '<Point X="70.0" Y="20.0" GraphRef="bbb22" RelX="-1.0" RelY="0.0" '
+    'ArrowHead="Arrow" />\n'
+    '</Graphics><Xref Database="" ID="" /></Interaction>\n'
+    '</Pathway>'
+)
+GPML_2013A = GPML_TEMPLATE.format(ns="http://pathvisio.org/GPML/2013a")
+
+
+def test_default_profile_is_2013a():
+    doc = convert_island(GPML_2013A)
+    assert doc["pathway"]["gpmlElementName"] == "Pathway"
+    # Arrow marker enriches the edge type via MarkerMappings
+    assert "Interaction" in doc["entitiesById"]["eee33"]["type"]
+
+
+def test_variant_namespace_profile():
+    """A profile accepting a different namespace converts documents the
+    default profile rejects — the seam a GPML2021 profile would use."""
+    future_ns = "http://pathvisio.org/GPML/2021"
+    gpml = GPML_TEMPLATE.format(ns=future_ns)
+    with pytest.raises(ConversionError, match="Unsupported namespace"):
+        convert_island(gpml)
+    variant = replace(
+        GPML2013A, name="GPML2021-toy",
+        supported_namespaces=GPML2013A.supported_namespaces + (future_ns,))
+    doc = convert_island(gpml, profile=variant)
+    assert set(doc["entitiesById"]) == {"aaa11", "bbb22", "eee33"}
+
+
+def test_variant_marker_table_profile():
+    """Emptying the marker table removes marker-derived type enrichment —
+    output changes purely through the profile's tables."""
+    variant = replace(GPML2013A, name="no-markers", marker_mappings={})
+    base = convert_island(GPML_2013A)
+    out = convert_island(GPML_2013A, profile=variant)
+    assert base["entitiesById"]["eee33"]["markerEnd"] == "Arrow"
+    assert out["entitiesById"]["eee33"]["markerEnd"] == "Arrow"
+    base_types = set(base["entitiesById"]["eee33"]["type"])
+    out_types = set(out["entitiesById"]["eee33"]["type"])
+    assert out_types < base_types  # enrichment gone, identity types remain
+
+
+def test_profile_is_complete_bundle():
+    assert isinstance(GPML2013A, ConversionProfile)
+    for field_name in ("key_mappings", "key_value_converters",
+                      "value_mappings", "value_converters",
+                      "gpml_defaults", "marker_mappings",
+                      "group_mappings_by_style", "supported_namespaces"):
+        assert getattr(GPML2013A, field_name)

@@ -147,6 +147,9 @@ def test_media_features_plumbing(ray_session):
     assert len(df) == 32
     assert df["feature"].map(len).eq(FEATURE_DIM).all()
     assert df["content_sha256"].str.len().eq(64).all()
+    # decoder column reflects the capability check (this container ships
+    # no imaging libs → stub; with PIL installed, image rows say "pil")
+    assert set(df["decoder"]) <= {"pil", "stub"}
 
 
 def test_minhash_finds_near_duplicates(ray_session, tmp_path):
