@@ -78,14 +78,18 @@ def build_ann_index(sf_dir: str) -> tuple[str, int]:
     subsequent queries."""
     import shutil
 
-    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
-    n_vectors = emb.count()
+    import pyarrow.dataset as pads
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    # metadata-only row count (no Ray job) sizes the bucket space
+    n_vectors = pads.dataset(src).count_rows()
     n_planes = _n_planes(n_vectors)
     idx_dir = _ann_index_dir(sf_dir, n_planes)
     if os.path.isdir(idx_dir):
         return idx_dir, n_planes
-    first = emb.take(1)[0]
-    planes = _planes(len(first["embedding"]), n_planes)
+    first = pads.dataset(src).head(1, columns=["embedding"])
+    planes = _planes(len(first.column("embedding")[0]), n_planes)
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
         _, mat = _emb_matrix(b)
@@ -115,10 +119,14 @@ def embeddings_ann_lsh_top10(sf_dir: str):
     even opened."""
     import ray.data as rd
 
+    import pyarrow.dataset as pads
+
     idx_dir, n_planes = build_ann_index(sf_dir)
-    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
-    query_row = emb.filter(expr="vec_id == 0").take(1)[0]
-    q = np.asarray(query_row["embedding"], dtype=np.float64)
+    # query-vector fetch: driver-local predicate-pushdown read (row-group
+    # stats prune), not a distributed scan
+    q_tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(filter=pads.field("vec_id") == 0, columns=["embedding"])
+    q = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
     planes = _planes(q.shape[0], n_planes)
     qn = q / np.linalg.norm(q)
     q_bucket = int(_bucket_of(qn[None, :], planes)[0])

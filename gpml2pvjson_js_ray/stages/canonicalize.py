@@ -16,7 +16,8 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .exchange import auto_num_buckets, hash_rows_mod, shuffle_reduce
+from .exchange import (auto_num_buckets, hash_rows_mod, polars_capped,
+                       shuffle_reduce)
 
 TRIPLE_KEY = ["canonical_subj", "pred", "canonical_obj"]
 
@@ -99,7 +100,7 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     canonical id (subject and object sides both contribute). Vectorized
     polars group_by; literals (classes, citation ids — no xref and not a
     node) are excluded."""
-    import polars as pl
+    pl = polars_capped()
     frames = []
     for side, xref_side, node_side in (
             ("canonical_subj", "subj_xref", "subj_is_node"),
@@ -125,7 +126,7 @@ def _merge_partial_frame(df):
     """Merge partial rows sharing a canonical_id: sorted-capped alias
     union, summed mentions, min first_url (deterministic; SURVEY.md §2.5
     A6). Vectorized polars aggregation."""
-    import polars as pl
+    pl = polars_capped()
     return df.group_by("canonical_id").agg(
         aliases=pl.col("aliases").flatten().drop_nulls()
         .unique().sort().head(MAX_ALIASES),
@@ -137,7 +138,7 @@ def _merge_partial_frame(df):
 def _finalize_entities(df) -> pa.Table:
     """list<string> aliases → aliases_json, vectorized (escape backslash
     and quote, join — identifier strings never carry control chars)."""
-    import polars as pl
+    pl = polars_capped()
     esc = (pl.element()
            .str.replace_all("\\", "\\\\", literal=True)
            .str.replace_all('"', '\\"', literal=True))
@@ -159,7 +160,6 @@ def merge_entity_partials(ds, num_buckets: int = NUM_ENTITY_BUCKETS):
     """Global merge via the Dataset API: hash-partition canonical ids into
     buckets (one map_groups call per bucket, not per id), then the
     vectorized merge inside each bucket."""
-    import polars as pl
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ids = hash_rows_mod(b, ["canonical_id"], num_buckets)
@@ -167,6 +167,9 @@ def merge_entity_partials(ds, num_buckets: int = NUM_ENTITY_BUCKETS):
                                pa.array(ids, type=pa.int32()))
 
     def merge_bucket(t: pa.Table) -> pa.Table:
+        # polars import stays INSIDE the task body: a closure-captured
+        # module would be re-imported at unpickle, before the thread cap
+        pl = polars_capped()
         df = pl.from_arrow(t.drop_columns(["entity_bucket"]))
         return _finalize_entities(_merge_partial_frame(df))
 
@@ -182,15 +185,13 @@ def entity_exchange_spec(out_dir: str, num_buckets: int | None = None,
     second-level combiner; the exchange ships one row per distinct id per
     block, not per mention) and one reduce task per bucket does the final
     vectorized merge + JSON encode."""
-    import polars as pl
-    import pyarrow.parquet as pq
-
     if num_buckets is None:
         num_buckets = auto_num_buckets(multiple=2)
     os.makedirs(out_dir, exist_ok=True)
 
     def map_fn(block: pa.Table) -> pa.Table:
         if input_is_partials:
+            pl = polars_capped()
             t = (_merge_partial_frame(pl.from_arrow(block))
                  .to_arrow().cast(ENTITY_PARTIAL_SCHEMA))
         else:
@@ -199,8 +200,10 @@ def entity_exchange_spec(out_dir: str, num_buckets: int | None = None,
         return t.append_column("bucket", pa.array(ids, type=pa.int64()))
 
     def reduce_fn(t: pa.Table, bucket_id: int) -> int:
+        import pyarrow.parquet as pq
         if t.num_rows == 0:
             return 0
+        pl = polars_capped()
         out = _finalize_entities(_merge_partial_frame(pl.from_arrow(t)))
         pq.write_table(out,
                        os.path.join(out_dir,

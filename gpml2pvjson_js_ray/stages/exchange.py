@@ -54,11 +54,25 @@ def auto_num_buckets(multiple: int = 4, floor: int = 64) -> int:
     return max(floor, multiple * cpus)
 
 
+def polars_capped():
+    """Import polars with its rayon pool capped for worker processes: each
+    Ray worker would otherwise spawn a logical-CPU-sized thread pool
+    (32 threads × dozens of workers thrashes the box; tasks here are
+    already process-parallel). Must run before polars' first import in
+    the process; no-op when polars is already loaded."""
+    import os
+    import sys
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "2")
+    import polars as pl
+    return pl
+
+
 def hash_rows_mod(batch: pa.Table, cols: list[str], mod: int) -> np.ndarray:
     """Vectorized row hash of `cols` modulo `mod` (int64 numpy array).
     Deterministic within a run; bucket layout is internal, so cross-version
     hash stability is not required."""
-    import polars as pl
+    pl = polars_capped()
     h = pl.from_arrow(batch.select(cols)).hash_rows(seed=0)
     return (h % mod).cast(pl.Int64).to_numpy()
 
@@ -75,11 +89,26 @@ def _split_table(t: pa.Table, buckets: np.ndarray, num_buckets: int):
             for i in range(num_buckets)]
 
 
+def _cap_worker_threads() -> None:
+    """Raw Ray tasks run in plain worker processes where Arrow's default
+    thread pools are logical-CPU-sized; with dozens of 1-CPU tasks in
+    flight that multiplies into thousands of threads. Cap per process
+    (idempotent, cheap)."""
+    try:
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(2)
+        if pa.io_thread_count() > 4:
+            pa.set_io_thread_count(4)
+    except Exception:
+        pass
+
+
 def _split_multi(block, map_fns, bucket_counts):
     """Split task: runs every spec's map_fn (combiner + bucket assignment)
     on one upstream block and returns spec-0's bucket slices, then
     spec-1's, ... (num_returns = sum(bucket_counts)). Blocks may arrive as
     pandas (e.g. from_pandas datasets) — normalized to Arrow."""
+    _cap_worker_threads()
     if not isinstance(block, pa.Table):
         block = pa.Table.from_pandas(block, preserve_index=False)
     outs: list = []
@@ -100,6 +129,7 @@ def _split_files(paths: list[str], map_fns, bucket_counts):
 
 
 def _reduce_bucket(reduce_fn, bucket_id: int, *parts: pa.Table):
+    _cap_worker_threads()
     tables = [p for p in parts if p.num_rows > 0]
     combined = (pa.concat_tables(tables) if tables else parts[0])
     return reduce_fn(combined, bucket_id)
