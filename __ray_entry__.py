@@ -46,6 +46,27 @@ def _kg_text_invariant(sf_dir: str):
     return kg.text_invariant_dataset(path).drop_columns(["text_extracted"])
 
 
+def _kg_pipeline_output(which: str):
+    """Full resumable pipeline run (phase-1 outputs cached via the
+    manifest across calls), returning a phase-2 output table: the
+    subject-bucketed adjacency layout or the canonical entity table."""
+    def q(sf_dir: str):
+        import os
+
+        import ray.data as rd
+        from gpml2pvjson_js_ray.pipelines import kg
+        path = kg.pages_path_for_sf(sf_dir)
+        out = f"/tmp/gpml2pvjson_kgq_{os.path.basename(path)}"
+        kg.run_kg_pipeline(path, out)
+        sub = os.path.join(out, which)
+        files = []
+        for root, _dirs, names in os.walk(sub):
+            files += [os.path.join(root, n) for n in names
+                      if n.endswith(".parquet")]
+        return rd.read_parquet(sorted(files))
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -76,15 +97,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
         "embeddings_near_dups": simops.embeddings_near_dups,
         "embeddings_label_stats": simops.embeddings_label_stats,
-        # multimodal plumbing (stubbed decode kernels; rows-only)
+        # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_features"]).media_features(64),
+        "media_resize": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_resize"]).media_resize(64),
+        "media_frames": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_frames"]).media_frames(64),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_linked_triples": _kg_query("linked_triples_from_pages"),
         "kg_deduped_triples": _kg_query("deduped_triples_from_pages"),
         "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),
+        "kg_adjacency": _kg_pipeline_output("adjacency"),
+        "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }
 

@@ -121,11 +121,16 @@ def run_scaling() -> dict:
     symmetrically instead of biasing whichever ran second."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_TRIALS="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # best-of-2 inside each process too: the first headline run in a
+        # fresh process carries page-cache/pool warmup noise
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_TRIALS="2")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"bench subprocess (num_cpus={ncpu}) failed:\n"
+                + proc.stderr[-4000:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # N vs 4N CPUs = 6 vs 24, NOT 8 vs 32: a pure-CPU ladder on this host
     # (BASELINE.md) shows per-process throughput flat through 16-24 procs

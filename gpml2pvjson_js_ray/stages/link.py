@@ -86,7 +86,10 @@ class XrefLinker:
         from ..sources.xrefs import (IRI, UNKNOWN_PREFIX, XrefIndex,
                                      _hash64, link_xref)
         cache = self._cache
-        missing = [x for x in uniq if x not in cache]
+        # resolve via a LOCAL map: the memo-cap clear below must never
+        # drop keys this batch already looked up (regression-tested)
+        resolved = {x: cache[x] for x in uniq if x in cache}
+        missing = [x for x in uniq if x not in resolved]
         if missing:
             if len(cache) + len(missing) > _MEMO_CAP:
                 cache.clear()
@@ -105,11 +108,11 @@ class XrefLinker:
                         v = IRI["wikidata"] + x.split(":", 1)[1]
                     else:
                         v = UNKNOWN_PREFIX + x
-                    cache[x] = v
+                    resolved[x] = cache[x] = v
             else:
                 for x in missing:
-                    cache[x] = link_xref(x, self.xrefs)
-        return [cache[x] for x in uniq]
+                    resolved[x] = cache[x] = link_xref(x, self.xrefs)
+        return [resolved[x] for x in uniq]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

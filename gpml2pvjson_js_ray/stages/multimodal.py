@@ -154,3 +154,121 @@ def media_features(n_rows: int = 64):
                           fn_constructor_kwargs={"strict": False},
                           batch_format="pyarrow", batch_size=32,
                           concurrency=2, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages (same actor-pool pattern as featurize)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),
+    ("payload", pa.large_binary()),   # resized encoded bytes
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("decoder", pa.string()),
+])
+
+FRAMES_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("frame_index", pa.int32()),
+    ("frame_ts_ms", pa.int32()),
+    ("frame", pa.large_binary()),     # one encoded frame per row
+    ("decoder", pa.string()),
+])
+
+
+class MediaResizer:
+    """Actor-pool stage: image resize to a fixed target. Real PIL path when
+    an imaging library exists; otherwise a labeled deterministic stub that
+    preserves the plumbing (payload truncation/padding to a size-dependent
+    length). Small batches: payloads are multi-MB."""
+
+    def __init__(self, target: int = 256, strict: bool = False):
+        self.target = target
+        self.strict = strict
+        self.real_decode = _load_real_decoder()
+        if strict and self.real_decode is None:
+            raise NotImplementedError(
+                "strict mode requires an imaging library (PIL/cv2)")
+
+    def _resize(self, payload: bytes, kind: str) -> tuple[bytes, str]:
+        if kind == "image" and self.real_decode is not None:
+            try:
+                import io
+
+                from PIL import Image
+                img = Image.open(io.BytesIO(payload))
+                img = img.resize((self.target, self.target))
+                out = io.BytesIO()
+                img.save(out, format="PNG")
+                return out.getvalue(), "pil"
+            except Exception:
+                if self.strict:
+                    raise
+        # STUB: deterministic size-normalized payload (hash-keyed repeat)
+        n = self.target * self.target // 64
+        rep = hashlib.sha256(payload).digest()
+        return (rep * (n // len(rep) + 1))[:n], "stub"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in RESIZED_SCHEMA.names}
+        for mid, kind, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("payload").to_pylist()):
+            resized, used = self._resize(payload or b"", kind)
+            out["media_id"].append(mid)
+            out["kind"].append(kind)
+            out["payload"].append(resized)
+            out["width"].append(self.target)
+            out["height"].append(self.target)
+            out["decoder"].append(used)
+        return pa.Table.from_pydict(out, schema=RESIZED_SCHEMA)
+
+
+class FrameSampler:
+    """Actor-pool stage: sample N frames per video payload (flat_map shape:
+    one input row → N frame rows). Video decoding needs codecs absent from
+    this container, so frame extraction is a clearly-labeled deterministic
+    stub (byte-range slices standing in for decoded frames); the Ray-side
+    plumbing — 1→N row fan-out, per-frame timestamps, binary frame
+    payloads, small batches — is real and tested."""
+
+    def __init__(self, n_frames: int = 4, fps: float = 1.0):
+        self.n_frames = n_frames
+        self.frame_interval_ms = int(1000 / fps)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in FRAMES_SCHEMA.names}
+        for mid, kind, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "video":
+                continue
+            payload = payload or b""
+            step = max(1, len(payload) // self.n_frames)
+            for i in range(self.n_frames):
+                out["media_id"].append(mid)
+                out["frame_index"].append(i)
+                out["frame_ts_ms"].append(i * self.frame_interval_ms)
+                out["frame"].append(payload[i * step:(i + 1) * step])
+                out["decoder"].append("stub")
+        return pa.Table.from_pydict(out, schema=FRAMES_SCHEMA)
+
+
+def media_resize(n_rows: int = 64, target: int = 256):
+    ds = synth_media_dataset(n_rows)
+    return ds.map_batches(MediaResizer,
+                          fn_constructor_kwargs={"target": target},
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=2, num_cpus=1)
+
+
+def media_frames(n_rows: int = 64, n_frames: int = 4):
+    ds = synth_media_dataset(n_rows)
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_kwargs={"n_frames": n_frames},
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=2, num_cpus=1)

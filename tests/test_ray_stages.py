@@ -246,3 +246,41 @@ def test_ann_lsh_recall_vs_brute_force(ray_session):
     a = ann.set_index("vec_id")["sim"]
     for vid in overlap:
         assert abs(a[vid] - b[vid]) < 1e-9
+
+
+def test_media_resize_plumbing(ray_session):
+    from gpml2pvjson_js_ray.stages.multimodal import media_resize
+    df = media_resize(24, target=128).to_pandas()
+    assert len(df) == 24
+    assert (df["width"] == 128).all() and (df["height"] == 128).all()
+    assert df["payload"].map(len).gt(0).all()
+    assert set(df["decoder"]) <= {"pil", "stub"}
+
+
+def test_media_frame_sampling_plumbing(ray_session):
+    from gpml2pvjson_js_ray.stages.multimodal import media_frames
+    df = media_frames(24, n_frames=4).to_pandas()
+    # only the video third of the synthetic table fans out, 4 frames each
+    assert len(df) == (24 // 3) * 4
+    assert set(df["frame_index"]) == {0, 1, 2, 3}
+    assert (df.groupby("media_id")["frame_ts_ms"].max() == 3000).all()
+    assert df["frame"].map(len).gt(0).all()
+
+
+def test_linker_memo_cap_does_not_drop_batch_keys():
+    """Regression: when the bounded xref memo overflows mid-batch, keys
+    already resolved from the cache must survive (a cache.clear() that
+    dropped them crashed 6-CPU sf0.1 benches with KeyError)."""
+    import gpml2pvjson_js_ray.stages.link as link_mod
+    from gpml2pvjson_js_ray.stages.link import XrefLinker
+
+    linker = XrefLinker({"A:1": "iri:a1"})
+    old_cap = link_mod._MEMO_CAP
+    link_mod._MEMO_CAP = 2
+    try:
+        assert linker._resolve_xrefs(["A:1"]) == ["iri:a1"]
+        # cache holds A:1; resolving 2 new keys + the cached one overflows
+        out = linker._resolve_xrefs(["A:1", "B:2", "C:3"])
+        assert out == ["iri:a1", "unknown:B:2", "unknown:C:3"]
+    finally:
+        link_mod._MEMO_CAP = old_cap
