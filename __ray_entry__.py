@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": rel.events_sessionize,
         "documents_exact_dedup": rel.documents_exact_dedup,
         "documents_token_stats": rel.documents_token_stats,
+        "documents_token_stats_bpe": rel.documents_token_stats_bpe,
         "documents_lang_counts": rel.documents_lang_counts,
         "embeddings_cosine_top10": rel.embeddings_cosine_top10,
         # text analysis / dedup sketches over documents
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": rel.SQL_EVENTS_SESSIONIZE,
         "documents_exact_dedup": rel.SQL_DOCUMENTS_EXACT_DEDUP,
         "documents_token_stats": rel.SQL_DOCUMENTS_TOKEN_STATS,
+        "documents_token_stats_bpe": rel.SQL_DOCUMENTS_TOKEN_STATS_BPE,
         "documents_lang_counts": rel.SQL_DOCUMENTS_LANG_COUNTS,
         "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,

@@ -431,6 +431,49 @@ FROM documents
 """
 
 
+# -- BPE-ish token counting -------------------------------------------------
+
+# GPT-2-style pre-tokenizer shape, ASCII-simplified so Python's re, polars'
+# rust regex and DuckDB's RE2 agree exactly: a token is an optional leading
+# space followed by a letter run, digit run, or symbol run. Whitespace-only
+# runs are not tokens.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def documents_token_stats_bpe(sf_dir: str):
+    """Token counting with a BPE-ish regex (subword-tokenizer pre-split),
+    complementing the whitespace counter above. Vectorized:
+    polars str.count_matches, no per-row Python."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = pl.from_arrow(b)
+        out = df.select(
+            pl.col("doc_id"),
+            n_tokens_bpe=pl.col("text").str.count_matches(
+                BPE_TOKEN_PATTERN).cast(pl.Int64),
+            n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()),
+            ("n_tokens_bpe", pa.int64()),
+            ("n_chars", pa.int64())]))
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_DOCUMENTS_TOKEN_STATS_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+           AS n_tokens_bpe,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
 # -- language distribution --------------------------------------------------
 
 def documents_lang_counts(sf_dir: str):
