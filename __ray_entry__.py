@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_simhash": textops.documents_simhash,
         # similarity search over embeddings
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
+        "embeddings_ann_ivf_top10": simops.embeddings_ann_ivf_top10,
         "embeddings_near_dups": simops.embeddings_near_dups,
         "embeddings_label_stats": simops.embeddings_label_stats,
         # multimodal plumbing (capability-gated decode kernels; rows-only)

@@ -1,11 +1,17 @@
 """Similarity search over the `embeddings` table (list<float> column).
 
-- Brute-force cosine top-k lives in relational.py (SQL-verifiable).
-- embeddings_ann_lsh_top10: random-hyperplane LSH bucketing — the scale
-  path: hash once per vector (map_batches, vectorized matmul), co-locate by
-  bucket, search only the query's bucket (multi-probe fallback widens to
-  Hamming-1 buckets when the bucket is thin). Approximate by design →
-  rows-only driver check; pytest asserts recall vs brute force.
+- Brute-force cosine top-k lives in relational.py (SQL-verifiable): the
+  exactness baseline.
+- embeddings_ann_lsh_top10: random-hyperplane LSH over a PERSISTED
+  bucket-partitioned index — queries read only the probe buckets
+  (multi-probe widens to Hamming-1). Data-independent hashing.
+- embeddings_ann_ivf_top10: spherical-k-means IVF (inverted file) —
+  coarse quantizer trained on a bounded sample, lists partitioned by
+  nearest centroid, queries probe the nprobe nearest lists. Adapts to
+  the data distribution.
+  Both ANN paths are approximate by design → rows-only driver check;
+  pytest asserts recall + sim-exactness vs brute force.
+- embeddings_near_dups: bucket-co-located exact pairwise cosine.
 - embeddings_label_stats: per-label count/norm stats (SQL-verified).
 """
 
@@ -232,3 +238,126 @@ SELECT label, count(*) AS n_vectors,
            CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
 FROM embeddings GROUP BY label
 """
+
+
+# -- IVF (k-means inverted file) ANN ---------------------------------------
+
+def _kmeans_spherical(sample: np.ndarray, k: int, iters: int = 10,
+                      seed: int = _SEED) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: centroids
+    live on the unit sphere, assignment = max dot product. Small and
+    numpy-only — the sample is bounded, never the corpus."""
+    rng = np.random.RandomState(seed)
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    unit = sample / norms[:, None]
+    centroids = unit[rng.choice(len(unit), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        for c in range(k):
+            members = unit[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def _ivf_index_dir(sf_dir: str, k: int) -> str:
+    import hashlib
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"ivf|{os.path.abspath(src)}|{os.path.getmtime(src)}|{k}|{_SEED}"
+        .encode()).hexdigest()[:16]
+    return os.path.join(_ANN_INDEX_ROOT, tag)
+
+
+def build_ivf_index(sf_dir: str,
+                    sample_rows: int = 8192) -> tuple[str, np.ndarray]:
+    """IVF build (once; content-addressed cache): train a spherical
+    k-means coarse quantizer on a bounded sample, then rewrite the
+    embeddings hive-partitioned by nearest-centroid id. Queries probe the
+    nprobe nearest centroids' partitions only — the classic inverted-file
+    ANN layout, complementary to the hyperplane-LSH index above (IVF
+    adapts to the data distribution; LSH is data-independent)."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n_vectors = pads.dataset(src).count_rows()
+    # ~sqrt(N) centroids, floor 8: buckets ≈ sqrt keeps both the probe
+    # cost and the per-list length sublinear
+    k = max(8, int(np.sqrt(n_vectors)))
+    idx_dir = _ivf_index_dir(sf_dir, k)
+
+    sample_tbl = pads.dataset(src).head(min(sample_rows, n_vectors),
+                                        columns=["embedding"])
+    arr = sample_tbl.column("embedding").combine_chunks()
+    sample = (arr.flatten().to_numpy(zero_copy_only=False)
+              .astype(np.float64, copy=False).reshape(len(arr), -1))
+    centroids = _kmeans_spherical(sample, k)
+    if os.path.isdir(idx_dir):
+        return idx_dir, centroids
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        lists = np.argmax((mat / norms[:, None]) @ centroids.T, axis=1)
+        return b.append_column("ivf_list",
+                               pa.array(lists, type=pa.int64()))
+
+    tmp_dir = idx_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    emb.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(tmp_dir, partition_cols=["ivf_list"])
+    try:
+        os.rename(tmp_dir, idx_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return idx_dir, centroids
+
+
+def embeddings_ann_ivf_top10(sf_dir: str, nprobe: int = 4):
+    """Top-10 cosine neighbors of vec_id 0 via the IVF index: score the
+    query against the coarse centroids, read ONLY the nprobe nearest
+    lists' partitions, exact cosine within them."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    idx_dir, centroids = build_ivf_index(sf_dir)
+    q_tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(filter=pads.field("vec_id") == 0, columns=["embedding"])
+    q = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ qn))[:nprobe]
+
+    files = [f for c in probe
+             for f in sorted(glob.glob(
+                 os.path.join(idx_dir, f"ivf_list={int(c)}", "*.parquet")))]
+    if not files:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}))
+    candidates = rd.read_parquet(files)
+
+    def sim(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
+        keep = ids != 0
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep], type=pa.int64()),
+            "sim": pa.array(np.round(sims[keep], 6), type=pa.float64())})
+
+    return (candidates.map_batches(sim, batch_format="pyarrow")
+            .sort(["sim", "vec_id"], descending=[True, False])
+            .limit(10))

@@ -284,3 +284,20 @@ def test_linker_memo_cap_does_not_drop_batch_keys():
         assert out == ["iri:a1", "unknown:B:2", "unknown:C:3"]
     finally:
         link_mod._MEMO_CAP = old_cap
+
+
+def test_ann_ivf_recall_vs_brute_force(ray_session):
+    from gpml2pvjson_js_ray.pipelines.relational import \
+        embeddings_cosine_top10
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_ann_ivf_top10
+    sf = "/root/testdata/sf0.001"
+    brute = embeddings_cosine_top10(sf).to_pandas()
+    ann = embeddings_ann_ivf_top10(sf, nprobe=6).to_pandas()
+    overlap = set(brute["vec_id"]) & set(ann["vec_id"])
+    # uniform-random embeddings are ANN's worst case; require non-trivial
+    # recall and exact sims for whatever the probe set returns
+    assert len(overlap) >= 3, f"IVF recall too low: {len(overlap)}/10"
+    b = brute.set_index("vec_id")["sim"]
+    a = ann.set_index("vec_id")["sim"]
+    for vid in overlap:
+        assert abs(a[vid] - b[vid]) < 1e-9
