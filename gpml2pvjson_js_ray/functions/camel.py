@@ -9,6 +9,7 @@ boundaries; letters/digits boundaries split words)."""
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # ASCII-ish word splitter modeled on lodash's unicodeWords for the simple
 # cases GPML keys use: runs of upper, Capitalized runs, lower runs, digit runs.
@@ -24,6 +25,7 @@ def words(s: str):
     return _WORD_RE.findall(s or "")
 
 
+@lru_cache(maxsize=4096)
 def camel_case(s: str) -> str:
     ws = words(s)
     if not ws:
@@ -33,9 +35,11 @@ def camel_case(s: str) -> str:
     return head + "".join(rest)
 
 
+@lru_cache(maxsize=4096)
 def kebab_case(s: str) -> str:
     return "-".join(w.lower() for w in words(s))
 
 
+@lru_cache(maxsize=4096)
 def start_case(s: str) -> str:
     return " ".join(w[:1].upper() + w[1:] for w in words(s))

@@ -301,3 +301,33 @@ def test_ann_ivf_recall_vs_brute_force(ray_session):
     a = ann.set_index("vec_id")["sim"]
     for vid in overlap:
         assert abs(a[vid] - b[vid]) < 1e-9
+
+
+def test_mid_run_crash_recovery(ray_session, pages_dir, tmp_path):
+    """Simulate a crash mid-partition: the manifest entry is missing and
+    the partition's outputs are half-written garbage. Resume must rerun
+    exactly that partition (clearing the debris) and reproduce identical
+    phase-2 outputs."""
+    import glob
+
+    from gpml2pvjson_js_ray.pipelines.kg import run_kg_pipeline
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+    multi = str(tmp_path / "pages")
+    write_pages_parquet(multi, 96, rows_per_file=32)  # 3 shards
+    out = str(tmp_path / "kg")
+    stats1 = run_kg_pipeline(multi, out, files_per_partition=1)
+    assert stats1["partitions_total"] >= 2
+
+    # "crash" partition 00001: drop its manifest entry, corrupt outputs
+    os.remove(os.path.join(out, "_manifest", "partition-00001.json"))
+    tdir = os.path.join(out, "triples", "part_id=00001")
+    for f in glob.glob(os.path.join(tdir, "*.parquet")):
+        os.remove(f)
+    with open(os.path.join(tdir, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+
+    stats2 = run_kg_pipeline(multi, out, files_per_partition=1)
+    assert stats2["partitions_skipped"] == stats2["partitions_total"] - 1
+    assert stats2["triples_deduped"] == stats1["triples_deduped"]
+    assert stats2["entities"] == stats1["entities"]
+    assert not os.path.exists(os.path.join(tdir, "garbage.parquet"))
