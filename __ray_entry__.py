@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_minhash_dups": textops.documents_minhash_dups,
         "documents_ngram_jaccard": textops.documents_ngram_jaccard,
         "documents_simhash": textops.documents_simhash,
+        "documents_simhash_dups": textops.documents_simhash_dups,
         # similarity search over embeddings
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
         "embeddings_ann_ivf_top10": simops.embeddings_ann_ivf_top10,

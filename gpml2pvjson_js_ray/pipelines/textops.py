@@ -372,3 +372,76 @@ def documents_simhash(sf_dir: str):
             "simhash": pa.array(vals, type=pa.string())})
 
     return docs.map_batches(sh, batch_format="pyarrow", batch_size=1024)
+
+
+def documents_simhash_dups(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-duplicate PAIRS via Hamming-ball banding (Manku et al.
+    pigeonhole: split the 64-bit fingerprint into max_hamming+1 bands —
+    any pair within Hamming distance max_hamming shares at least one
+    identical band). Candidates co-locate via groupby on the band value;
+    the exact popcount verify runs inside the group; duplicate candidates
+    from multiple matching bands collapse in a final pair-key groupby.
+    Fully distributed — nothing materializes on the driver.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    import itertools
+
+    import pandas as pd
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_vals, hashes = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            h = _simhash64((text or "").lower().split())
+            for b in range(n_bands):
+                band_ids.append(b)
+                band_vals.append((h >> (b * band_bits))
+                                 & ((1 << band_bits) - 1))
+                doc_ids.append(doc_id)
+                hashes.append(h)
+        return pa.Table.from_pydict({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_val": pa.array(band_vals, type=pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "simhash": pa.array([v - (1 << 64) if v >= (1 << 63) else v
+                                 for v in hashes], type=pa.int64()),
+        })
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        dup = df[df.duplicated(["band_id", "band_val"], keep=False)]
+        for _, g in dup.groupby(["band_id", "band_val"], sort=False):
+            uniq = g.drop_duplicates("doc_id")[["doc_id", "simhash"]]
+            for (a, ha), (b, hb) in itertools.combinations(
+                    uniq.itertuples(index=False), 2):
+                d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+                    rows.append((lo, hi, d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) \
+            if rows else pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")})
+
+    def first(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    from ..stages.exchange import hash_rows_mod
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["band_id", "band_val"], 32)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    cand = (docs.map_batches(bands, batch_format="pyarrow",
+                             batch_size=1024)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        first, batch_format="pandas")

@@ -331,3 +331,28 @@ def test_mid_run_crash_recovery(ray_session, pages_dir, tmp_path):
     assert stats2["triples_deduped"] == stats1["triples_deduped"]
     assert stats2["entities"] == stats1["entities"]
     assert not os.path.exists(os.path.join(tdir, "garbage.parquet"))
+
+
+def test_simhash_dups_finds_planted_pair(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = " ".join(f"word{i}" for i in range(120))
+    near = base.replace("word57", "changed")  # one token differs
+    others = [" ".join(f"u{i}x{j}" for j in range(60)) for i in range(8)]
+    table = pa.table({
+        "doc_id": list(range(10)),
+        "text": [base, near] + others,
+        "lang": ["en"] * 10,
+        "source": ["t"] * 10,
+        "n_chars": [len(t) for t in [base, near] + others],
+    })
+    d = tmp_path / "sh"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.textops import documents_simhash_dups
+    pairs = documents_simhash_dups(str(d), max_hamming=8).to_pandas()
+    hit = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert len(hit) == 1, pairs
+    assert hit["hamming"].iloc[0] <= 8
+    # unrelated docs don't pair with the planted ones
+    assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] > 1)).any()
