@@ -26,7 +26,20 @@ ISLANDS_SCHEMA = pa.schema([
 def extract_islands_batch(batch: pa.Table) -> pa.Table:
     """pages(url, warc_ts, html, ...) → island rows (explode: one page may
     yield 0..N islands). The sha256 doc id matches the reference CLI's
-    fallback id over the exact island bytes (bin/gpml2pvjson:99-113)."""
+    fallback id over the exact island bytes (bin/gpml2pvjson:99-113).
+
+    An Arrow-kernel substring prefilter drops pages that cannot contain an
+    island before any Python-side work: on a real web crawl the vast
+    majority of pages have no GPML at all, and this keeps them entirely in
+    the vectorized path."""
+    import pyarrow.compute as pc
+    try:
+        # match_substring accepts string AND binary columns
+        batch = batch.filter(
+            pc.match_substring(batch.column("html"), "<Pathway"))
+    except pa.ArrowNotImplementedError:
+        pass  # unexpected column type: per-row path below still correct
+
     urls, tss, idxs, doc_ids, islands = [], [], [], [], []
     url_col = batch.column("url").to_pylist()
     ts_col = batch.column("warc_ts").to_pylist()
