@@ -125,7 +125,9 @@ def adjacency_exchange_spec(out_dir: str, num_buckets: int | None = None,
         return t.num_rows
 
     return {"num_buckets": num_buckets, "map_fn": map_fn,
-            "reduce_fn": reduce_fn}
+            "reduce_fn": reduce_fn,
+            # associative partial: fold bucket slices while streaming
+            "combine_fn": dedup_triples_within_batch}
 
 
 def write_adjacency_deduped(linked_ds, out_dir: str,

@@ -211,8 +211,14 @@ def entity_exchange_spec(out_dir: str, num_buckets: int | None = None,
                        compression="zstd")
         return out.num_rows
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # associative partial merge: fold bucket slices while streaming
+        pl = polars_capped()
+        return (_merge_partial_frame(pl.from_arrow(t))
+                .to_arrow().cast(ENTITY_PARTIAL_SCHEMA))
+
     return {"num_buckets": num_buckets, "map_fn": map_fn,
-            "reduce_fn": reduce_fn}
+            "reduce_fn": reduce_fn, "combine_fn": combine_fn}
 
 
 def merge_entity_partials_fs(ds, out_dir: str,

@@ -135,13 +135,32 @@ def _reduce_bucket(reduce_fn, bucket_id: int, *parts: pa.Table):
     return reduce_fn(combined, bucket_id)
 
 
+def _combine_parts(combine_fn, *parts: pa.Table) -> pa.Table:
+    """Associative partial reduce of one bucket's accumulated slices
+    (dedup/merge shrink as they go; the final reduce then touches a
+    fraction of the slices)."""
+    _cap_worker_threads()
+    tables = [p for p in parts if p.num_rows > 0]
+    if not tables:
+        return parts[0]
+    return combine_fn(pa.concat_tables(tables))
+
+
+_COMBINE_FANIN = 16  # partial-combine a bucket once this many slices pile up
+
+
 class StreamingExchange:
     """Multi-spec object-store exchange with a streaming map side.
 
-    specs: list of {"num_buckets", "map_fn", "reduce_fn"} — see module
-    docstring. Feed inputs with add_dataset / add_files (thread-safe; the
-    kg pipeline calls add_dataset from concurrent partition threads), then
-    call finish() once to run the reduces and collect per-spec results.
+    specs: list of {"num_buckets", "map_fn", "reduce_fn"} and optionally
+    "combine_fn" — see module docstring. A combine_fn (an ASSOCIATIVE
+    partial reduce: pa.Table -> pa.Table, e.g. within-batch dedup or
+    partial merge) lets the exchange fold each bucket's slices
+    incrementally WHILE the map side still streams, so the post-barrier
+    reduce tail only touches ~1/_COMBINE_FANIN of the slices. Feed inputs
+    with add_dataset / add_files (thread-safe; the kg pipeline calls
+    add_dataset from concurrent partition threads), then call finish()
+    once to run the reduces and collect per-spec results.
     """
 
     def __init__(self, specs: list[dict]):
@@ -153,8 +172,14 @@ class StreamingExchange:
                                        num_returns=total)(_split_multi)
         self._split_files = ray.remote(num_cpus=1,
                                        num_returns=total)(_split_files)
+        self._combine = ray.remote(num_cpus=1)(_combine_parts)
         self._map_fns_ref = ray.put([s["map_fn"] for s in specs])
-        self._part_refs: list[list[list]] = [[] for _ in specs]
+        self._combine_refs = [
+            ray.put(s["combine_fn"]) if s.get("combine_fn") else None
+            for s in specs]
+        # per spec, per bucket: list of pending slice refs
+        self._bucket_refs: list[list[list]] = [
+            [[] for _ in range(nb)] for nb in self._bucket_counts]
         self._lock = threading.Lock()
         # (bundle, probe_ref) pairs: bundle refs are held only until their
         # split task has consumed the block, then released — the exchange
@@ -165,7 +190,15 @@ class StreamingExchange:
         refs = refs if isinstance(refs, list) else [refs]
         offset = 0
         for i, nb in enumerate(self._bucket_counts):
-            self._part_refs[i].append(refs[offset:offset + nb])
+            for b in range(nb):
+                slot = self._bucket_refs[i][b]
+                slot.append(refs[offset + b])
+                if (self._combine_refs[i] is not None
+                        and len(slot) >= _COMBINE_FANIN):
+                    folded = self._combine.remote(
+                        self._combine_refs[i], *slot)
+                    slot.clear()
+                    slot.append(folded)
             offset += nb
 
     def _prune_pending(self) -> None:
@@ -215,18 +248,18 @@ class StreamingExchange:
 
     def finish(self) -> list[list]:
         """Submit one reduce per bucket per spec (each needs every split's
-        slice for that bucket) and return per-spec reduce results."""
+        slice for that bucket — by now mostly pre-folded partials) and
+        return per-spec reduce results."""
         import ray
         reduce = ray.remote(num_cpus=1)(_reduce_bucket)
         futures_per_spec = []
         for i, spec in enumerate(self.specs):
-            if not self._part_refs[i]:
+            if not any(self._bucket_refs[i]):
                 futures_per_spec.append([])
                 continue
             reduce_fn_ref = ray.put(spec["reduce_fn"])
             futures_per_spec.append([
-                reduce.remote(reduce_fn_ref, b,
-                              *[p[b] for p in self._part_refs[i]])
+                reduce.remote(reduce_fn_ref, b, *self._bucket_refs[i][b])
                 for b in range(spec["num_buckets"])])
         results = [ray.get(futs) if futs else []
                    for futs in futures_per_spec]
@@ -251,8 +284,10 @@ def shuffle_reduce_files(files: list[str], specs: list[dict],
 
 def shuffle_reduce(ds, *, num_buckets: int,
                    map_fn: Callable[[pa.Table], pa.Table],
-                   reduce_fn: Callable[[pa.Table, int], object]) -> list:
+                   reduce_fn: Callable[[pa.Table, int], object],
+                   combine_fn: Callable[[pa.Table], pa.Table] | None = None
+                   ) -> list:
     """Single-exchange convenience wrapper."""
     return shuffle_reduce_multi(
         ds, [{"num_buckets": num_buckets, "map_fn": map_fn,
-              "reduce_fn": reduce_fn}])[0]
+              "reduce_fn": reduce_fn, "combine_fn": combine_fn}])[0]

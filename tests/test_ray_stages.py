@@ -356,3 +356,28 @@ def test_simhash_dups_finds_planted_pair(ray_session, tmp_path):
     assert hit["hamming"].iloc[0] <= 8
     # unrelated docs don't pair with the planted ones
     assert not ((pairs["doc_a"] == 0) & (pairs["doc_b"] > 1)).any()
+
+
+def test_nonstreaming_exchange_matches_streaming(ray_session, pages_dir,
+                                                 tmp_path):
+    """The checkpoint-file exchange fallback (stream_exchange=False) must
+    produce identical phase-2 outputs to the streaming default."""
+    import pyarrow.dataset as pads
+    from gpml2pvjson_js_ray.pipelines.kg import run_kg_pipeline
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    s1 = run_kg_pipeline(pages_dir, a)
+    s2 = run_kg_pipeline(pages_dir, b, stream_exchange=False)
+    assert s1["triples_deduped"] == s2["triples_deduped"]
+    assert s1["entities"] == s2["entities"]
+    ta = pads.dataset(os.path.join(a, "adjacency"), partitioning="hive") \
+        .to_table().sort_by([("canonical_subj", "ascending"),
+                             ("pred", "ascending"),
+                             ("canonical_obj", "ascending")])
+    tb = pads.dataset(os.path.join(b, "adjacency"), partitioning="hive") \
+        .to_table().sort_by([("canonical_subj", "ascending"),
+                             ("pred", "ascending"),
+                             ("canonical_obj", "ascending")])
+    assert ta.select(["canonical_subj", "pred", "canonical_obj", "url"]) \
+        .equals(tb.select(["canonical_subj", "pred", "canonical_obj",
+                           "url"]))
