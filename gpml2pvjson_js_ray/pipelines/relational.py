@@ -375,16 +375,16 @@ GROUP BY user_id
 def documents_exact_dedup(sf_dir: str, num_buckets: int = 16):
     """Hash-partition by a bucket of the content hash, vectorized
     min/count per text inside each bucket."""
-    import zlib
-
     import pandas as pd
+
+    from ..stages.exchange import hash_rows_mod
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        buckets = [zlib.crc32(t.encode()) % num_buckets
-                   for t in b.column("text").to_pylist()]
+        buckets = hash_rows_mod(b, ["text"], num_buckets)
         return b.append_column("text_bucket",
-                               pa.array(buckets, type=pa.int32()))
+                               pa.array(buckets.astype("int32"),
+                                        type=pa.int32()))
 
     def first_per_text(df: "pd.DataFrame") -> "pd.DataFrame":
         g = df.groupby("text", sort=False)["doc_id"]
@@ -405,20 +405,27 @@ FROM documents GROUP BY text
 
 # -- token counting ---------------------------------------------------------
 
-_WS_SPLIT = re.compile(r"\s+")
-
-
 def documents_token_stats(sf_dir: str):
+    """Vectorized: n_tokens = whitespace-run count of the trimmed text + 1
+    (split-array length), n_chars = char length. polars str kernels; no
+    per-row Python (the round-2 version looped a regex split per row)."""
+    from ..stages.exchange import polars_capped
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        n_tokens = [len(_WS_SPLIT.split(t.strip())) for t in texts]
-        n_chars = [len(t) for t in texts]
-        return pa.Table.from_pydict({
-            "doc_id": b.column("doc_id"),
-            "n_tokens": pa.array(n_tokens, type=pa.int64()),
-            "n_chars": pa.array(n_chars, type=pa.int64())})
+        pl = polars_capped()
+        df = pl.from_arrow(b)
+        out = df.select(
+            pl.col("doc_id"),
+            n_tokens=(pl.col("text").str.strip_chars()
+                      .str.count_matches(r"\s+") + 1).cast(pl.Int64),
+            n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("n_chars", pa.int64())]))
 
     return docs.map_batches(stats, batch_format="pyarrow")
 

@@ -173,12 +173,17 @@ def embeddings_near_dups(sf_dir: str, threshold: float = 0.95):
     Misses cross-bucket pairs by design (LSH recall); at 100 TB the bucket
     count scales with corpus size and per-bucket work stays bounded."""
     import pandas as pd
+    import pyarrow.dataset as pads
 
-    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
-    n_vectors = emb.count()
+    # size the bucket space from parquet METADATA (row count) and one
+    # row-group head (dim) — the round-2 version ran two extra full
+    # Dataset executions (emb.count() + emb.take(1)) before the real one
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n_vectors = pads.dataset(src).count_rows()
     n_planes = _n_planes(n_vectors)
-    first = emb.take(1)[0]
-    planes = _planes(len(first["embedding"]), n_planes)
+    first = pads.dataset(src).head(1, columns=["embedding"])
+    planes = _planes(len(first.column("embedding")[0]), n_planes)
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
         _, mat = _emb_matrix(b)
@@ -248,6 +253,11 @@ def _kmeans_spherical(sample: np.ndarray, k: int, iters: int = 10,
     live on the unit sphere, assignment = max dot product. Small and
     numpy-only — the sample is bounded, never the corpus."""
     rng = np.random.RandomState(seed)
+    if len(sample) == 0:
+        raise ValueError("k-means training sample is empty")
+    # the sample is bounded (sample_rows) while k grows ~sqrt(N): clamp so
+    # rng.choice(replace=False) can't fail at large N or on tiny corpora
+    k = min(k, len(sample))
     norms = np.linalg.norm(sample, axis=1)
     norms[norms == 0] = 1.0
     unit = sample / norms[:, None]
@@ -292,8 +302,14 @@ def build_ivf_index(sf_dir: str,
     k = max(8, int(np.sqrt(n_vectors)))
     idx_dir = _ivf_index_dir(sf_dir, k)
 
-    sample_tbl = pads.dataset(src).head(min(sample_rows, n_vectors),
-                                        columns=["embedding"])
+    # deterministic UNBIASED sample: head() is a file-prefix read — with
+    # clustered/ordered storage the quantizer would skew toward the first
+    # rows. Seeded random row indices via Dataset.take keeps it unbiased
+    # and still bounded (metadata row count, no full scan of values).
+    n_sample = min(sample_rows, n_vectors)
+    rng = np.random.RandomState(_SEED)
+    idx = np.sort(rng.choice(n_vectors, size=n_sample, replace=False))
+    sample_tbl = pads.dataset(src).take(idx, columns=["embedding"])
     arr = sample_tbl.column("embedding").combine_chunks()
     sample = (arr.flatten().to_numpy(zero_copy_only=False)
               .astype(np.float64, copy=False).reshape(len(arr), -1))

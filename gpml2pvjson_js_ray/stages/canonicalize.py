@@ -137,7 +137,13 @@ def _merge_partial_frame(df):
 
 def _finalize_entities(df) -> pa.Table:
     """list<string> aliases → aliases_json, vectorized (escape backslash
-    and quote, join — identifier strings never carry control chars)."""
+    and quote, join). Control characters CAN reach alias strings (numeric
+    character references like &#10; in GPML attributes survive XML
+    attribute normalization), so rows whose fast-path encoding still
+    contains a raw control char fall back to json.dumps — rare, and keeps
+    every aliases_json valid JSON."""
+    import json
+
     pl = polars_capped()
     esc = (pl.element()
            .str.replace_all("\\", "\\\\", literal=True)
@@ -150,6 +156,14 @@ def _finalize_entities(df) -> pa.Table:
         aliases_json=pl.when(pl.col("aliases").list.len() > 0)
         .then(joined).otherwise(pl.lit("[]"))
     ).select(["canonical_id", "aliases_json", "n_mentions", "first_url"])
+    bad = out["aliases_json"].str.contains(r"[\x00-\x1F]")
+    if bad.any():
+        idxs = bad.arg_true()
+        fixed = [json.dumps(df["aliases"][int(i)].to_list(),
+                            ensure_ascii=False, separators=(",", ":"))
+                 for i in idxs]
+        out = out.with_columns(
+            out["aliases_json"].scatter(idxs, fixed).alias("aliases_json"))
     return out.to_arrow().cast(ENTITY_FINAL_SCHEMA)
 
 

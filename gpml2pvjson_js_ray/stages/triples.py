@@ -59,10 +59,18 @@ def make_triples_writer(triples_dir: str):
 
     def write_passthrough(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            urls = batch.column("url")
-            key = hashlib.sha1(
-                f"{urls[0]}|{urls[-1]}|{batch.num_rows}"
-                .encode()).hexdigest()[:16]
+            # content-derived name: vectorized per-row hash of the full
+            # triple key folded through sha1. Idempotent under task retry
+            # (same block -> same digest) but cannot collide across
+            # distinct blocks the way the old (first_url, last_url,
+            # num_rows) key could (e.g. re-crawl duplicates at block
+            # endpoints), which silently dropped a checkpoint on resume.
+            from .exchange import polars_capped
+            pl = polars_capped()
+            row_h = (pl.from_arrow(
+                batch.select(["subj", "pred", "obj", "url"]))
+                .hash_rows(seed=0).to_numpy())
+            key = hashlib.sha1(row_h.tobytes()).hexdigest()[:16]
             pq.write_table(batch,
                            os.path.join(triples_dir,
                                         f"triples-{key}.parquet"),
