@@ -27,6 +27,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
 
+# Cap native pools in EVERY worker (read tasks included): raylet inherits
+# this env at ray.init and passes it to workers. pyarrow sizes its compute
+# pool from OMP_NUM_THREADS; N workers x logical-CPU-sized pools measurably
+# thrash (see gpml2pvjson_js_ray._cap_native_thread_pools, which covers
+# workers that import the package but not Ray's own read tasks).
+for _var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+             "POLARS_MAX_THREADS"):
+    os.environ.setdefault(_var, "2")
+
 
 def run_bench() -> dict:
     import ray

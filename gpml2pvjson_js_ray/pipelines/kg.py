@@ -92,7 +92,8 @@ def _target_blocks() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, cpus * 3)
+    per_cpu = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "3"))
+    return max(8, cpus * per_cpu)
 
 
 def read_pages(path: str):
