@@ -21,11 +21,15 @@ XML_HEADER_RE = re.compile(
 
 # A GPML island: a <Pathway …> element whose xmlns is one of the supported
 # GPML namespaces, through its closing tag. DOTALL because islands span lines.
-ISLAND_RE = re.compile(
+# The body is shared between the Python regex (per-row fallback paths) and
+# the rust-regex form used by the vectorized polars extractor
+# (stages/extract.py) — identical semantics: \b, non-greedy, dotall.
+ISLAND_PATTERN_BODY = (
     r"<Pathway\b[^>]*xmlns=[\"'](?:http://pathvisio\.org/GPML/2013a"
     r"|http://genmapp\.org/GPML/20(?:10a|08a|07))[\"'][^>]*>"
-    r".*?</Pathway>",
-    re.DOTALL)
+    r".*?</Pathway>")
+ISLAND_RE = re.compile(ISLAND_PATTERN_BODY, re.DOTALL)
+ISLAND_PATTERN_RUST = "(?s)" + ISLAND_PATTERN_BODY
 
 
 def extract_islands(html: str) -> list[str]:
