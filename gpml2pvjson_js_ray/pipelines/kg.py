@@ -276,14 +276,15 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
 
     # Hot-subject salting: the bucket function must be FIXED before the
     # first split task, so auto-detection-from-this-run's-triples can't
-    # feed it. Callers supply known heavy hitters (at production scale:
-    # last crawl's entity counts, or a hot_subjects_from_sample pre-pass
-    # over a 0.1% page sample); default unsalted still bounds skew to one
-    # bucket ≈ 1/num_buckets of the data. Resumed runs with no new work
-    # sample from the existing checkpoint (free — phase 1 is skipped).
+    # feed it. Fresh runs detect heavy hitters with a driver-local
+    # pre-pass over a ~0.1% page sample (hot_subjects_from_pages, ~0.3 s);
+    # resumed runs with no new work sample the existing checkpoint
+    # instead (free — phase 1 is skipped). Callers can still supply known
+    # heavy hitters (e.g. last crawl's entity counts) to skip the pass.
     if hot_subjects is None:
         if todo:
-            hot_subjects = frozenset()
+            from ..stages.adjacency import hot_subjects_from_pages
+            hot_subjects = hot_subjects_from_pages(files, xref_ref)
         else:
             from ..stages.adjacency import hot_subjects_from_sample
             hot_subjects = hot_subjects_from_sample(triples_root)

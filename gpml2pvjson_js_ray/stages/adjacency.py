@@ -73,6 +73,51 @@ def hot_subjects_from_sample(triples_dir: str,
     return frozenset(hot)
 
 
+def hot_subjects_from_pages(page_files: list[str],
+                            xref_ref,
+                            sample_pages: int = 256,
+                            threshold_fraction: float = 0.01) -> frozenset:
+    """FRESH-RUN heavy-hitter pre-pass (VERDICT r2 item 7): run the
+    phase-1 batch chain over a tiny deterministic page sample (spread
+    across up to 8 evenly-spaced input files) and flag canonical subjects
+    above threshold_fraction of the sampled triples. Driver-local — a few
+    hundred pages through the same vectorized batch functions the real
+    pipeline uses (~0.3 s); at cluster scale the identical sample becomes
+    a handful of Ray tasks over shard heads. The result fixes the bucket
+    function BEFORE the first split task, which is why it cannot be
+    derived from the run's own stream."""
+    import pyarrow.dataset as pads
+
+    from .convert import convert_islands_batch
+    from .extract import extract_islands_batch
+    from .link import make_link_fn
+    from .triples import emit_triples_batch
+
+    if not page_files:
+        return frozenset()
+    picks = page_files[::max(1, len(page_files) // 8)][:8]
+    per = max(1, sample_pages // len(picks))
+    parts = []
+    for f in picks:
+        try:
+            parts.append(pads.dataset(f).head(
+                per, columns=["url", "warc_ts", "html"]))
+        except (OSError, pa.ArrowInvalid):
+            continue
+    if not parts:
+        return frozenset()
+    batch = pa.concat_tables(parts)
+    linked = make_link_fn(xref_ref)(
+        emit_triples_batch(convert_islands_batch(
+            extract_islands_batch(batch))))
+    if linked.num_rows == 0:
+        return frozenset()
+    counts = pc.value_counts(linked.column("canonical_subj"))
+    threshold = max(2.0, threshold_fraction * linked.num_rows)
+    return frozenset(str(e["values"]) for e in counts.to_pylist()
+                     if e["counts"] > threshold)
+
+
 def write_adjacency(ds, out_dir: str, num_buckets: int = 16,
                     hot_subjects: frozenset = frozenset()):
     """bucket → sort → partitioned parquet (Dataset-API variant)."""

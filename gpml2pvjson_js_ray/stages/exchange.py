@@ -128,11 +128,28 @@ def _split_files(paths: list[str], map_fns, bucket_counts):
     return _split_multi(block, map_fns, bucket_counts)
 
 
-def _reduce_bucket(reduce_fn, bucket_id: int, *parts: pa.Table):
+_REDUCE_CHUNK = 32  # max tables concatenated at once inside a reduce
+
+
+def _reduce_bucket(reduce_fn, combine_fn, bucket_id: int, *parts: pa.Table):
+    """Final per-bucket reduce. When the bucket arrives as many slices and
+    the spec has an associative combine_fn (dedup/merge = shrinking), fold
+    chunk-by-chunk instead of one giant concat_tables: the task then never
+    holds the full RAW bucket in memory, only the folded partials plus one
+    chunk — the documented fallback for buckets far above the 1-4 GiB
+    sizing rule. Chunked folding preserves first-occurrence order within
+    the bucket, so outputs are byte-identical to the single-concat path
+    (covered by tests forcing a tiny _REDUCE_CHUNK)."""
     _cap_worker_threads()
     tables = [p for p in parts if p.num_rows > 0]
-    combined = (pa.concat_tables(tables) if tables else parts[0])
-    return reduce_fn(combined, bucket_id)
+    if not tables:
+        return reduce_fn(parts[0], bucket_id)
+    if combine_fn is not None and len(tables) > _REDUCE_CHUNK:
+        while len(tables) > _REDUCE_CHUNK:
+            tables = [combine_fn(pa.concat_tables(
+                tables[j:j + _REDUCE_CHUNK]))
+                for j in range(0, len(tables), _REDUCE_CHUNK)]
+    return reduce_fn(pa.concat_tables(tables), bucket_id)
 
 
 def _combine_parts(combine_fn, *parts: pa.Table) -> pa.Table:
@@ -147,6 +164,33 @@ def _combine_parts(combine_fn, *parts: pa.Table) -> pa.Table:
 
 
 _COMBINE_FANIN = 16  # partial-combine a bucket once this many slices pile up
+
+
+def iter_streaming_block_refs(ds, use_internal: bool | None = None):
+    """Yield (block_ref, holder) pairs from a Dataset's streaming
+    execution. Preferred path: the internal ref-bundle iterator (zero-copy
+    block refs as the executor produces them; `holder` keeps the bundle
+    alive until its split task has consumed the block). Fallback when that
+    private API is absent or disabled: the PUBLIC iter_batches, re-blocked
+    into the object store via ray.put (one extra copy per block — the
+    price of not depending on Ray internals; task-argument refcounting
+    keeps the put refs alive). A Ray upgrade that drops
+    iter_internal_ref_bundles therefore degrades performance, not
+    correctness."""
+    it = None
+    if use_internal is not False:
+        try:
+            it = ds.iter_internal_ref_bundles()
+        except AttributeError:
+            it = None
+    if it is not None:
+        for bundle in it:
+            for block_ref in bundle.block_refs:
+                yield block_ref, bundle
+        return
+    import ray
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        yield ray.put(batch), None
 
 
 class StreamingExchange:
@@ -212,19 +256,18 @@ class StreamingExchange:
         self._pending = [(b, p) for b, p in self._pending
                          if p not in done]
 
-    def add_dataset(self, ds) -> None:
+    def add_dataset(self, ds, use_internal: bool | None = None) -> None:
         """Consume a Dataset's blocks as its streaming execution produces
         them, submitting one split task per block."""
-        for bundle in ds.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                refs = self._split_block.remote(
-                    block_ref, self._map_fns_ref, self._bucket_counts)
-                with self._lock:
-                    self._record(refs)
-                    probe = (refs if isinstance(refs, list)
-                             else [refs])[0]
-                    self._pending.append((bundle, probe))
-                    self._prune_pending()
+        for block_ref, holder in iter_streaming_block_refs(ds, use_internal):
+            refs = self._split_block.remote(
+                block_ref, self._map_fns_ref, self._bucket_counts)
+            with self._lock:
+                self._record(refs)
+                probe = (refs if isinstance(refs, list)
+                         else [refs])[0]
+                self._pending.append((holder, probe))
+                self._prune_pending()
 
     def add_files(self, files: list[str],
                   files_per_task: int | None = None) -> None:
@@ -259,7 +302,8 @@ class StreamingExchange:
                 continue
             reduce_fn_ref = ray.put(spec["reduce_fn"])
             futures_per_spec.append([
-                reduce.remote(reduce_fn_ref, b, *self._bucket_refs[i][b])
+                reduce.remote(reduce_fn_ref, self._combine_refs[i], b,
+                              *self._bucket_refs[i][b])
                 for b in range(spec["num_buckets"])])
         results = [ray.get(futs) if futs else []
                    for futs in futures_per_spec]

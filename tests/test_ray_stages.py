@@ -442,3 +442,148 @@ def test_finalize_entities_escapes_control_chars():
     assert decoded["a"] == ["line\nbreak", 'quo"te']
     assert decoded["b"] == ["plain", "back\\slash"]
     assert decoded["c"] == []
+
+
+def _toy_exchange_spec(num_buckets=4):
+    """Dedup-by-(k,v) spec over a toy table, shared by the exchange tests."""
+    import pyarrow as pa
+
+    from gpml2pvjson_js_ray.stages.exchange import hash_rows_mod
+
+    def map_fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+        b = hash_rows_mod(t, ["k"], num_buckets)
+        return t.append_column("bucket", pa.array(np.asarray(b)))
+
+    def combine_fn(t: pa.Table) -> pa.Table:
+        import polars as pl
+        return pl.from_arrow(t).unique(["k", "v"], keep="first",
+                                       maintain_order=True).to_arrow() \
+            .cast(t.schema)
+
+    def reduce_fn(t: pa.Table, bucket_id: int):
+        import polars as pl
+        out = pl.from_arrow(t).unique(["k", "v"], keep="first",
+                                      maintain_order=True) \
+            .sort(["k", "v"])
+        return out.rows()
+
+    return {"num_buckets": num_buckets, "map_fn": map_fn,
+            "reduce_fn": reduce_fn, "combine_fn": combine_fn}
+
+
+def _toy_dataset():
+    import pyarrow as pa
+    import ray.data as rd
+    rows = [(f"k{i % 37}", i % 11) for i in range(4000)]
+    t = pa.table({"k": [r[0] for r in rows],
+                  "v": pa.array([r[1] for r in rows], type=pa.int64())})
+    return rd.from_arrow(t).repartition(8)
+
+
+def test_exchange_chunked_reduce_byte_identical(ray_session):
+    """Forcing tiny fan-in/chunk sizes must exercise the chunked-fold
+    reduce path and produce identical results (VERDICT r2 item 6)."""
+    import gpml2pvjson_js_ray.stages.exchange as ex
+
+    baseline = ex.shuffle_reduce_multi(_toy_dataset(),
+                                       [_toy_exchange_spec()])[0]
+    old_fanin, old_chunk = ex._COMBINE_FANIN, ex._REDUCE_CHUNK
+    ex._COMBINE_FANIN, ex._REDUCE_CHUNK = 10_000, 2  # no streaming folds;
+    try:                                             # chunked reduce path
+        forced = ex.shuffle_reduce_multi(_toy_dataset(),
+                                         [_toy_exchange_spec()])[0]
+    finally:
+        ex._COMBINE_FANIN, ex._REDUCE_CHUNK = old_fanin, old_chunk
+    assert baseline == forced
+
+
+def test_exchange_public_api_fallback_matches_internal(ray_session):
+    """The iter_batches fallback (no private iter_internal_ref_bundles)
+    must produce identical exchange results (VERDICT r2 item 10)."""
+    import gpml2pvjson_js_ray.stages.exchange as ex
+
+    via_internal = ex.shuffle_reduce_multi(_toy_dataset(),
+                                           [_toy_exchange_spec()])[0]
+    exch = ex.StreamingExchange([_toy_exchange_spec()])
+    exch.add_dataset(_toy_dataset(), use_internal=False)
+    via_public = exch.finish()[0]
+    assert via_internal == via_public
+
+
+def _skewed_pages_dir(tmp_path, n_pages=240):
+    """Pages corpus where one canonical subject (Entrez 999) appears in
+    every page's island, each time linked to a distinct target."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from gpml2pvjson_js_ray.sources.pages import (_data_node, _interaction,
+                                                  _pathway)
+    rows = []
+    for i in range(n_pages):
+        rng = random.Random(1000 + i)
+        # force the hot node's xref to a fixed id
+        import re as _re
+        hot = _re.sub(r'Database="[^"]*" ID="[^"]*"',
+                      'Database="Entrez Gene" ID="999"',
+                      _data_node(rng, "nhot", x=60, y=60))
+        tgt = _re.sub(r'Database="[^"]*" ID="[^"]*"',
+                      f'Database="Entrez Gene" ID="{2000 + i}"',
+                      _data_node(rng, "ntgt", x=260, y=60))
+        edge = _interaction(rng, "e1", (150, 72), (230, 72),
+                            ref0="nhot", ref1="ntgt")
+        island = _pathway(rng, hot + tgt + edge, name=f"P{i}")
+        html = f"<html><body>{island}</body></html>"
+        rows.append({"url": f"https://skew/{i}",
+                     "warc_ts": 1_700_000_000_000_000 + i,
+                     "html": html.encode(), "text": "x", "lang": "en"})
+    t = pa.table({
+        "url": pa.array([r["url"] for r in rows]),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            type=pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "text": pa.array([r["text"] for r in rows]),
+        "lang": pa.array([r["lang"] for r in rows]),
+    })
+    d = tmp_path / "skew_pages"
+    d.mkdir()
+    pq.write_table(t, str(d / "pages-0.parquet"))
+    return str(d)
+
+
+def test_fresh_run_detects_and_salts_hot_subjects(ray_session, tmp_path):
+    """A FRESH run over a skewed corpus must detect heavy hitters via the
+    page-sample pre-pass (no caller-supplied hot list) and spread them
+    over >1 bucket, while dedup stays exact (VERDICT r2 item 7)."""
+    import pyarrow.dataset as pads
+    from gpml2pvjson_js_ray.pipelines.kg import run_kg_pipeline
+    from gpml2pvjson_js_ray.stages.adjacency import hot_subjects_from_pages
+    from gpml2pvjson_js_ray.pipelines.kg import get_xref_ref
+    import glob as _glob
+
+    pages_dir = _skewed_pages_dir(tmp_path)
+    files = sorted(_glob.glob(pages_dir + "/*.parquet"))
+    hot = hot_subjects_from_pages(files, get_xref_ref())
+    assert hot, "pre-pass must flag the planted heavy hitter"
+
+    out_salted = str(tmp_path / "kg_salted")
+    s1 = run_kg_pipeline(pages_dir, out_salted)  # hot_subjects=None → pre-pass
+    out_flat = str(tmp_path / "kg_flat")
+    s2 = run_kg_pipeline(pages_dir, out_flat, hot_subjects=frozenset())
+
+    assert s1["triples_deduped"] == s2["triples_deduped"]
+    assert s1["entities"] == s2["entities"]
+
+    def spread(out_dir):
+        df = pads.dataset(os.path.join(out_dir, "adjacency"),
+                          partitioning="hive").to_table().to_pandas()
+        top = df["canonical_subj"].value_counts().idxmax()
+        return df[df["canonical_subj"] == top]["subj_bucket"].nunique(), df
+
+    salted_spread, df1 = spread(out_salted)
+    flat_spread, df2 = spread(out_flat)
+    key = ["canonical_subj", "pred", "canonical_obj"]
+    assert not df1.duplicated(key).any()
+    assert flat_spread == 1
+    assert salted_spread > 1, "hot subject must span multiple buckets"
