@@ -123,9 +123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
-    from gpml2pvjson_js_ray.pipelines import simops
+    from gpml2pvjson_js_ray.pipelines import simops, textops
 
     return {
+        "documents_langid": textops.SQL_DOCUMENTS_LANGID,
+        "documents_ngram_jaccard": textops.SQL_DOCUMENTS_NGRAM_JACCARD,
         "lineitem_pricing_summary": rel.SQL_LINEITEM_PRICING_SUMMARY,
         "orders_by_segment": rel.SQL_ORDERS_BY_SEGMENT,
         "top10_customers": rel.SQL_TOP10_CUSTOMERS,

@@ -147,7 +147,10 @@ def run_scaling() -> dict:
     # threads. The criterion models N vs 4N NODES (identical per-node
     # headroom); 6→24 keeps both levels on full-speed cores and leaves the
     # driver/raylet off the measured cores at both levels.
-    lo, hi = 6, 24
+    # BENCH_LADDER="8,32" reproduces the round-1 ladder so cross-round
+    # records stay apples-to-apples; results are tagged with cpus_lo/hi.
+    lo, hi = (int(x) for x in
+              os.environ.get("BENCH_LADDER", "6,24").split(","))
     results = {lo: [], hi: []}
     for _round in range(2):
         for ncpu in (lo, hi):

@@ -638,3 +638,61 @@ def documents_simhash_dups(sf_dir: str, max_hamming: int = 3):
             .map_groups(pairs, batch_format="pandas"))
     return cand.groupby(["doc_a", "doc_b"]).map_groups(
         first, batch_format="pandas")
+
+
+# -- DuckDB oracles for the SQL-expressible text ops -------------------------
+#
+# langid and the blocked exact n-gram Jaccard are deterministic functions
+# of the text, so they CAN be oracle-checked (validated value-exact against
+# the Ray output on the driver corpora; the rounding semantics of both
+# engines agree on these expressions). The sketch ops (minhash/simhash/
+# fingerprint) stay rows-only by nature.
+
+def _sql_stopword_list(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+
+def _sql_lang_score(lang: str) -> str:
+    return (f"CAST(len(list_filter(toks, t -> list_contains("
+            f"{_sql_stopword_list(lang)}, t))) AS DOUBLE)"
+            f" / greatest(len(toks), 1)")
+
+
+SQL_DOCUMENTS_LANGID = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-ZÀ-ÿ]+') AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id, {_sql_lang_score('en')} AS s_en,
+         {_sql_lang_score('de')} AS s_de, {_sql_lang_score('fr')} AS s_fr
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr) <= 0.02 THEN 'unknown'
+       WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+  round(greatest(s_en, s_de, s_fr), 6) AS lang_score
+FROM sc
+"""
+
+SQL_DOCUMENTS_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         lang || ':' ||
+         CAST(len(regexp_extract_all(text, '\S+')) // 40 AS VARCHAR)
+             AS block,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS sh
+  FROM documents,
+       LATERAL (SELECT regexp_extract_all(lower(text), '\S+') AS toks)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / nullif(len(list_distinct(a.sh || b.sh)), 0), 4) AS jaccard
+FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / nullif(len(list_distinct(a.sh || b.sh)), 0) >= 0.3
+"""
