@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from copy import deepcopy
 
 from .mappings import GPML_DEFAULTS
 
@@ -142,11 +141,24 @@ def _parse_open_controlled_vocabulary(el: ET.Element) -> dict:
     return d
 
 
+def _copy_default(dv):
+    """Independent copy of a JSON-ish defaults subtree. The defaults
+    tables hold only dicts/lists/scalars, so a structural copy replaces
+    deepcopy's generic machinery (measured: deepcopy was ~4% of the whole
+    convert stage); scalars are immutable and shared."""
+    if isinstance(dv, dict):
+        return {k: _copy_default(v) for k, v in dv.items()}
+    if isinstance(dv, list):
+        return [_copy_default(v) for v in dv]
+    return dv
+
+
 def _defaults_deep(target: dict, defaults: dict) -> dict:
     """Element-wins deep merge (stands in for prototype extendDeep)."""
     for k, dv in defaults.items():
         if k not in target:
-            target[k] = deepcopy(dv)
+            target[k] = _copy_default(dv) if isinstance(dv, (dict, list)) \
+                else dv
         elif isinstance(target[k], dict) and isinstance(dv, dict):
             _defaults_deep(target[k], dv)
     return target
