@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
         "embeddings_ann_ivf_top10": simops.embeddings_ann_ivf_top10,
         "embeddings_near_dups": simops.embeddings_near_dups,
+        "embeddings_near_dups_exact": simops.embeddings_near_dups_exact,
         "embeddings_label_stats": simops.embeddings_label_stats,
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
@@ -143,4 +144,6 @@ def oracle_sql() -> dict[str, str]:
         "documents_lang_counts": rel.SQL_DOCUMENTS_LANG_COUNTS,
         "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
+        "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
+        "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,
     }

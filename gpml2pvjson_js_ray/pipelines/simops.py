@@ -212,6 +212,57 @@ def embeddings_near_dups(sf_dir: str, threshold: float = 0.95):
             .map_groups(pairs, batch_format="pandas"))
 
 
+def embeddings_near_dups_exact(sf_dir: str, threshold: float = 0.5):
+    """Exact embedding-cosine near-duplicate pairs by broadcast brute
+    force: the full unit-normalized matrix goes into the object store
+    ONCE (ray.put; zero-copy read in every task) and each batch computes
+    its rows × the matrix with one matmul. This is the DuckDB-oracle-able
+    ground-truth baseline for embeddings_near_dups (the LSH-bucketed
+    variant, which trades recall for sublinearity). Quadratic in corpus
+    size by construction — at 100 TB its role is per-bucket exact scoring
+    and small-corpus validation, never the full corpus."""
+    import ray
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["vec_id", "embedding"])
+    ids_all, mat_all = _emb_matrix(tbl)
+    norms = np.linalg.norm(mat_all, axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_all.astype(np.int64), mat_all / norms[:, None]))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids_b, mat_b = _emb_matrix(b)
+        bn = np.linalg.norm(mat_b, axis=1)
+        bn[bn == 0] = 1.0
+        all_ids, all_unit = _ray.get(ref)
+        sims = (mat_b / bn[:, None]) @ all_unit.T
+        ia, ja = np.nonzero((sims >= threshold)
+                            & (ids_b[:, None] < all_ids[None, :]))
+        return pa.Table.from_pydict({
+            "vec_a": pa.array(ids_b[ia].astype(np.int64)),
+            "vec_b": pa.array(all_ids[ja]),
+            "cosine": pa.array(np.round(sims[ia, ja], 6),
+                               type=pa.float64())})
+
+    return (_read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .sort(["vec_a", "vec_b"]))
+
+
+SQL_EMBEDDINGS_NEAR_DUPS_EXACT = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+ORDER BY vec_a, vec_b
+"""
+
+
 def embeddings_label_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean
     emb = _read_emb(sf_dir, ["label", "embedding"])

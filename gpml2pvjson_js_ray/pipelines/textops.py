@@ -132,6 +132,20 @@ def documents_langid(sf_dir: str):
                             batch_size=2048, concurrency=2, num_cpus=1)
 
 
+def _round4_away(pl, expr):
+    """round-half-AWAY-from-zero to 4 decimals via the explicit
+    floor(x·1e4 + 0.5)/1e4 formula (values here are all ≥ 0). polars
+    round() is half-to-even while DuckDB round() is half-away; ratios
+    like 1/32 = 0.03125 sit exactly on a representable 4-decimal
+    midpoint, so the two diverge. Using the SAME explicit IEEE ops on
+    both sides (see SQL_DOCUMENTS_QUALITY) makes the outputs bitwise
+    equal and therefore oracle-able. The final scale-down is `* 0.0001`
+    (not `/ 10000.0`) because polars lowers scalar division to a
+    reciprocal multiply — spelling the multiply out keeps DuckDB on the
+    identical instruction."""
+    return (expr * 10000.0 + 0.5).floor() * 0.0001
+
+
 def documents_quality(sf_dir: str):
     """Length / punctuation / stopword-ratio quality features + a composite
     score (training-data quality filtering). Vectorized end-to-end:
@@ -169,14 +183,16 @@ def documents_quality(sf_dir: str):
                 .list.sum()).otherwise(sw_count)
         nf = pl.col("n").cast(pl.Float64)
         df = df.with_columns(
-            mean_token_len=pl.when(pl.col("n") > 0)
-            .then(pl.col("tok_chars") / nf).otherwise(0.0).round(4),
-            stopword_ratio=pl.when(pl.col("n") > 0)
-            .then(sw_count.fill_null(0).cast(pl.Float64) / nf)
-            .otherwise(0.0).round(4),
-            alpha_ratio=(pl.col("n_alpha")
-                         / pl.max_horizontal(pl.col("n_chars"), pl.lit(1))
-                         ).round(4),
+            mean_token_len=_round4_away(pl, pl.when(pl.col("n") > 0)
+                                        .then(pl.col("tok_chars") / nf)
+                                        .otherwise(0.0)),
+            stopword_ratio=_round4_away(
+                pl, pl.when(pl.col("n") > 0)
+                .then(sw_count.fill_null(0).cast(pl.Float64) / nf)
+                .otherwise(0.0)),
+            alpha_ratio=_round4_away(
+                pl, pl.col("n_alpha")
+                / pl.max_horizontal(pl.col("n_chars"), pl.lit(1))),
         )
         out = df.select(
             pl.col("doc_id"),
@@ -184,11 +200,11 @@ def documents_quality(sf_dir: str):
             mean_token_len=pl.col("mean_token_len"),
             stopword_ratio=pl.col("stopword_ratio"),
             alpha_ratio=pl.col("alpha_ratio"),
-            quality_score=(
+            quality_score=_round4_away(pl, (
                 pl.min_horizontal(pl.lit(1.0), nf / 50.0) * 0.4
                 + pl.min_horizontal(pl.lit(1.0),
                                     pl.col("stopword_ratio") * 5) * 0.3
-                + pl.col("alpha_ratio") * 0.3).round(4),
+                + pl.col("alpha_ratio") * 0.3)),
         )
         return out.to_arrow()
 
@@ -673,6 +689,49 @@ SELECT doc_id,
        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
   round(greatest(s_en, s_de, s_fr), 6) AS lang_score
 FROM sc
+"""
+
+
+def _sql_sw_count(lang: str) -> str:
+    return (f"len(list_filter(toks, t -> list_contains("
+            f"{_sql_stopword_list(lang)}, lower(t))))")
+
+
+# Mirrors documents_quality op-for-op; all roundings use the explicit
+# half-away floor(x*1e4+0.5)/1e4 so DuckDB and polars produce bitwise
+# identical doubles (see _round4_away).
+SQL_DOCUMENTS_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text,
+         regexp_extract_all(coalesce(text, ''), '[a-zA-ZÀ-ÿ]+') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         AS DOUBLE) AS tok_chars,
+    CASE WHEN lang = 'de' THEN {_sql_sw_count('de')}
+         WHEN lang = 'fr' THEN {_sql_sw_count('fr')}
+         ELSE {_sql_sw_count('en')} END AS sw,
+    CAST(len(regexp_extract_all(text, '\\p{{L}}')) AS DOUBLE) AS n_alpha,
+    length(text) AS n_chars
+  FROM tok
+), r AS (
+  SELECT doc_id, n_tokens,
+    floor((CASE WHEN n_tokens > 0
+                THEN tok_chars / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END) * 10000.0 + 0.5) * 0.0001 AS mean_token_len,
+    floor((CASE WHEN n_tokens > 0
+                THEN CAST(sw AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END) * 10000.0 + 0.5) * 0.0001 AS stopword_ratio,
+    floor((n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+          * 10000.0 + 0.5) * 0.0001 AS alpha_ratio
+  FROM feat
+)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+  floor((least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+         + least(1.0, stopword_ratio * 5) * 0.3
+         + alpha_ratio * 0.3) * 10000.0 + 0.5) * 0.0001 AS quality_score
+FROM r
 """
 
 SQL_DOCUMENTS_NGRAM_JACCARD = r"""

@@ -419,6 +419,19 @@ def test_embeddings_near_dups_finds_planted_pairs(ray_session, tmp_path):
         assert abs(float(unit[a] @ unit[b]) - c) < 1e-5
         assert c >= 0.95
 
+    # the exact brute-force variant must find EVERY >=threshold pair
+    # (it is the ground-truth baseline the LSH variant is judged against)
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_near_dups_exact
+    exact = embeddings_near_dups_exact(str(d), threshold=0.95).to_pandas()
+    sims = unit @ unit.T
+    ia, ib = np.triu_indices(len(unit), k=1)
+    truth = {(int(a), int(b)) for a, b in
+             zip(ia[sims[ia, ib] >= 0.95], ib[sims[ia, ib] >= 0.95])}
+    assert set(zip(exact["vec_a"], exact["vec_b"])) == truth
+    assert truth >= {(0, 1), (2, 3)}
+    # LSH reports a subset of the exact truth (recall trade, no false hits)
+    assert got <= truth
+
 
 def test_finalize_entities_escapes_control_chars():
     """Aliases containing raw control characters (reachable via &#10;-style
