@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_token_stats": rel.documents_token_stats,
         "documents_token_stats_bpe": rel.documents_token_stats_bpe,
         "documents_lang_counts": rel.documents_lang_counts,
+        "documents_top_terms": rel.documents_top_terms,
         "embeddings_cosine_top10": rel.embeddings_cosine_top10,
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_token_stats": rel.SQL_DOCUMENTS_TOKEN_STATS,
         "documents_token_stats_bpe": rel.SQL_DOCUMENTS_TOKEN_STATS_BPE,
         "documents_lang_counts": rel.SQL_DOCUMENTS_LANG_COUNTS,
+        "documents_top_terms": rel.SQL_DOCUMENTS_TOP_TERMS,
         "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,

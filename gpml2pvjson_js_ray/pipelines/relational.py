@@ -438,6 +438,47 @@ FROM documents
 """
 
 
+# -- global term frequencies (combiner pattern) -----------------------------
+
+def documents_top_terms(sf_dir: str, k: int = 50):
+    """Top-k corpus-wide term frequencies — the canonical pre-aggregate
+    shape for 100-TB counting: each batch emits PARTIAL per-term counts
+    (rows = distinct terms in the batch, not tokens), so the groupby
+    shuffle moves a vocabulary-sized table instead of a token stream;
+    the global sum + top-k then run over the small aggregate. Ties at
+    the k-boundary break by term ascending in both engines."""
+    from ray.data.aggregate import Sum
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = pl.from_arrow(b)
+        out = (df.select(term=pl.col("text").fill_null("")
+                         .str.to_lowercase()
+                         .str.extract_all("[a-zA-ZÀ-ÿ]+"))
+               .explode("term").drop_nulls()
+               .group_by("term").len(name="n"))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
+
+    return (docs.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n", alias_name="n_occurrences"))
+            .sort(["n_occurrences", "term"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_TOP_TERMS = """
+SELECT t AS term, count(*) AS n_occurrences
+FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                       '[a-zA-ZÀ-ÿ]+')) AS t
+      FROM documents)
+GROUP BY t ORDER BY n_occurrences DESC, term ASC LIMIT 50
+"""
+
+
 # -- BPE-ish token counting -------------------------------------------------
 
 # GPT-2-style pre-tokenizer shape, ASCII-simplified so Python's re, polars'
