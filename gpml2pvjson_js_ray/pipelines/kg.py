@@ -96,13 +96,43 @@ def _target_blocks() -> int:
     return max(8, cpus * per_cpu)
 
 
+def _even_blocks(n_files: int, target: int | None = None) -> int:
+    """Block count for a read over n_files equal-sized parquet shards.
+
+    read_parquet bundles whole files into blocks, so an arbitrary block
+    count leaves some blocks with ⌈n/B⌉ files and some with ⌊n/B⌋ — up to a
+    2× per-task size skew that straggles the final wave of the fused map
+    operator. Prefer a block count that (a) divides n_files exactly (every
+    block gets the same number of files → equal task sizes) and (b) is a
+    multiple of the CPU count (the ~equal tasks then finish in integral
+    waves with no partial-wave idle tail). Falls back to the plain
+    blocks-per-CPU target when no such divisor exists (e.g. prime file
+    counts, files < CPUs)."""
+    target = target or _target_blocks()
+    if n_files < 2:
+        return target
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    cands = [d for d in range(1, n_files + 1)
+             if n_files % d == 0 and d % cpus == 0
+             and 2 * cpus <= d <= 8 * cpus]
+    if not cands:
+        return target
+    # closest to the blocks-per-CPU target; prefer MORE blocks on ties
+    # (finer tasks pipeline into the streaming exchange sooner)
+    return min(cands, key=lambda d: (abs(d - target), -d))
+
+
 def read_pages(path: str):
     import ray.data as rd
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     # prune at the read: text/lang are not needed on the KG path
     return rd.read_parquet(files or path,
                            columns=["url", "warc_ts", "html"],
-                           override_num_blocks=_target_blocks())
+                           override_num_blocks=_even_blocks(len(files)))
 
 
 def islands_dataset(pages):
@@ -157,7 +187,7 @@ def text_invariant_dataset(path: str):
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     pages = rd.read_parquet(files or path,
                             columns=["url", "lang", "html", "text"],
-                            override_num_blocks=_target_blocks())
+                            override_num_blocks=_even_blocks(len(files)))
     return pages.map_batches(extract_text_batch, batch_format="pyarrow",
                              batch_size=256)
 
@@ -232,8 +262,10 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         resumable partition's full chain."""
         pages = rd.read_parquet(
             part_files, columns=["url", "warc_ts", "html"],
-            override_num_blocks=max(
-                8, _target_blocks() // max(1, n_concurrent_partitions)))
+            override_num_blocks=_even_blocks(
+                len(part_files),
+                target=max(8, _target_blocks()
+                           // max(1, n_concurrent_partitions))))
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         os.makedirs(docs_dir, exist_ok=True)
 
@@ -281,6 +313,7 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     # resumed runs with no new work sample the existing checkpoint
     # instead (free — phase 1 is skipped). Callers can still supply known
     # heavy hitters (e.g. last crawl's entity counts) to skip the pass.
+    _t_hot = _time.perf_counter()
     if hot_subjects is None:
         if todo:
             from ..stages.adjacency import hot_subjects_from_pages
@@ -288,6 +321,7 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         else:
             from ..stages.adjacency import hot_subjects_from_sample
             hot_subjects = hot_subjects_from_sample(triples_root)
+    stats["hot_subjects_sec"] = round(_time.perf_counter() - _t_hot, 3)
     exchange = StreamingExchange([
         adjacency_exchange_spec(os.path.join(out_dir, "adjacency"),
                                 num_buckets=num_buckets,
@@ -339,23 +373,27 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
 
     counter_futures = []
     counter_pool = ThreadPoolExecutor(max_workers=2)
+    _t_exec = _time.perf_counter()
     if todo:
         with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
             for done in pool.map(lambda args: run_partition(*args), todo):
                 counter_futures.append(
                     counter_pool.submit(finish_partition, done))
+    stats["phase1_exec_sec"] = round(_time.perf_counter() - _t_exec, 3)
     stats["phase1_sec"] = round(_time.perf_counter() - _t_start, 3)
 
     _t_p2 = _time.perf_counter()
     adj_counts, ent_counts = exchange.finish()
     stats["phase2_sec"] = round(_time.perf_counter() - _t_p2, 3)
 
+    _t_cnt = _time.perf_counter()
     for fut in counter_futures:
         counters = fut.result()
         stats["docs"] += counters["docs"]
         stats["errors"] += counters["errors"]
         stats["triples"] += counters["triples"]
     counter_pool.shutdown()
+    stats["counters_wait_sec"] = round(_time.perf_counter() - _t_cnt, 3)
 
     stats["triples_deduped"] = sum(adj_counts)
     stats["entities"] = sum(ent_counts)

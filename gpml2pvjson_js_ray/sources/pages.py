@@ -436,8 +436,13 @@ FAMILIES = [
 # family sampling weights: malformed is rare
 _FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 2, 1]
 
-# bump when generator output changes — part of the corpus cache key
-GEN_VERSION = 3
+# bump when generator output changes — part of the corpus cache key.
+# v4: content identical to v3; physical layout changed to 512-row row
+# groups so ray.data.read_parquet(override_num_blocks=...) can split
+# shards evenly (single-row-group shards forced whole-file bundling —
+# a 2x block-size imbalance that straggled the last task wave);
+# v5: equal-sized shards (target 2000 rows) for even read blocks
+GEN_VERSION = 5
 
 _EPOCH = datetime.datetime(2024, 1, 1)
 
@@ -519,24 +524,34 @@ def _write_shard(args) -> str:
     rows = [gen_page(i, seed) for i in range(start, end)]
     table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
     path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=512)
     return path
 
 
 def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
-                        rows_per_file: int = 2048) -> str:
+                        rows_per_file: int = 2000) -> str:
     """Write the synthetic corpus as a directory of parquet shards; returns
     out_dir. Cached: if the directory already has a _DONE marker for the same
     (n_pages, seed), it is reused. Shards are generated in parallel
-    (deterministic: each shard derives only from (row index, seed))."""
+    (deterministic: each shard derives only from (row index, seed)).
+
+    Shards are EQUAL-SIZED (the remainder is spread one row per shard, not
+    dumped in a short tail file): ray.data.read_parquet bundles whole files
+    into blocks, so uneven shards become uneven blocks, which become
+    straggler map tasks in the last wave. rows_per_file is a target; the
+    realized size is n_pages/ceil(n_pages/target)."""
     marker = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}_v{GEN_VERSION}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    n_shards = max(1, -(-n_pages // rows_per_file))
+    base, extra = divmod(n_pages, n_shards)
     jobs = []
-    for shard, start in enumerate(range(0, n_pages, rows_per_file)):
-        jobs.append((out_dir, shard, start,
-                     min(start + rows_per_file, n_pages), seed))
+    start = 0
+    for shard in range(n_shards):
+        end = start + base + (1 if shard < extra else 0)
+        jobs.append((out_dir, shard, start, end, seed))
+        start = end
     if len(jobs) > 2:
         from concurrent.futures import ProcessPoolExecutor
         with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as pool:
