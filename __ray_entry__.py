@@ -67,6 +67,20 @@ def _kg_pipeline_output(which: str):
     return q
 
 
+def _join_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import joins
+        return getattr(joins, fn_name)(sf_dir)
+    return q
+
+
+def _sketch_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import sketches
+        return getattr(sketches, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -88,6 +102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_lang_counts": rel.documents_lang_counts,
         "documents_top_terms": rel.documents_top_terms,
         "embeddings_cosine_top10": rel.embeddings_cosine_top10,
+        "revenue_by_nation": _join_query("revenue_by_nation"),
+        "order_shipping_priority": _join_query("order_shipping_priority"),
+        "events_distinct_users": _sketch_query("events_distinct_users"),
+        "events_distinct_users_hll":
+            _sketch_query("events_distinct_users_hll"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -124,8 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from gpml2pvjson_js_ray.pipelines import joins, simops, sketches, textops
     from gpml2pvjson_js_ray.pipelines import relational as rel
-    from gpml2pvjson_js_ray.pipelines import simops, textops
 
     return {
         "documents_langid": textops.SQL_DOCUMENTS_LANGID,
@@ -145,6 +164,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_lang_counts": rel.SQL_DOCUMENTS_LANG_COUNTS,
         "documents_top_terms": rel.SQL_DOCUMENTS_TOP_TERMS,
         "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
+        "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,
+        "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
+        "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

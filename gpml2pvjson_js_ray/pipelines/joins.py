@@ -1,0 +1,241 @@
+"""Multi-way join pipelines over the TPC-H-ish testdata tables.
+
+Two join strategies, each used where its scale shape is right:
+
+- **Shuffle hash join** (`Dataset.join`): for LARGE ⋈ LARGE (lineitem ⋈
+  orders) both sides are hash-partitioned on the key — at 100 TB neither
+  side fits any single node, so an all-to-all exchange is unavoidable and
+  the partition count bounds per-aggregator memory.
+- **Broadcast join** (ray.put once + vectorized pc.index_in/take probe in
+  every map task): for LARGE ⋈ SMALL (dimension tables — customer,
+  supplier, nation, region). Shipping the small side once beats hashing
+  the big side across the cluster; see relational._broadcast_kv.
+
+Reference parity: the reference engine exposes only single-stream
+conversion joins (see SURVEY.md §2 J1-J7); these pipelines are part of the
+beyond-reference relational surface (SURVEY.md §2 extension table) that a
+training-data pipeline needs. Column names match the oracle SQL aliases
+exactly (driver hash-compare sorts columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _broadcast_kv, _make_attach, _read, _round_col
+
+
+def _ts(s: str):
+    return pa.scalar(np.datetime64(s, "us"))
+
+
+# -- Q5-style: revenue by nation, local suppliers only ----------------------
+
+def revenue_by_nation(sf_dir: str, region: str = "ASIA",
+                      year_lo: str = "1996-01-01T00:00:00",
+                      year_hi: str = "1997-01-01T00:00:00",
+                      num_partitions: int = 16):
+    """lineitem ⋈ orders (shuffle hash join) ⋈ customer ⋈ supplier ⋈
+    nation ⋈ region (broadcast) → revenue per nation where the supplier
+    and customer nation match.
+
+    Scale shape: lineitem and orders are the two unbounded tables — they
+    meet in a hash-partitioned `Dataset.join` on orderkey (num_partitions
+    bounds per-aggregator memory; size ~ rows/num_partitions). The
+    dimension chain (customer→nation→region, supplier→nation) is broadcast
+    once via ray.put and probed with vectorized pc.index_in inside map
+    tasks. Revenue partial-aggregates inside each joined batch before the
+    final tiny groupby (25 nations max)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # dimension broadcasts (small: ≤ a few MB even at TB scale)
+    cust = _broadcast_kv(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    supp = _broadcast_kv(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+
+    import ray
+    nation = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    in_region = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_ref = ray.put((
+        pa.array(in_region["n_nationkey"].to_numpy()),
+        pa.array(in_region["n_name"].astype(str).to_numpy())))
+
+    lo, hi = _ts(year_lo), _ts(year_hi)
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+              .map_batches(lambda b: b.filter(pc.and_(
+                  pc.greater_equal(b.column("o_orderdate"), lo),
+                  pc.less(b.column("o_orderdate"), hi)))
+                  .drop_columns(["o_orderdate"]),
+                  batch_format="pyarrow"))
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    attach_cnat = _make_attach(cust, "o_custkey", "c_nationkey")
+    attach_snat = _make_attach(supp, "l_suppkey", "s_nationkey")
+
+    def finish_batch(b: pa.Table) -> pa.Table:
+        b = attach_cnat(b)
+        b = attach_snat(b)
+        # local-supplier condition + region membership
+        keep = pc.and_(pc.equal(b.column("c_nationkey"),
+                                b.column("s_nationkey")),
+                       pc.is_in(b.column("c_nationkey"),
+                                value_set=_nation_keys(nation_ref)))
+        b = b.filter(keep)
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        nk, nn = _nation_arrays(nation_ref)
+        names = pc.take(nn, pc.index_in(b.column("c_nationkey"),
+                                        value_set=nk))
+        t = pa.table({"n_name": names, "revenue": rev})
+        # partial combine: one row per nation per batch
+        return (pa.TableGroupBy(t, "n_name").aggregate([("revenue", "sum")])
+                .rename_columns(["n_name", "revenue"]))
+
+    out = (joined.map_batches(finish_batch, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    return (out.map_batches(lambda b: _round_col(b, "revenue", 2),
+                            batch_format="pyarrow")
+            .sort("revenue", descending=True))
+
+
+_NATION_CACHE: dict[int, tuple] = {}
+
+
+def _nation_arrays(ref):
+    """Worker-local memo for the broadcast (keys, names) pair — ray.get is
+    zero-copy but per-call overhead adds up across small batches."""
+    key = id(ref)
+    if key not in _NATION_CACHE:
+        import ray
+        while len(_NATION_CACHE) >= 8:
+            _NATION_CACHE.pop(next(iter(_NATION_CACHE)))
+        _NATION_CACHE[key] = ray.get(ref)
+    return _NATION_CACHE[key]
+
+
+def _nation_keys(ref):
+    return _nation_arrays(ref)[0]
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# -- Q3-style: unshipped orders by revenue ----------------------------------
+
+def order_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                            cutoff: str = "1997-06-01T00:00:00",
+                            num_partitions: int = 16):
+    """customer (broadcast semi-filter) ⋈ orders ⋈ lineitem (shuffle hash
+    join) → top-10 unshipped orders by revenue.
+
+    orders is pre-filtered to the segment's customers with a broadcast
+    membership probe BEFORE entering the shuffle join — the join then
+    exchanges only qualifying orders (a semi-join pushdown; at 100 TB this
+    cuts the shuffled volume by ~the segment selectivity)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = cust.filter(expr=f"c_mktsegment == '{segment}'") \
+                   .select_columns(["c_custkey"]).to_pandas()
+    seg_ref = ray.put(pa.array(seg_keys["c_custkey"].to_numpy()))
+
+    def seg_filter(b: pa.Table) -> pa.Table:
+        vs = _seg_cache(seg_ref)
+        return b.filter(pc.is_in(b.column("o_custkey"), value_set=vs))
+
+    cut = _ts(cutoff)
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(lambda b: seg_filter(
+                  b.filter(pc.less(b.column("o_orderdate"), cut))),
+                  batch_format="pyarrow"))
+    lineitem = (_read(sf_dir, "lineitem",
+                      ["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+                .map_batches(lambda b: b.filter(
+                    pc.greater(b.column("l_shipdate"), cut)),
+                    batch_format="pyarrow"))
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def derive(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "o_orderdate": b.column("o_orderdate"),
+                      "revenue": rev})
+        return (pa.TableGroupBy(t, ["l_orderkey", "o_orderdate"])
+                .aggregate([("revenue", "sum")])
+                .rename_columns(["l_orderkey", "o_orderdate", "revenue"]))
+
+    out = (joined.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_orderdate"])
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    return (out.map_batches(lambda b: _round_col(b, "revenue", 2),
+                            batch_format="pyarrow")
+            .sort(["revenue", "l_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+_SEG_CACHE: dict[int, pa.Array] = {}
+
+
+def _seg_cache(ref):
+    key = id(ref)
+    if key not in _SEG_CACHE:
+        import ray
+        while len(_SEG_CACHE) >= 8:
+            _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+        _SEG_CACHE[key] = ray.get(ref)
+    return _SEG_CACHE[key]
+
+
+SQL_ORDER_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
