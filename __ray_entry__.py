@@ -81,6 +81,13 @@ def _sketch_query(fn_name):
     return q
 
 
+def _window_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import windows
+        return getattr(windows, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -107,6 +114,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
+        "customers_without_large_orders":
+            _join_query("customers_without_large_orders"),
+        "events_last_purchase_asof":
+            _window_query("events_last_purchase_asof"),
+        "documents_top_per_lang": _window_query("documents_top_per_lang"),
+        "events_cumulative_value":
+            _window_query("events_cumulative_value"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -143,7 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gpml2pvjson_js_ray.pipelines import joins, simops, sketches, textops
+    from gpml2pvjson_js_ray.pipelines import (joins, simops, sketches,
+                                              textops, windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -167,6 +182,12 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,
         "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
+        "customers_without_large_orders":
+            joins.SQL_CUSTOMERS_WITHOUT_LARGE_ORDERS,
+        "events_last_purchase_asof":
+            windows.SQL_EVENTS_LAST_PURCHASE_ASOF,
+        "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
+        "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

@@ -226,6 +226,51 @@ def _seg_cache(ref):
     return _SEG_CACHE[key]
 
 
+# -- anti join: customers with no large orders -------------------------------
+
+def customers_without_large_orders(sf_dir: str, threshold: float = 450000.0):
+    """Broadcast anti-join: customers that never placed an order above
+    `threshold`.
+
+    The distinct qualifying-custkey set is bounded by the customer table
+    (the small side by definition), so each orders block filters to
+    qualifying orders and pre-dedups its keys (per-batch unique → tiny
+    blocks); the global distinct set is collected once and broadcast;
+    customer blocks then drop members with one vectorized inverted is_in
+    probe. No shuffle of either table. If the key set ever outgrew a
+    broadcast, the fallback is the shuffle shape: groupby(custkey) over
+    the tagged union, keep groups with no order rows."""
+    import ray
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    thr = pa.scalar(float(threshold))
+    batch_keys = orders.map_batches(
+        lambda b: pa.table({"o_custkey": pc.unique(
+            b.filter(pc.greater(b.column("o_totalprice"), thr))
+            .column("o_custkey"))}),
+        batch_format="pyarrow")
+    keys = pc.unique(pa.chunked_array(
+        [pa.array(batch_keys.to_pandas()["o_custkey"].to_numpy())]))
+    keys_ref = ray.put(keys)
+
+    def drop_members(b: pa.Table) -> pa.Table:
+        vs = _seg_cache(keys_ref)
+        return b.filter(pc.invert(pc.is_in(b.column("c_custkey"),
+                                           value_set=vs)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return (cust.map_batches(drop_members, batch_format="pyarrow")
+            .sort("c_custkey"))
+
+
+SQL_CUSTOMERS_WITHOUT_LARGE_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+ORDER BY c_custkey
+"""
+
+
 SQL_ORDER_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -1,0 +1,194 @@
+"""Ordered / windowed operators Ray Data has no built-in for: as-of join,
+per-group ranked top-k, and running cumulative aggregation.
+
+All three share one partitioning assumption, stated per the custom-operator
+rule: rows for one key (user_id / lang) must co-locate, which
+`groupby(key).map_groups` guarantees via its hash shuffle. Within a group
+the ordered semantics are vectorized (numpy sort/searchsorted/cumsum) —
+group size is the per-task memory bound, so heavy keys are the thing to
+watch; event streams keyed by user are naturally fine-grained.
+
+Reference parity: the reference engine's only ordered semantics are
+in-document (SURVEY.md §2.6 O1-O3, zIndex/topo/year sorts inside one
+pathway, `src/2013a/toPvjson.ts`); these pipelines are part of the
+beyond-reference surface a training-data/KG engine needs (as-of joins for
+event attribution, ranked top-k for per-language corpus pruning,
+cumulative windows for user-level features). Column names match the
+oracle SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# -- as-of join: click → most recent prior purchase by the same user --------
+
+def events_last_purchase_asof(sf_dir: str):
+    """For every click event, the most recent purchase by the same user at
+    or before the click (DuckDB `ASOF LEFT JOIN` semantics).
+
+    Plan: ONE pass over events splits the stream into tagged click /
+    purchase rows (a flag column, no second read); the hash shuffle of
+    `groupby(user_id)` co-locates each user's rows; inside a group both
+    sides sort once and every click binary-searches the purchase
+    timestamps (np.searchsorted) — O((c+p) log p) per user, never a
+    cross product. At 100 TB this is the standard distributed as-of
+    shape: partition by key, sort within partition, merge."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        b = b.filter(keep)
+        return b.append_column(
+            "is_click", pc.equal(b.column("event_type"), "click"))
+
+    def asof_group(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["is_click"]]
+        purch = df[~df["is_click"]].sort_values("ts", kind="stable")
+        p_ts = purch["ts"].to_numpy()
+        idx = np.searchsorted(p_ts, clicks["ts"].to_numpy(),
+                              side="right") - 1
+        has = idx >= 0
+        last_ts = np.full(len(clicks), np.datetime64("NaT"),
+                          dtype="datetime64[us]")
+        last_val = np.full(len(clicks), np.nan)
+        last_ts[has] = p_ts[idx[has]]
+        last_val[has] = purch["value"].to_numpy()[idx[has]]
+        return pd.DataFrame({
+            "event_id": clicks["event_id"].to_numpy(),
+            "user_id": clicks["user_id"].to_numpy(),
+            "ts": clicks["ts"].to_numpy(),
+            "last_purchase_ts": last_ts,
+            "last_purchase_value": last_val,
+        })
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(asof_group, batch_format="pandas")
+            .sort("event_id"))
+
+
+SQL_EVENTS_LAST_PURCHASE_ASOF = """
+WITH clicks AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT ts, user_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts    AS last_purchase_ts,
+       p.value AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
+# -- ranked top-k per group -------------------------------------------------
+
+def documents_top_per_lang(sf_dir: str, k: int = 3):
+    """Top-k longest documents per language with their rank
+    (ROW_NUMBER semantics, ties broken by doc_id).
+
+    Each batch keeps only its own per-lang top-k BEFORE the shuffle — the
+    exchange then carries ≤ k·langs rows per block regardless of corpus
+    size (the partial-top-k combiner pattern; same shape as
+    relational.documents_top_terms)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        order = [("lang", "ascending"), ("n_chars", "descending"),
+                 ("doc_id", "ascending")]
+        b = b.sort_by(order)
+        # vectorized rank-within-lang: position minus first position of
+        # the row's lang in the sorted table
+        langs = b.column("lang")
+        enc = langs.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(b))
+        first = np.full(len(enc.dictionary), len(b), dtype=np.int64)
+        np.minimum.at(first, codes, pos)
+        return b.filter(pa.array(pos - first[codes] < k))
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True], kind="stable").head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(final_topk, batch_format="pandas")
+            .sort(["lang", "rank"]))
+
+
+SQL_DOCUMENTS_TOP_PER_LANG = """
+SELECT lang, doc_id, n_chars,
+       CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank
+FROM documents
+QUALIFY rank <= 3
+ORDER BY lang, rank
+"""
+
+
+# -- running cumulative aggregate per key -----------------------------------
+
+def events_cumulative_value(sf_dir: str):
+    """Running total of purchase value per user, ordered by event time
+    (SUM OVER (PARTITION BY user ORDER BY ts) semantics).
+
+    groupby(user_id) co-locates each user's purchases; the group sorts by
+    (ts, event_id) and np.cumsum runs the same left-to-right double
+    additions the SQL window frame does, so values are bit-identical
+    before the shared half-away rounding (floor(x*100+0.5)*0.01 on BOTH
+    sides — see BASELINE.md on cross-engine rounding)."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("event_type"), "purchase")) \
+                .drop_columns(["event_type"])
+
+    def cum_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        run = np.cumsum(df["value"].to_numpy())
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+            "cum_value": np.floor(run * 100.0 + 0.5) * 0.01,
+        })
+        return out
+
+    return (ds.map_batches(purchases, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(cum_group, batch_format="pandas")
+            .sort("event_id"))
+
+
+SQL_EVENTS_CUMULATIVE_VALUE = """
+SELECT event_id, user_id, ts,
+       floor(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) * 0.01
+         AS cum_value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
