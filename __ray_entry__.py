@@ -88,6 +88,13 @@ def _window_query(fn_name):
     return q
 
 
+def _corpus_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import corpus
+        return getattr(corpus, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -121,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_top_per_lang": _window_query("documents_top_per_lang"),
         "events_cumulative_value":
             _window_query("events_cumulative_value"),
+        "documents_corpus_prep": _corpus_query("documents_corpus_prep"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -157,8 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gpml2pvjson_js_ray.pipelines import (joins, simops, sketches,
-                                              textops, windows)
+    from gpml2pvjson_js_ray.pipelines import (corpus, joins, simops,
+                                              sketches, textops, windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -188,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
             windows.SQL_EVENTS_LAST_PURCHASE_ASOF,
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
+        "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,
