@@ -95,6 +95,13 @@ def _corpus_query(fn_name):
     return q
 
 
+def _quantile_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import quantiles
+        return getattr(quantiles, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -129,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative_value":
             _window_query("events_cumulative_value"),
         "documents_corpus_prep": _corpus_query("documents_corpus_prep"),
+        "events_value_quantiles":
+            _quantile_query("events_value_quantiles"),
+        "events_value_quantiles_tdigest":
+            _quantile_query("events_value_quantiles_tdigest"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -165,8 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gpml2pvjson_js_ray.pipelines import (corpus, joins, simops,
-                                              sketches, textops, windows)
+    from gpml2pvjson_js_ray.pipelines import (corpus, joins, quantiles,
+                                              simops, sketches, textops,
+                                              windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -197,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
+        "events_value_quantiles": quantiles.SQL_EVENTS_VALUE_QUANTILES,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

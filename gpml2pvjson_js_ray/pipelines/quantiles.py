@@ -1,0 +1,135 @@
+"""Distributed quantiles over the events table: exact per-group
+percentiles (discrete — returns actual elements, so cross-engine parity
+is exact) and a merging t-digest sketch (the 100-TB path: constant-size
+state per group however large the group).
+
+Exact variant partitioning assumption: one group's values must fit a
+task (groupby co-location + in-group sort). event_type has few, huge
+groups, which is exactly where the exact path stops scaling — the
+t-digest variant exists for that regime: per-batch digests are ≤ delta
+centroids each (a few KB), the merge shuffle carries kilobytes per
+group, and accuracy concentrates at the tails via the arcsin scale
+function (Dunning & Ertl's t-digest, vectorized: no Python loop touches
+row data — centroids cluster by a floor(k(q)) bucket id + reduceat).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_QS = (0.25, 0.50, 0.90, 0.99)
+_QCOLS = ("p25", "p50", "p90", "p99")
+
+
+def _read_events(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_type", "value"])
+
+
+# -- exact (quantile_disc semantics: element at ceil(q*n)-1) -----------------
+
+def events_value_quantiles(sf_dir: str):
+    """Exact p25/p50/p90/p99 of value per event type, discrete-quantile
+    semantics (DuckDB quantile_disc): the selected value IS an element of
+    the group, so no interpolation arithmetic can diverge between
+    engines."""
+
+    def exact_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy())
+        n = len(v)
+        idx = [int(np.ceil(q * n)) - 1 for q in _QS]
+        out = {"event_type": [df["event_type"].iloc[0]]}
+        for col, i in zip(_QCOLS, idx):
+            out[col] = [v[max(0, i)]]
+        return pd.DataFrame(out)
+
+    return (_read_events(sf_dir)
+            .groupby("event_type")
+            .map_groups(exact_group, batch_format="pandas")
+            .sort("event_type"))
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.90) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# -- t-digest sketch ---------------------------------------------------------
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: float = 100.0):
+    """Cluster centroids by the arcsin scale function: centroids whose
+    mid-quantile lands in the same k-bucket merge (weighted mean). One
+    sort + one reduceat — fully vectorized, deterministic."""
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    total = w.sum()
+    if total == 0 or len(m) == 0:
+        return m, w
+    q = (np.cumsum(w) - w / 2.0) / total
+    k = np.floor(delta / (2.0 * np.pi)
+                 * (np.arcsin(2.0 * q - 1.0) + np.pi / 2.0))
+    starts = np.flatnonzero(
+        np.concatenate([[True], k[1:] != k[:-1]]))
+    gw = np.add.reduceat(w, starts)
+    gm = np.add.reduceat(m * w, starts) / gw
+    return gm, gw
+
+
+def _tdigest_quantiles(means: np.ndarray, weights: np.ndarray,
+                       qs) -> np.ndarray:
+    """Linear interpolation between centroid means at their cumulative
+    mid-weights (np.interp clamps at the extreme centroids)."""
+    cum = np.cumsum(weights) - weights / 2.0
+    return np.interp(np.asarray(qs) * weights.sum(), cum, means)
+
+
+def events_value_quantiles_tdigest(sf_dir: str, delta: float = 100.0):
+    """Approximate per-type percentiles in ONE streaming pass: each batch
+    folds its values into ≤ delta centroids per type; groups merge
+    centroid lists and re-compress. Shuffle volume is O(types · delta)
+    floats regardless of corpus size."""
+
+    def batch_digest(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        out_t, out_m, out_w = [], [], []
+        for t in np.unique(types):
+            v = vals[types == t]
+            gm, gw = _tdigest_compress(
+                v.astype(np.float64), np.ones(len(v)), delta)
+            out_t.append(str(t))
+            out_m.append(gm.tolist())
+            out_w.append(gw.tolist())
+        return pa.table({
+            "event_type": pa.array(out_t, type=pa.string()),
+            "means": pa.array(out_m, type=pa.list_(pa.float64())),
+            "weights": pa.array(out_w, type=pa.list_(pa.float64()))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.asarray(x) for x in df["means"]])
+        w = np.concatenate([np.asarray(x) for x in df["weights"]])
+        gm, gw = _tdigest_compress(m, w, delta)
+        est = _tdigest_quantiles(gm, gw, _QS)
+        out = {"event_type": [df["event_type"].iloc[0]]}
+        for col, v in zip(_QCOLS, est):
+            out[col] = [float(v)]
+        return pd.DataFrame(out)
+
+    return (_read_events(sf_dir)
+            .map_batches(batch_digest, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(merge, batch_format="pandas")
+            .sort("event_type"))
