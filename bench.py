@@ -122,6 +122,43 @@ def run_bench() -> dict:
     return result
 
 
+def _cpu_ladder(lo: int, hi: int, secs: float = 6.0) -> float:
+    """Same-window pure-CPU scaling ceiling: run a python dict/str burn
+    (shaped like the convert stage) on `lo` then `hi` processes and
+    return (per-proc@hi / per-proc@lo) — i.e. the efficiency a PERFECT
+    pipeline could reach on this host right now. This VM has degraded
+    windows (~an hour) where even pure CPU scales at 0.75-0.85 from 6→24
+    procs (host contention); bracketing each scaling run with this
+    ladder lets the record distinguish pipeline overhead from host
+    state. The criterion models N vs 4N equal-headroom NODES, so
+    eff/ceiling is the host-neutral estimate."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        n = 0
+        d = {}
+        while time.perf_counter() - t0 < secs:
+            for i in range(1000):
+                d[f"k{i % 97}"] = {"a": i, "b": str(i * 7), "c": [i, i + 1]}
+                if i % 97 == 0:
+                    "".join(k for k in d)
+            n += 1000
+        q.put(n)
+
+    per_proc = {}
+    for procs in (lo, hi):
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        per_proc[procs] = total / procs / secs
+    return per_proc[hi] / per_proc[lo]
+
+
 def run_scaling() -> dict:
     """N vs 4N parallelism on the same input (sandbox stand-in for cluster
     sizes). This VM shows ±30-50% run-to-run wall-time variance, so the two
@@ -151,19 +188,26 @@ def run_scaling() -> dict:
     # records stay apples-to-apples; results are tagged with cpus_lo/hi.
     lo, hi = (int(x) for x in
               os.environ.get("BENCH_LADDER", "6,24").split(","))
+    ceil_before = _cpu_ladder(lo, hi)
     results = {lo: [], hi: []}
     for _round in range(2):
         for ncpu in (lo, hi):
             results[ncpu].append(run(ncpu))
+    ceil_after = _cpu_ladder(lo, hi)
     best_lo = min(results[lo], key=lambda r: r["value"])
     best_hi = min(results[hi], key=lambda r: r["value"])
     tp_lo = best_lo["triples_per_sec"]
     tp_hi = best_hi["triples_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
+    ceiling = (ceil_before + ceil_after) / 2.0
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "host_ceiling": round(ceiling, 3),
+        "host_ceiling_before": round(ceil_before, 3),
+        "host_ceiling_after": round(ceil_after, 3),
+        "value_normalized": round(eff / ceiling, 3) if ceiling else None,
         "cpus_lo": lo,
         "cpus_hi": hi,
         f"sec_{lo}": best_lo["value"],
