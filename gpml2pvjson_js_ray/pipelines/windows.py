@@ -182,6 +182,68 @@ def events_cumulative_value(sf_dir: str):
             .sort("event_id"))
 
 
+# -- week-over-week retention cohorts ---------------------------------------
+
+def events_weekly_retention(sf_dir: str):
+    """Per calendar week (Monday-truncated): active users and how many of
+    them return the following week.
+
+    Two exchanges, both small: per-batch distinct (user, week) pairs
+    shrink the first shuffle to unique pairs per block;
+    groupby(user_id) then computes each user's next-week flags from the
+    sorted week list (vectorized diff == 7 days); the final
+    groupby(week) aggregates a few rows per user. The week truncation
+    ((days+3) % 7 Monday alignment) is bit-identical to DuckDB
+    date_trunc('week') — verified on boundary timestamps."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        week = (days - (days + 3) % 7).astype("datetime64[D]") \
+            .astype("datetime64[us]")
+        t = pa.table({"user_id": b.column("user_id"),
+                      "week": pa.array(week)})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    def flag_next(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop_duplicates(["user_id", "week"])
+              .sort_values("week", kind="stable"))
+        wk = df["week"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        nxt = np.zeros(len(wk), dtype=np.int64)
+        if len(wk) > 1:
+            nxt[:-1] = (np.diff(wk) == 7).astype(np.int64)
+        return pd.DataFrame({"week": df["week"].to_numpy(), "r": nxt})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(flag_next, batch_format="pandas")
+            .groupby("week")
+            .aggregate(Count(alias_name="active_users"),
+                       Sum("r", alias_name="retained_next_week"))
+            .sort("week"))
+
+
+SQL_EVENTS_WEEKLY_RETENTION = """
+WITH wk AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), flg AS (
+  SELECT user_id, week,
+         CASE WHEN lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                   = week + INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS r
+  FROM wk
+)
+SELECT CAST(week AS TIMESTAMP) AS week,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(r) AS BIGINT) AS retained_next_week
+FROM flg GROUP BY week ORDER BY week
+"""
+
+
 SQL_EVENTS_CUMULATIVE_VALUE = """
 SELECT event_id, user_id, ts,
        floor(sum(value) OVER (

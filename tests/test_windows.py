@@ -114,6 +114,30 @@ def test_cumulative_value_ordering(ray_session, mini_sf):
     assert list(u3["cum_value"]) == [7.5]
 
 
+def test_weekly_retention_planted(ray_session, tmp_path):
+    """u1 active weeks 1+2 (retained), u2 only week 1, u3 weeks 1+3
+    (gap → not retained)."""
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+    pd.DataFrame({
+        "event_id": range(6),
+        "ts": [ts("2024-01-01T10:00"), ts("2024-01-08T10:00"),
+               ts("2024-01-03T10:00"), ts("2024-01-02T10:00"),
+               ts("2024-01-16T10:00"), ts("2024-01-04T11:00")],
+        "user_id": [1, 1, 2, 3, 3, 1],
+        "event_type": ["view"] * 6,
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    }).to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = windows.events_weekly_retention(str(tmp_path)).to_pandas()
+    out = out.set_index(pd.to_datetime(out["week"]))
+    w1 = out.loc[pd.Timestamp("2024-01-01")]
+    assert w1["active_users"] == 3 and w1["retained_next_week"] == 1
+    w2 = out.loc[pd.Timestamp("2024-01-08")]
+    assert w2["active_users"] == 1 and w2["retained_next_week"] == 0
+    w3 = out.loc[pd.Timestamp("2024-01-15")]
+    assert w3["active_users"] == 1 and w3["retained_next_week"] == 0
+
+
 def test_customers_without_large_orders(ray_session, mini_sf):
     # cust 1 has a 500k order, cust 3 a 600k one; cust 2 only small orders
     out = joins.customers_without_large_orders(mini_sf).to_pandas()
