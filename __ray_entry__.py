@@ -102,6 +102,13 @@ def _quantile_query(fn_name):
     return q
 
 
+def _rollup_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import rollup
+        return getattr(rollup, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -140,6 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _quantile_query("events_value_quantiles"),
         "events_value_quantiles_tdigest":
             _quantile_query("events_value_quantiles_tdigest"),
+        "events_weekly_retention":
+            _window_query("events_weekly_retention"),
+        "lineitem_rollup": _rollup_query("lineitem_rollup"),
+        "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
+        "customers_above_nation_avg":
+            _rollup_query("customers_above_nation_avg"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -177,8 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gpml2pvjson_js_ray.pipelines import (corpus, joins, quantiles,
-                                              simops, sketches, textops,
-                                              windows)
+                                              rollup, simops, sketches,
+                                              textops, windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -210,6 +223,11 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
         "events_value_quantiles": quantiles.SQL_EVENTS_VALUE_QUANTILES,
+        "events_weekly_retention": windows.SQL_EVENTS_WEEKLY_RETENTION,
+        "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
+        "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
+        "customers_above_nation_avg":
+            rollup.SQL_CUSTOMERS_ABOVE_NATION_AVG,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,
