@@ -109,6 +109,13 @@ def _rollup_query(fn_name):
     return q
 
 
+def _sampling_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import sampling
+        return getattr(sampling, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -153,6 +160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
             _rollup_query("customers_above_nation_avg"),
+        # deterministic sampling / split / packing (training-data prep)
+        "documents_split_assign": _sampling_query("documents_split_assign"),
+        "documents_stratified_sample":
+            _sampling_query("documents_stratified_sample"),
+        "documents_concat_chunks":
+            _sampling_query("documents_concat_chunks"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -190,8 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gpml2pvjson_js_ray.pipelines import (corpus, joins, quantiles,
-                                              rollup, simops, sketches,
-                                              textops, windows)
+                                              rollup, sampling, simops,
+                                              sketches, textops, windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -228,6 +241,10 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":
             rollup.SQL_CUSTOMERS_ABOVE_NATION_AVG,
+        "documents_split_assign": sampling.SQL_DOCUMENTS_SPLIT_ASSIGN,
+        "documents_stratified_sample":
+            sampling.SQL_DOCUMENTS_STRATIFIED_SAMPLE,
+        "documents_concat_chunks": sampling.SQL_DOCUMENTS_CONCAT_CHUNKS,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

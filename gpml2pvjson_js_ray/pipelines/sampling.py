@@ -1,0 +1,203 @@
+"""Deterministic sampling / split / sequence-packing operators.
+
+The training-data-curation surface a 100 TB corpus pipeline needs
+(beyond-reference extension, SURVEY.md §2 extension table). Everything
+here is *deterministic by key arithmetic* — no RNG state, so results
+are reproducible across runs, resumable partitions, and cluster sizes,
+and every operator is a pure `map_batches` (zero shuffles) except the
+packing scan, whose only exchange is a tiny per-bucket-totals groupby.
+
+- **Train/val/test split** (`documents_split_assign`): Knuth
+  multiplicative hash of the key → percent bucket. The canonical "split
+  by hash, not by position" pattern: stable under re-sharding and
+  incremental corpus growth.
+- **Stratified sampling** (`documents_stratified_sample`): per-stratum
+  (language) keep-rates applied with an independent key hash —
+  a mixture-weighting downsample as used for corpus balancing.
+- **Sequence packing** (`documents_concat_chunks`): GPT-style
+  concat-then-chunk: documents in key order are conceptually
+  concatenated and sliced into fixed-capacity context windows; each doc
+  gets its window span + offset. Distributed as a two-pass prefix scan:
+  per-bucket totals (tiny groupby over contiguous key ranges) →
+  exclusive scan over bucket totals (driver-side, |buckets| rows) →
+  broadcast offsets + vectorized in-bucket cumsum. Integer arithmetic
+  throughout → bit-identical to the single-node window-function oracle.
+
+Column names match the oracle SQL aliases exactly (driver hash-compare
+sorts columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _read
+
+# Knuth multiplicative constants (public domain, TAOCP vol. 3); both
+# fit 64-bit signed products for doc_id < 2^31, matching the BIGINT
+# arithmetic of the SQL oracle (no unsigned wraparound on either side).
+_SPLIT_MULT = 2654435761
+_SAMPLE_MULT = 2246822519
+_M32 = 1 << 32
+
+
+def _pct_hash(ids: np.ndarray, mult: int, mod: int) -> np.ndarray:
+    return ((ids * mult) % _M32) % mod
+
+
+# -- train/val/test split ---------------------------------------------------
+
+def documents_split_assign(sf_dir: str, train_pct: int = 80,
+                           val_pct: int = 10):
+    """Assign every document to train/val/test by key hash.
+
+    Pure map over the scan — at 100 TB this adds one int64 column and
+    never shuffles; the split is a property of the key, not the shard."""
+    def assign(b: pa.Table) -> pa.Table:
+        h = _pct_hash(b.column("doc_id").to_numpy(), _SPLIT_MULT, 100)
+        split = np.where(h < train_pct, "train",
+                         np.where(h < train_pct + val_pct, "val", "test"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "split": pa.array(split)})
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(assign, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_SPLIT_ASSIGN = """
+SELECT doc_id, lang,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                THEN 'train'
+            WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- stratified (per-language) downsample -----------------------------------
+
+# keep-rates per mille per stratum: corpus-balancing mixture weights
+# (dominant language downsampled hardest).
+_LANG_RATE_PMIL = {"en": 300, "de": 700, "es": 700, "fr": 700, "zh": 700}
+_DEFAULT_RATE_PMIL = 500
+
+
+def documents_stratified_sample(sf_dir: str):
+    """Keep each document with its language's deterministic keep-rate.
+
+    The rate table is a constant (broadcast-by-closure: bytes, not a
+    shuffle); the filter is a vectorized map over the scan."""
+    known = pa.array(list(_LANG_RATE_PMIL))
+    known_rates = np.fromiter(_LANG_RATE_PMIL.values(), dtype=np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _pct_hash(b.column("doc_id").to_numpy(), _SAMPLE_MULT, 1000)
+        idx = pc.index_in(b.column("lang").combine_chunks(),
+                          value_set=known).fill_null(-1) \
+            .to_numpy(zero_copy_only=False)
+        rates = np.where(idx >= 0, known_rates[np.maximum(idx, 0)],
+                         _DEFAULT_RATE_PMIL)
+        return b.select(["doc_id", "lang"]).filter(pa.array(h < rates))
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(keep, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 2246822519) % 4294967296) % 1000 <
+      CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 700 WHEN 'es' THEN 700
+                WHEN 'fr' THEN 700 WHEN 'zh' THEN 700 ELSE 500 END
+ORDER BY doc_id
+"""
+
+
+# -- GPT-style concat-then-chunk sequence packing ---------------------------
+
+def documents_concat_chunks(sf_dir: str, capacity: int = 4096,
+                            bucket_docs: int = 128):
+    """Concatenate documents in doc_id order and slice into
+    fixed-capacity context windows; emit each document's window span.
+
+    Two-pass distributed prefix scan (the canonical pattern):
+      1. per-bucket totals: bucket = doc_id // bucket_docs is a
+         CONTIGUOUS key range, so per-batch partials + one tiny groupby
+         give |buckets| rows (millions at 100 TB — still driver-safe
+         as a single numpy scan);
+      2. exclusive scan over sorted bucket totals → per-bucket global
+         offsets, broadcast by closure; each bucket then sorts its own
+         rows and cumsums locally (map_groups), adding the offset.
+
+    At scale, set bucket_docs so a bucket's rows fit one worker
+    (e.g. 1e5); correctness is independent of the setting because the
+    arithmetic is exact integer addition in key order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = pc.divide(b.column("doc_id"), pa.scalar(bucket_docs))
+        t = pa.table({"bucket": bucket, "total": b.column("n_chars")})
+        return (pa.TableGroupBy(t, "bucket").aggregate([("total", "sum")])
+                .rename_columns(["bucket", "total"]))
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("total", alias_name="total")))
+    tt = pa.concat_tables(
+        [t for t in ray.get(totals.to_arrow_refs()) if len(t)])
+    order = pc.sort_indices(tt.column("bucket"))
+    buckets = tt.column("bucket").take(order).to_numpy()
+    sums = tt.column("total").take(order).to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    offset_ref = ray.put((buckets, offsets))
+
+    def pack(b: pa.Table) -> pa.Table:
+        bk, off = ray.get(offset_ref)
+        idx = pc.sort_indices(b.column("doc_id"))
+        ids = b.column("doc_id").take(idx).to_numpy()
+        n = b.column("n_chars").take(idx).to_numpy()
+        bucket = ids // bucket_docs
+        base = off[np.searchsorted(bk, bucket)]
+        cum = np.cumsum(n) - n  # exclusive in-bucket prefix
+        start = base + cum
+        end = start + np.maximum(n, 1) - 1  # empty docs occupy their slot
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "chunk_start": pa.array(start // capacity),
+            "chunk_end": pa.array(end // capacity),
+            "chunk_offset": pa.array(start % capacity)})
+
+    # groupby(bucket) co-locates each contiguous key range; pack() is
+    # per-bucket-local so the cumsum never crosses workers.
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.divide(b.column("doc_id"), pa.scalar(bucket_docs)))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pack, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_CONCAT_CHUNKS = """
+WITH scanned AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_pos
+  FROM documents
+)
+SELECT doc_id,
+       start_pos // 4096 AS chunk_start,
+       (start_pos + greatest(n_chars, 1) - 1) // 4096 AS chunk_end,
+       start_pos % 4096 AS chunk_offset
+FROM scanned ORDER BY doc_id
+"""

@@ -1,0 +1,71 @@
+"""Tests for deterministic split / stratified sample / sequence packing."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpml2pvjson_js_ray.pipelines import sampling
+
+
+@pytest.fixture(scope="module")
+def samp_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("samp_sf")
+    n = 40
+    pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["x"] * n,
+        "lang": (["en", "de", "xx", "zh"] * 10),
+        "source": ["s"] * n,
+        # lengths exercise multi-chunk spans: doc 1 is longer than one
+        # 10-char window, doc 3 is empty
+        "n_chars": [4, 25, 7, 0] * 10,
+    }).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_split_assign_deterministic_and_partitioned(ray_session, samp_sf):
+    out = sampling.documents_split_assign(samp_sf).to_pandas()
+    assert len(out) == 40
+    # recompute the hash rule directly
+    h = (out["doc_id"].to_numpy() * sampling._SPLIT_MULT) % (1 << 32) % 100
+    want = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    assert list(out["split"]) == list(want)
+    # rerun → identical assignment (determinism)
+    again = sampling.documents_split_assign(samp_sf).to_pandas()
+    assert list(again["split"]) == list(out["split"])
+
+
+def test_stratified_sample_respects_rates(ray_session, samp_sf):
+    out = sampling.documents_stratified_sample(samp_sf).to_pandas()
+    h = (out["doc_id"].to_numpy() * sampling._SAMPLE_MULT) % (1 << 32) % 1000
+    rates = out["lang"].map(
+        lambda x: sampling._LANG_RATE_PMIL.get(
+            x, sampling._DEFAULT_RATE_PMIL)).to_numpy()
+    assert (h < rates).all()
+    # unknown lang 'xx' uses the default rate; at least verify the
+    # sampled set is exactly the brute-force recompute over all docs
+    full = pd.read_parquet(os.path.join(samp_sf, "documents.parquet"))
+    fh = (full["doc_id"].to_numpy() * sampling._SAMPLE_MULT) \
+        % (1 << 32) % 1000
+    fr = full["lang"].map(
+        lambda x: sampling._LANG_RATE_PMIL.get(
+            x, sampling._DEFAULT_RATE_PMIL)).to_numpy()
+    assert set(out["doc_id"]) == set(full.loc[fh < fr, "doc_id"])
+
+
+def test_concat_chunks_matches_serial_scan(ray_session, samp_sf):
+    out = (sampling.documents_concat_chunks(samp_sf, capacity=10,
+                                            bucket_docs=7)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    full = pd.read_parquet(os.path.join(samp_sf, "documents.parquet")) \
+        .sort_values("doc_id")
+    n = full["n_chars"].to_numpy()
+    start = np.cumsum(n) - n
+    end = start + np.maximum(n, 1) - 1
+    assert list(out["chunk_start"]) == list(start // 10)
+    assert list(out["chunk_end"]) == list(end // 10)
+    assert list(out["chunk_offset"]) == list(start % 10)
+    # doc 1 (25 chars) must span 3 windows somewhere in the packing
+    spans = out["chunk_end"] - out["chunk_start"]
+    assert spans.max() >= 2
