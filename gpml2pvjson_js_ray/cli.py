@@ -89,6 +89,92 @@ def cmd_jsonld(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Distributed regression-compare harness: convert every GPML file
+    in --gpml and field-diff it against the same-stem golden JSON in
+    --expected (the reference's compare-streaming.js workflow,
+    test/compare/compare-streaming.js:1-769, re-expressed as a Ray
+    Dataset map over the corpus).
+
+    Prints one ndjson line per compared file plus a final summary line;
+    exits 1 if any file has diffs (or is missing its golden)."""
+    import glob as _glob
+    import os
+
+    import ray
+
+    owned = not ray.is_initialized()
+    if owned:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        import ray.data as rd
+
+        pairs = []
+        for path in sorted(_glob.glob(os.path.join(args.gpml, "*.gpml"))):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            pairs.append({
+                "name": stem,
+                "gpml_path": path,
+                "expected_path": os.path.join(args.expected,
+                                              f"{stem}.json")})
+        if not pairs:
+            print(f"no .gpml files under {args.gpml}", file=sys.stderr)
+            return 1
+
+        def compare_batch(batch):
+            # one conversion per document — the per-row loop IS the unit
+            # of work here (cpu-bound convert), not a vectorizable kernel
+            from .functions.convert import convert_island
+            from .functions.diffing import diff_documents
+            out = {"name": [], "n_entities": [], "n_diffs": [],
+                   "error": [], "first_diffs": []}
+            for name, gp, xp in zip(batch["name"], batch["gpml_path"],
+                                    batch["expected_path"]):
+                err, diffs, n_ents = "", [], 0
+                try:
+                    with open(xp) as f:
+                        expected = json.load(f)
+                except OSError:
+                    err = "missing-golden"
+                    expected = None
+                if expected is not None:
+                    try:
+                        with open(gp) as f:
+                            mine = convert_island(f.read())
+                        n_ents = len(mine.get("entitiesById", {}))
+                        diffs = diff_documents(mine, expected)
+                    except Exception as exc:
+                        err = f"convert-failed: {exc}"
+                out["name"].append(name)
+                out["n_entities"].append(n_ents)
+                out["n_diffs"].append(len(diffs))
+                out["error"].append(err)
+                out["first_diffs"].append(json.dumps(diffs[:5]))
+            return out
+
+        results = (rd.from_items(pairs)
+                   .map_batches(compare_batch, batch_size=8)
+                   .sort("name"))
+        total = bad = 0
+        for row in results.iter_rows():
+            total += 1
+            if row["n_diffs"] or row["error"]:
+                bad += 1
+            line = {k: row[k] for k in ("name", "n_entities", "n_diffs",
+                                        "error")}
+            if row["n_diffs"]:
+                line["first_diffs"] = json.loads(row["first_diffs"])
+            print(json.dumps(line))
+        print(json.dumps({"compared": total, "clean": total - bad,
+                          "with_diffs_or_errors": bad}))
+        return 1 if bad else 0
+    finally:
+        if owned:
+            ray.shutdown()
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="gpml2pvjson_js_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -111,6 +197,15 @@ def main(argv=None) -> int:
     p_jsonld.add_argument("--out", required=True)
     p_jsonld.add_argument("--num-cpus", type=int, default=8)
     p_jsonld.set_defaults(fn=cmd_jsonld)
+
+    p_cmp = sub.add_parser(
+        "compare", help="regression-compare GPML corpus vs golden JSON")
+    p_cmp.add_argument("--gpml", required=True,
+                       help="directory of <name>.gpml inputs")
+    p_cmp.add_argument("--expected", required=True,
+                       help="directory of <name>.json goldens")
+    p_cmp.add_argument("--num-cpus", type=int, default=8)
+    p_cmp.set_defaults(fn=cmd_compare)
 
     args = parser.parse_args(argv)
     return args.fn(args)
