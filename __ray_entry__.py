@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _quantile_query("events_value_quantiles_tdigest"),
         "events_weekly_retention":
             _window_query("events_weekly_retention"),
+        "events_signup_conversion":
+            _window_query("events_signup_conversion"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
@@ -237,6 +239,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
         "events_value_quantiles": quantiles.SQL_EVENTS_VALUE_QUANTILES,
         "events_weekly_retention": windows.SQL_EVENTS_WEEKLY_RETENTION,
+        "events_signup_conversion":
+            windows.SQL_EVENTS_SIGNUP_CONVERSION,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":

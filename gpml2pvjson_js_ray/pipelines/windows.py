@@ -182,6 +182,83 @@ def events_cumulative_value(sf_dir: str):
             .sort("event_id"))
 
 
+# -- signup → purchase conversion funnel ------------------------------------
+
+def events_signup_conversion(sf_dir: str):
+    """Two-step funnel: users who signed up, and of those, users with a
+    purchase at-or-after their first signup.
+
+    The ordered condition "purchase after first signup" reduces to
+    `max(purchase_ts) >= min(signup_ts)` per user — both sides are
+    associative, so the whole funnel is ONE partial-aggregable groupby:
+    per-batch (user, min_signup, max_purchase) partials shrink every
+    block to its distinct users before the only shuffle, and the final
+    count is a scalar fold. No per-user event lists ever co-locate,
+    which is what makes this shape hold at 100 TB event streams."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    _MINV = np.int64(-(2 ** 62))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["signup", "purchase"]))
+        b = b.filter(keep)
+        ts = b.column("ts").cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        is_signup = pc.equal(b.column("event_type"),
+                             pa.scalar("signup")).to_numpy(
+                                 zero_copy_only=False)
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            # sentinel-coded so min/max ignore the other type's rows
+            "signup_ts": pa.array(np.where(is_signup, ts, -_MINV)),
+            "purchase_ts": pa.array(np.where(is_signup, _MINV, ts))})
+        return (pa.TableGroupBy(t, "user_id")
+                .aggregate([("signup_ts", "min"), ("purchase_ts", "max")])
+                .rename_columns(["user_id", "signup_ts", "purchase_ts"]))
+
+    per_user = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Min("signup_ts", alias_name="signup_ts"),
+                           Max("purchase_ts", alias_name="purchase_ts")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        s = b.column("signup_ts").to_numpy()
+        p = b.column("purchase_ts").to_numpy()
+        signed_up = s < -_MINV  # at least one real signup row
+        converted = signed_up & (p >= s) & (p > _MINV)
+        return pa.table({
+            "n_signup": pa.array([int(signed_up.sum())]),
+            "n_converted": pa.array([int(converted.sum())])})
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_signup": pa.array([pc.sum(b.column("n_signup")).as_py()
+                                  or 0]),
+            "n_converted": pa.array(
+                [pc.sum(b.column("n_converted")).as_py() or 0])})
+
+    # fold leaves one row per block; the repartition(1) reduce is O(blocks)
+    return (per_user.map_batches(fold, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(total, batch_format="pyarrow", batch_size=None))
+
+
+SQL_EVENTS_SIGNUP_CONVERSION = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS ms,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS mp
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(ms) AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE mp >= ms) AS BIGINT) AS n_converted
+FROM per_user
+"""
+
+
 # -- week-over-week retention cohorts ---------------------------------------
 
 def events_weekly_retention(sf_dir: str):

@@ -138,6 +138,28 @@ def test_weekly_retention_planted(ray_session, tmp_path):
     assert w3["active_users"] == 1 and w3["retained_next_week"] == 0
 
 
+def test_signup_conversion_planted(ray_session, tmp_path):
+    """u1 signup→purchase (converted); u2 purchase BEFORE its only
+    signup (not converted); u3 signup only; u4 purchase only."""
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+    pd.DataFrame({
+        "event_id": range(7),
+        "ts": [ts("2024-01-01T00:00"), ts("2024-01-02T00:00"),
+               ts("2024-01-03T00:00"), ts("2024-01-02T00:00"),
+               ts("2024-01-01T00:00"), ts("2024-01-01T00:00"),
+               ts("2024-01-05T00:00")],
+        "user_id": [1, 1, 2, 2, 3, 4, 1],
+        "event_type": ["signup", "purchase", "signup", "purchase",
+                       "signup", "purchase", "view"],
+        "value": [1.0] * 7,
+        "props": ["{}"] * 7,
+    }).to_parquet(os.path.join(tmp_path, "events.parquet"), index=False)
+    out = windows.events_signup_conversion(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_signup"].iloc[0]) == 3   # u1, u2, u3
+    assert int(out["n_converted"].iloc[0]) == 1  # only u1
+
+
 def test_customers_without_large_orders(ray_session, mini_sf):
     # cust 1 has a 500k order, cust 3 a 600k one; cust 2 only small orders
     out = joins.customers_without_large_orders(mini_sf).to_pandas()
