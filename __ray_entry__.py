@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _window_query("events_weekly_retention"),
         "events_signup_conversion":
             _window_query("events_signup_conversion"),
+        "events_user_features": _window_query("events_user_features"),
+        "documents_uniform_k_sample":
+            _sampling_query("documents_uniform_k_sample"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
@@ -241,6 +244,9 @@ def oracle_sql() -> dict[str, str]:
         "events_weekly_retention": windows.SQL_EVENTS_WEEKLY_RETENTION,
         "events_signup_conversion":
             windows.SQL_EVENTS_SIGNUP_CONVERSION,
+        "events_user_features": windows.SQL_EVENTS_USER_FEATURES,
+        "documents_uniform_k_sample":
+            sampling.SQL_DOCUMENTS_UNIFORM_K_SAMPLE,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":

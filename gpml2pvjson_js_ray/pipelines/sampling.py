@@ -118,6 +118,38 @@ ORDER BY doc_id
 """
 
 
+# -- fixed-size uniform sample (hash order) ---------------------------------
+
+def documents_uniform_k_sample(sf_dir: str, k: int = 100):
+    """Deterministic uniform k-sample: the k documents with the smallest
+    key hash. Equivalent to a seeded ORDER BY random() LIMIT k but
+    reproducible and mergeable: each block pre-selects its local
+    k-smallest (vectorized argpartition), so the final sort+limit sees
+    at most k rows per block instead of the corpus."""
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        h = _pct_hash(ids, _SAMPLE_MULT, _M32)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "lang": b.column("lang"),
+                      "h": pa.array(h)})
+        if len(t) <= k:
+            return t
+        keep = np.argpartition(h, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    return (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .sort(["h", "doc_id"])
+            .limit(k))
+
+
+SQL_DOCUMENTS_UNIFORM_K_SAMPLE = """
+SELECT doc_id, lang,
+       ((doc_id * 2246822519) % 4294967296) AS h
+FROM documents ORDER BY h, doc_id LIMIT 100
+"""
+
+
 # -- GPT-style concat-then-chunk sequence packing ---------------------------
 
 def documents_concat_chunks(sf_dir: str, capacity: int = 4096,

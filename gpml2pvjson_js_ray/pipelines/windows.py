@@ -182,6 +182,78 @@ def events_cumulative_value(sf_dir: str):
             .sort("event_id"))
 
 
+# -- per-user ML feature table ----------------------------------------------
+
+def events_user_features(sf_dir: str):
+    """Per-user activity features (the feature-engineering step of a
+    training pipeline): event counts, purchase counts, value sum/max,
+    first/last timestamps and activity span in days.
+
+    Every feature is associative, so the whole table is one
+    partial-aggregated groupby: per-batch arrow partials shrink each
+    block to its distinct users before the single shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.timestamp("us"))
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "n_events": pa.array(np.ones(len(b), dtype=np.int64)),
+            "n_purchases": pc.cast(
+                pc.equal(b.column("event_type"), pa.scalar("purchase")),
+                pa.int64()),
+            "sum_value": b.column("value"),
+            "max_value": b.column("value"),
+            "first_ts": ts,
+            "last_ts": ts})
+        return (pa.TableGroupBy(t, "user_id").aggregate(
+            [("n_events", "sum"), ("n_purchases", "sum"),
+             ("sum_value", "sum"), ("max_value", "max"),
+             ("first_ts", "min"), ("last_ts", "max")])
+            .rename_columns(["user_id", "n_events", "n_purchases",
+                             "sum_value", "max_value", "first_ts",
+                             "last_ts"]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        # shared half-away rounding (bitwise-identical to the oracle)
+        sv = b.column("sum_value").to_numpy()
+        sv = np.floor(sv * 100.0 + 0.5) * 0.01
+        span = (b.column("last_ts").cast(pa.int64()).to_numpy()
+                - b.column("first_ts").cast(pa.int64()).to_numpy()) \
+            // 86_400_000_000
+        b = b.set_column(b.schema.get_field_index("sum_value"),
+                         "sum_value", pa.array(sv))
+        return b.append_column("span_days", pa.array(span))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_purchases", alias_name="n_purchases"),
+                       Sum("sum_value", alias_name="sum_value"),
+                       Max("max_value", alias_name="max_value"),
+                       Min("first_ts", alias_name="first_ts"),
+                       Max("last_ts", alias_name="last_ts"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+SQL_EVENTS_USER_FEATURES = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       floor(sum(value) * 100.0 + 0.5) * 0.01 AS sum_value,
+       max(value) AS max_value,
+       CAST(min(ts) AS TIMESTAMP) AS first_ts,
+       CAST(max(ts) AS TIMESTAMP) AS last_ts,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000
+           AS span_days
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # -- signup → purchase conversion funnel ------------------------------------
 
 def events_signup_conversion(sf_dir: str):

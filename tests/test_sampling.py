@@ -54,6 +54,15 @@ def test_stratified_sample_respects_rates(ray_session, samp_sf):
     assert set(out["doc_id"]) == set(full.loc[fh < fr, "doc_id"])
 
 
+def test_uniform_k_sample_is_hash_smallest(ray_session, samp_sf):
+    out = sampling.documents_uniform_k_sample(samp_sf, k=5).to_pandas()
+    assert len(out) == 5
+    full = pd.read_parquet(os.path.join(samp_sf, "documents.parquet"))
+    h = (full["doc_id"].to_numpy() * sampling._SAMPLE_MULT) % (1 << 32)
+    want = full.assign(h=h).sort_values(["h", "doc_id"]).head(5)
+    assert list(out["doc_id"]) == list(want["doc_id"])
+
+
 def test_concat_chunks_matches_serial_scan(ray_session, samp_sf):
     out = (sampling.documents_concat_chunks(samp_sf, capacity=10,
                                             bucket_docs=7)

@@ -138,6 +138,19 @@ def test_weekly_retention_planted(ray_session, tmp_path):
     assert w3["active_users"] == 1 and w3["retained_next_week"] == 0
 
 
+def test_user_features_planted(ray_session, mini_sf):
+    out = windows.events_user_features(mini_sf).to_pandas() \
+        .set_index("user_id")
+    u1 = out.loc[1]
+    assert (u1["n_events"], u1["n_purchases"]) == (5, 3)
+    assert (u1["sum_value"], u1["max_value"]) == (35.0, 20.0)
+    assert u1["span_days"] == 0
+    u3 = out.loc[3]
+    assert (u3["n_events"], u3["n_purchases"]) == (2, 1)
+    assert u3["sum_value"] == 8.5
+    assert str(u3["first_ts"]).startswith("2024-01-01 00:04")
+
+
 def test_signup_conversion_planted(ray_session, tmp_path):
     """u1 signup→purchase (converted); u2 purchase BEFORE its only
     signup (not converted); u3 signup only; u4 purchase only."""
