@@ -116,6 +116,13 @@ def _sampling_query(fn_name):
     return q
 
 
+def _graph_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import graph
+        return getattr(graph, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -161,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_features": _window_query("events_user_features"),
         "documents_uniform_k_sample":
             _sampling_query("documents_uniform_k_sample"),
+        "documents_similarity_components": _graph_query(
+            "documents_similarity_components"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
@@ -207,9 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gpml2pvjson_js_ray.pipelines import (corpus, joins, quantiles,
-                                              rollup, sampling, simops,
-                                              sketches, textops, windows)
+    from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins,
+                                              quantiles, rollup, sampling,
+                                              simops, sketches, textops,
+                                              windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -247,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_features": windows.SQL_EVENTS_USER_FEATURES,
         "documents_uniform_k_sample":
             sampling.SQL_DOCUMENTS_UNIFORM_K_SAMPLE,
+        "documents_similarity_components":
+            graph.SQL_DOCUMENTS_SIMILARITY_COMPONENTS,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":

@@ -1,0 +1,126 @@
+"""Distributed graph operators: connected components over an edge
+Dataset (hash-min label propagation).
+
+The KG-construction companion to the dedup surface: near-duplicate
+PAIRS (MinHash / n-gram Jaccard) become duplicate CLUSTERS only after a
+transitive closure, and entity-resolution merges need the same
+operator over alias edges. Ray Data has no built-in for it.
+
+Algorithm: iterative hash-min label propagation expressed purely in
+Dataset ops — per round, every node's label flows across its edges
+(one hash `join` edges⋈labels), and each node keeps the minimum label
+seen (`groupby(node).min`). Rounds = graph diameter; near-dup clusters
+and alias groups have tiny diameters, so 3-5 rounds close real
+corpora. Convergence is detected by the label-sum fixpoint (labels
+only ever decrease, so an unchanged sum ⟺ no label moved).
+
+Scale shape: the working set per round is the (node, label) table and
+the static undirected edge list — both hash-partitioned by the SAME
+key (`node` / `a`), so each round is one co-partitioned join plus one
+shuffle-combine groupby; nothing ever gathers on the driver. For
+web-scale graphs with adversarial diameters, swap the propagation body
+for the large-star/small-star rounds of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14) — same data layout.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .relational import _read
+
+
+def connected_components(edges, nodes, src: str, dst: str,
+                         max_iters: int = 25, num_partitions: int = 8):
+    """Label every node with the smallest node id reachable from it.
+
+    `edges`: Dataset with columns [src, dst]; `nodes`: single-column
+    Dataset of node ids (defines the output domain — isolated nodes
+    label themselves). Returns a Dataset (node, component)."""
+    from ray.data.aggregate import Min
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0), "label": b.column(0)})
+
+    labels = (nodes.map_batches(init, batch_format="pyarrow")
+              .materialize())
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(dst), "b": b.column(src)})
+
+    # repartition merges away any empty zero-column blocks the edge
+    # pipeline produced (see the aggregate note below)
+    und = (edges.map_batches(fwd, batch_format="pyarrow")
+           .union(edges.map_batches(rev, batch_format="pyarrow"))
+           .repartition(num_partitions)
+           .materialize())
+
+    def msg(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("b"), "label": b.column("label")})
+
+    prev = labels.sum("label")
+    for _ in range(max_iters):
+        moved = (und.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("a",), right_on=("node",))
+                 .map_batches(msg, batch_format="pyarrow"))
+        # the repartition merges away the aggregate's empty zero-column
+        # blocks (map_batches skips empty blocks, so a schema-fix UDF
+        # can't); the next join's per-partition pa.Table.join would
+        # otherwise fail on a key-less right-side table.
+        labels = (labels.union(moved)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .repartition(num_partitions)
+                  .materialize())
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def documents_similarity_components(sf_dir: str, threshold: float = 0.3):
+    """Duplicate clusters: connected components over the exact
+    n-gram-Jaccard near-dup pairs (threshold 0.3, the oracled pair
+    set of documents_ngram_jaccard). Every document gets a component
+    id = the smallest doc_id in its cluster; singletons label
+    themselves."""
+    from .textops import documents_ngram_jaccard
+
+    pairs = documents_ngram_jaccard(sf_dir, threshold=threshold)
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    comp = connected_components(pairs, nodes, "doc_a", "doc_b")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("node"),
+                         "component": b.column("label")})
+
+    return (comp.map_batches(rename, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+# Recursive-CTE transitive closure over the SAME SQL pair set the
+# n-gram-Jaccard oracle uses: comp labels propagate along edges until
+# the (node, reachable-label) fixpoint, then min per node.
+from .textops import SQL_DOCUMENTS_NGRAM_JACCARD as _SQL_PAIRS  # noqa: E402
+
+SQL_DOCUMENTS_SIMILARITY_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_PAIRS}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON w.node = e.a
+  WHERE w.comp < e.b
+)
+SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node ORDER BY doc_id
+"""

@@ -1,0 +1,47 @@
+"""Connected-components tests: generic operator + similarity clusters."""
+import os
+
+import pandas as pd
+import pytest
+
+from gpml2pvjson_js_ray.pipelines import graph
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    import ray.data as rd
+    edges = rd.from_items([
+        {"s": 1, "t": 2}, {"s": 2, "t": 3},   # chain (diameter 2)
+        {"s": 4, "t": 5},                      # pair
+        {"s": 8, "t": 7},                      # reversed order edge
+    ])
+    nodes = rd.from_items([{"n": i} for i in [1, 2, 3, 4, 5, 6, 7, 8]])
+    out = (graph.connected_components(edges, nodes, "s", "t")
+           .to_pandas().sort_values("node"))
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 7}
+
+
+@pytest.fixture()
+def chain_docs_sf(tmp_path):
+    texts = {
+        1: "a b c d e f",     # ~2 via shared 3-grams
+        2: "a b c d e g",     # ~1 and ~3
+        3: "c d e g h i",     # ~2 only (1-3 jaccard 0.14 < 0.3)
+        4: "x y z w v u",     # identical pair 4-5
+        5: "x y z w v u",
+        6: "q r s t qq rr",   # singleton
+    }
+    pd.DataFrame({
+        "doc_id": list(texts),
+        "text": list(texts.values()),
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": [len(t) for t in texts.values()],
+    }).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_similarity_components_transitive_chain(ray_session, chain_docs_sf):
+    out = graph.documents_similarity_components(chain_docs_sf).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
