@@ -67,6 +67,13 @@ def _kg_pipeline_output(which: str):
     return q
 
 
+def _kg_components(sf_dir: str):
+    """Connected components over the KG entity graph (adjacency rows
+    whose object is an entity) — interaction-connected clusters."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.entity_components(_kg_pipeline_output("adjacency")(sf_dir))
+
+
 def _join_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import joins
@@ -210,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_deduped_triples": _kg_query("deduped_triples_from_pages"),
         "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),
         "kg_adjacency": _kg_pipeline_output("adjacency"),
+        "kg_entity_components": _kg_components,
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }

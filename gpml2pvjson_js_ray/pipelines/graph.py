@@ -103,6 +103,84 @@ def documents_similarity_components(sf_dir: str, threshold: float = 0.3):
             .sort("doc_id"))
 
 
+def entity_components(adjacency, num_partitions: int = 8,
+                      max_iters: int = 15):
+    """Connected components over the KG entity graph: edges are the
+    adjacency rows whose object is itself an entity
+    (`obj_is_node`), keyed by the canonical ids the exchange already
+    unified. Returns (entity, component) with component = the entity
+    IRI of the cluster's representative — i.e. interaction-connected
+    reaction-network clusters per corpus.
+
+    String ids are hashed to int64 (polars seed-0 hash) for the
+    propagation rounds — min/sum over fixed-width ints, no string
+    shuffling in the loop — and the representative's IRI is joined
+    back at the end from the (hash → iri) mapping built during the
+    same pass."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    def edge_b(b: pa.Table) -> pa.Table:
+        keep = pc.and_(b.column("obj_is_node"),
+                       pc.not_equal(b.column("canonical_subj"),
+                                    b.column("canonical_obj")))
+        t = b.filter(keep)
+
+        def h(col):
+            return pl.from_arrow(t.column(col)).hash(seed=0) \
+                .reinterpret(signed=True).to_arrow()
+
+        return pa.table({"sh": h("canonical_subj"),
+                         "oh": h("canonical_obj"),
+                         "s": t.column("canonical_subj"),
+                         "o": t.column("canonical_obj")})
+
+    hashed = adjacency.map_batches(edge_b, batch_format="pyarrow") \
+        .materialize()
+
+    def side(hcol, icol):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"h": b.column(hcol), "iri": b.column(icol)})
+        return f
+
+    from ray.data.aggregate import Min
+    mapping = (hashed.map_batches(side("sh", "s"), batch_format="pyarrow")
+               .union(hashed.map_batches(side("oh", "o"),
+                                         batch_format="pyarrow"))
+               .groupby("h")
+               .aggregate(Min("iri", alias_name="iri"))
+               .repartition(num_partitions)
+               .materialize())
+
+    def nodes_b(b: pa.Table) -> pa.Table:
+        return pa.table({"n": b.column("h")})
+
+    nodes = mapping.map_batches(nodes_b, batch_format="pyarrow")
+    comp = connected_components(hashed, nodes, "sh", "oh",
+                                max_iters=max_iters,
+                                num_partitions=num_partitions)
+
+    ent = comp.join(mapping, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("node",), right_on=("h",))
+
+    def ent_b(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b.column("label"),
+                         "entity": b.column("iri")})
+
+    rep = ent.map_batches(ent_b, batch_format="pyarrow") \
+        .repartition(num_partitions) \
+        .join(mapping, join_type="inner", num_partitions=num_partitions,
+              on=("label",), right_on=("h",))
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"entity": b.column("entity"),
+                         "component": b.column("iri")})
+
+    return (rep.map_batches(final_b, batch_format="pyarrow")
+            .sort("entity"))
+
+
 # Recursive-CTE transitive closure over the SAME SQL pair set the
 # n-gram-Jaccard oracle uses: comp labels propagate along edges until
 # the (node, reachable-label) fixpoint, then min per node.

@@ -64,17 +64,20 @@ def lineitem_rollup(sf_dir: str):
 
     def add_rollup_levels(b: pa.Table) -> pa.Table:
         # b is the full (tiny) finest-level table: derive the coarser
-        # levels from it instead of re-scanning lineitem.
+        # levels from it instead of re-scanning lineitem. Subtotal
+        # cells use the 'ALL' sentinel instead of SQL NULL so every
+        # downstream consumer (driver hash-compare, parquet sinks with
+        # non-null schemas) sorts and types the result uniformly.
         sub = (pa.TableGroupBy(b, "l_returnflag")
                .aggregate([("sum_revenue", "sum")])
                .rename_columns(["l_returnflag", "sum_revenue"]))
-        null_s = pa.nulls(len(sub), pa.string())
+        all_s = pa.array(["ALL"] * len(sub), pa.string())
         sub = pa.table({"l_returnflag": sub.column("l_returnflag"),
-                        "l_linestatus": null_s,
+                        "l_linestatus": all_s,
                         "sum_revenue": sub.column("sum_revenue")})
         total = pc.sum(b.column("sum_revenue"))
-        grand = pa.table({"l_returnflag": pa.array([None], pa.string()),
-                          "l_linestatus": pa.array([None], pa.string()),
+        grand = pa.table({"l_returnflag": pa.array(["ALL"], pa.string()),
+                          "l_linestatus": pa.array(["ALL"], pa.string()),
                           "sum_revenue": pa.array([total.as_py()],
                                                   pa.float64())})
         out = pa.concat_tables([
@@ -90,11 +93,12 @@ def lineitem_rollup(sf_dir: str):
 
 
 SQL_LINEITEM_ROLLUP = """
-SELECT l_returnflag, l_linestatus,
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
-ORDER BY l_returnflag, l_linestatus
+ORDER BY 1, 2
 """
 
 

@@ -45,3 +45,48 @@ def test_similarity_components_transitive_chain(ray_session, chain_docs_sf):
     out = graph.documents_similarity_components(chain_docs_sf).to_pandas()
     got = dict(zip(out["doc_id"], out["component"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_kg_entity_components_matches_union_find(ray_session, tmp_path):
+    """Distributed CC over a real pipeline adjacency output must
+    partition entities exactly like a serial union-find on the same
+    edges (component labels are representatives, so compare the
+    cluster-set partition, not the labels)."""
+    import glob
+
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    files = sorted(glob.glob(
+        str(tmp_path / "out" / "adjacency") + "/**/*.parquet",
+        recursive=True))
+    out = graph.entity_components(rd.read_parquet(files)).to_pandas()
+
+    df = pd.concat([pd.read_parquet(f) for f in files])
+    e = df[df.obj_is_node & (df.canonical_subj != df.canonical_obj)]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(e.canonical_subj, e.canonical_obj):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    want: dict = {}
+    for n in set(e.canonical_subj) | set(e.canonical_obj):
+        want.setdefault(find(n), set()).add(n)
+    got: dict = {}
+    for ent, comp in zip(out.entity, out.component):
+        got.setdefault(comp, set()).add(ent)
+    assert len(out) == len(set(e.canonical_subj) | set(e.canonical_obj))
+    assert {frozenset(v) for v in got.values()} == \
+        {frozenset(v) for v in want.values()}

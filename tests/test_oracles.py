@@ -38,9 +38,12 @@ def _normalize(df):
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
     rows = sorted(
-        tuple(None if (isinstance(v, float) and math.isnan(v)) else v
-              for v in row)
-        for row in df.itertuples(index=False, name=None))
+        (tuple(None if (isinstance(v, float) and math.isnan(v)) else v
+               for v in row)
+         for row in df.itertuples(index=False, name=None)),
+        # None-safe sort key (NULL-bearing results, e.g. ROLLUP cells)
+        key=lambda r: tuple((v is None, str(type(v)), v) if v is not None
+                            else (True, "", "") for v in r))
     return rows
 
 

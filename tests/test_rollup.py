@@ -61,10 +61,11 @@ def test_lineitem_rollup_levels(ray_session, roll_sf):
     assert key[("A", "F")] == 100.0
     assert key[("A", "O")] == 200.0
     assert key[("N", "F")] == 1050.0
-    sub = out[out["l_linestatus"].isna() & out["l_returnflag"].notna()]
+    sub = out[(out["l_linestatus"] == "ALL")
+              & (out["l_returnflag"] != "ALL")]
     assert dict(zip(sub["l_returnflag"], sub["sum_revenue"])) == {
         "A": 300.0, "N": 1050.0}
-    grand = out[out["l_returnflag"].isna()]
+    grand = out[out["l_returnflag"] == "ALL"]
     assert len(grand) == 1 and grand["sum_revenue"].iloc[0] == 1350.0
 
 
