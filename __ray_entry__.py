@@ -74,6 +74,13 @@ def _kg_components(sf_dir: str):
     return graph.entity_components(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_pagerank(sf_dir: str):
+    """Entity importance by interaction in-links (PageRank over the
+    same entity graph)."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.entity_pagerank(_kg_pipeline_output("adjacency")(sf_dir))
+
+
 def _join_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import joins
@@ -218,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),
         "kg_adjacency": _kg_pipeline_output("adjacency"),
         "kg_entity_components": _kg_components,
+        "kg_entity_pagerank": _kg_pagerank,
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }

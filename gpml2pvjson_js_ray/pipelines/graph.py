@@ -25,7 +25,9 @@ Components in MapReduce and Beyond" (SOCC'14) — same data layout.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .relational import _read
 
@@ -103,22 +105,84 @@ def documents_similarity_components(sf_dir: str, threshold: float = 0.3):
             .sort("doc_id"))
 
 
-def entity_components(adjacency, num_partitions: int = 8,
-                      max_iters: int = 15):
-    """Connected components over the KG entity graph: edges are the
-    adjacency rows whose object is itself an entity
-    (`obj_is_node`), keyed by the canonical ids the exchange already
-    unified. Returns (entity, component) with component = the entity
-    IRI of the cluster's representative — i.e. interaction-connected
-    reaction-network clusters per corpus.
+def pagerank(edges, nodes, src: str, dst: str, damping: float = 0.85,
+             iters: int = 8, num_partitions: int = 8):
+    """Distributed PageRank (power iteration with dangling-mass
+    redistribution), pure Dataset ops.
 
-    String ids are hashed to int64 (polars seed-0 hash) for the
-    propagation rounds — min/sum over fixed-width ints, no string
-    shuffling in the loop — and the representative's IRI is joined
-    back at the end from the (hash → iri) mapping built during the
-    same pass."""
+    Per iteration: one co-partitioned join (static (src, dst, deg)
+    edge table ⋈ ranks) emits contrib = r/deg per edge; a
+    groupby(dst).sum folds in-neighbor mass; the dangling mass is the
+    scalar 1 - Σcontrib (rank held by sink nodes), redistributed
+    uniformly. Fixed iteration count — ranking applications don't need
+    the fixpoint test CC uses. Returns (node, rank) with Σrank = 1."""
+    from ray.data.aggregate import Count, Sum
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src), "dst": b.column(dst)})
+
+    ed = edges.map_batches(e_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    deg = (ed.groupby("src").aggregate(Count(alias_name="deg"))
+           .repartition(num_partitions))
+    ed = (ed.join(deg, join_type="inner", num_partitions=num_partitions,
+                  on=("src",), right_on=("src",))
+          .repartition(num_partitions).materialize())
+
+    def n_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0)})
+
+    base = nodes.map_batches(n_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    n_nodes = base.count()
+
+    def init_r(b: pa.Table) -> pa.Table:
+        r = np.full(len(b), 1.0 / n_nodes)
+        return b.append_column("r", pa.array(r))
+
+    ranks = base.map_batches(init_r, batch_format="pyarrow").materialize()
+
+    def contrib_b(b: pa.Table) -> pa.Table:
+        c = pc.divide(b.column("r"),
+                      pc.cast(b.column("deg"), pa.float64()))
+        return pa.table({"node": b.column("dst"), "r": c})
+
+    def zero_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "r": pa.array(np.zeros(len(b)))})
+
+    for _ in range(iters):
+        msgs = (ed.join(ranks, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("src",), right_on=("node",))
+                .map_batches(contrib_b, batch_format="pyarrow")
+                .materialize())
+        emitted = msgs.sum("r") or 0.0
+        dangling = max(0.0, 1.0 - emitted)
+        add = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def finish_b(b: pa.Table, _add=add) -> pa.Table:
+            r = pc.add(pc.multiply(b.column("r"), pa.scalar(damping)),
+                       pa.scalar(_add))
+            return pa.table({"node": b.column("node"), "r": r})
+
+        ranks = (msgs.union(base.map_batches(zero_b,
+                                             batch_format="pyarrow"))
+                 .groupby("node")
+                 .aggregate(Sum("r", alias_name="r"))
+                 .map_batches(finish_b, batch_format="pyarrow")
+                 .repartition(num_partitions)
+                 .materialize())
+    return ranks
+
+
+def _hashed_entity_edges(adjacency, num_partitions: int = 8):
+    """Entity-graph edges from an adjacency Dataset: rows whose object
+    is itself an entity, on canonical ids, self-loops dropped. String
+    ids are hashed to int64 (polars seed-0 hash) so propagation loops
+    shuffle fixed-width ints; returns (hashed edges, hash→iri mapping,
+    node hash Dataset)."""
     import polars as pl
-    import pyarrow.compute as pc
 
     def edge_b(b: pa.Table) -> pa.Table:
         keep = pc.and_(b.column("obj_is_node"),
@@ -156,6 +220,46 @@ def entity_components(adjacency, num_partitions: int = 8,
         return pa.table({"n": b.column("h")})
 
     nodes = mapping.map_batches(nodes_b, batch_format="pyarrow")
+    return hashed, mapping, nodes
+
+
+def entity_pagerank(adjacency, num_partitions: int = 8,
+                    damping: float = 0.85, iters: int = 8):
+    """PageRank over the KG entity graph: entity importance by
+    interaction in-links. Returns (entity, rank) sorted by rank desc
+    then entity (rank rounded to 10 decimals so ties order stably)."""
+    hashed, mapping, nodes = _hashed_entity_edges(adjacency,
+                                                  num_partitions)
+    ranks = pagerank(hashed, nodes, "sh", "oh", damping=damping,
+                     iters=iters, num_partitions=num_partitions)
+    ent = ranks.join(mapping, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("node",), right_on=("h",))
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"entity": b.column("iri"),
+                         "rank": pc.round(b.column("r"), ndigits=10)})
+
+    return (ent.map_batches(final_b, batch_format="pyarrow")
+            .sort(["rank", "entity"], descending=[True, False]))
+
+
+def entity_components(adjacency, num_partitions: int = 8,
+                      max_iters: int = 15):
+    """Connected components over the KG entity graph: edges are the
+    adjacency rows whose object is itself an entity
+    (`obj_is_node`), keyed by the canonical ids the exchange already
+    unified. Returns (entity, component) with component = the entity
+    IRI of the cluster's representative — i.e. interaction-connected
+    reaction-network clusters per corpus.
+
+    String ids are hashed to int64 (polars seed-0 hash) for the
+    propagation rounds — min/sum over fixed-width ints, no string
+    shuffling in the loop — and the representative's IRI is joined
+    back at the end from the (hash → iri) mapping built during the
+    same pass."""
+    hashed, mapping, nodes = _hashed_entity_edges(adjacency,
+                                                  num_partitions)
     comp = connected_components(hashed, nodes, "sh", "oh",
                                 max_iters=max_iters,
                                 num_partitions=num_partitions)

@@ -47,6 +47,35 @@ def test_similarity_components_transitive_chain(ray_session, chain_docs_sf):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_pagerank_matches_power_iteration(ray_session):
+    import numpy as np
+    import ray.data as rd
+    E = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]  # 4 is a sink
+    edges = rd.from_items([{"s": a, "t": b} for a, b in E])
+    nodes = rd.from_items([{"n": i} for i in [1, 2, 3, 4]])
+    out = (graph.pagerank(edges, nodes, "s", "t", damping=0.85, iters=8)
+           .to_pandas())
+    got = dict(zip(out["node"], out["r"]))
+
+    # serial reference with the identical update rule
+    idx = {1: 0, 2: 1, 3: 2, 4: 3}
+    n = 4
+    deg = np.zeros(n)
+    for a, _ in E:
+        deg[idx[a]] += 1
+    r = np.full(n, 1 / n)
+    for _ in range(8):
+        s = np.zeros(n)
+        for a, b in E:
+            s[idx[b]] += r[idx[a]] / deg[idx[a]]
+        emitted = sum(r[idx[a]] for a in set(x for x, _ in E))
+        add = 0.15 / n + 0.85 * (1 - emitted) / n
+        r = 0.85 * s + add
+    for node, i in idx.items():
+        assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_kg_entity_components_matches_union_find(ray_session, tmp_path):
     """Distributed CC over a real pipeline adjacency output must
     partition entities exactly like a serial union-find on the same
