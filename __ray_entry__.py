@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sampling_query("documents_uniform_k_sample"),
         "documents_similarity_components": _graph_query(
             "documents_similarity_components"),
+        "documents_mixture_interleave":
+            _sampling_query("documents_mixture_interleave"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
             sampling.SQL_DOCUMENTS_UNIFORM_K_SAMPLE,
         "documents_similarity_components":
             graph.SQL_DOCUMENTS_SIMILARITY_COMPONENTS,
+        "documents_mixture_interleave":
+            sampling.SQL_DOCUMENTS_MIXTURE_INTERLEAVE,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":

@@ -150,6 +150,53 @@ FROM documents ORDER BY h, doc_id LIMIT 100
 """
 
 
+# -- weighted mixture interleave --------------------------------------------
+
+def documents_mixture_interleave(sf_dir: str):
+    """Deterministic weighted interleave across sources: the training
+    order a mixture sampler would emit. Each source's documents get
+    positions rank·1000 // weight (rank = 1-based doc_id order within
+    the source), so a weight-2 source appears twice as densely as a
+    weight-1 source in the global (pos, doc_id) order.
+
+    The only exchange is the groupby(source) that ranks within each
+    source (vectorized in one map_groups); the interleave itself is
+    position arithmetic — no driver-side merge loop, no RNG."""
+    import pandas as pd
+
+    def rank_pos(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("doc_id", kind="stable")
+        w = _source_weight(df["source"].iloc[0])
+        rank = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "source": df["source"].to_numpy(),
+                             "pos": rank * 1000 // w})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .groupby("source")
+            .map_groups(rank_pos, batch_format="pandas")
+            .sort(["pos", "doc_id"]))
+
+
+def _source_weight(source: str) -> int:
+    """Even-numbered sources are upsampled 2×: the stand-in for a
+    per-source quality weight table (a constant broadcast in practice)."""
+    import re
+    m = re.search(r"\d+", source)  # FIRST digit run, like the SQL twin
+    return 2 if m and int(m.group()) % 2 == 0 else 1
+
+
+SQL_DOCUMENTS_MIXTURE_INTERLEAVE = r"""
+SELECT doc_id, source,
+       (row_number() OVER (PARTITION BY source ORDER BY doc_id) * 1000)
+       // (CASE WHEN regexp_extract(source, '(\d+)', 1) <> ''
+                 AND CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT)
+                     % 2 = 0
+                THEN 2 ELSE 1 END) AS pos
+FROM documents ORDER BY pos, doc_id
+"""
+
+
 # -- GPT-style concat-then-chunk sequence packing ---------------------------
 
 def documents_concat_chunks(sf_dir: str, capacity: int = 4096,

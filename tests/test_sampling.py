@@ -54,6 +54,27 @@ def test_stratified_sample_respects_rates(ray_session, samp_sf):
     assert set(out["doc_id"]) == set(full.loc[fh < fr, "doc_id"])
 
 
+def test_mixture_interleave_density(ray_session, tmp_path):
+    """src2 (weight 2) must interleave twice as densely as src1:
+    its rank-k doc lands at pos 500k vs 1000k."""
+    n = 12
+    pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["x"] * n,
+        "lang": ["en"] * n,
+        "source": ["src1", "src2"] * 6,
+        "n_chars": [5] * n,
+    }).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+    out = sampling.documents_mixture_interleave(str(tmp_path)).to_pandas()
+    w1 = out[out["source"] == "src1"]
+    w2 = out[out["source"] == "src2"]
+    assert list(w1["pos"]) == [1000 * k for k in range(1, 7)]
+    assert list(w2["pos"]) == [500 * k for k in range(1, 7)]
+    # global order: the first three rows are src2 rank1, src2 rank2 and
+    # src1 rank1 (ties at 1000 broken by doc_id)
+    assert list(out["pos"][:3]) == [500, 1000, 1000]
+
+
 def test_uniform_k_sample_is_hash_smallest(ray_session, samp_sf):
     out = sampling.documents_uniform_k_sample(samp_sf, k=5).to_pandas()
     assert len(out) == 5
