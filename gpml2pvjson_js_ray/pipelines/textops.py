@@ -256,6 +256,10 @@ N_PERM = 64
 N_BANDS = 16  # 4 rows per band
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+# minhash verify fast path: broadcast candidate texts when the candidate
+# id set is at most this large (≈ tens of MB of text), else fall back to
+# the fully-shuffled union+groupby join
+_BROADCAST_TEXT_CAP = 200_000
 
 _rng = np.random.RandomState(12345)
 _PERM_A = _rng.randint(1, 2**63 - 1, size=N_PERM).astype(np.uint64) | np.uint64(1)
@@ -439,6 +443,54 @@ def documents_minhash_dups(sf_dir: str):
                                  value_set=ray.get(ids_ref)))
 
     docs = docs.map_batches(filter_docs, batch_format="pyarrow")
+
+    # ---- fast path: when the candidate set is small (the typical
+    # near-dup regime — candidates ≪ corpus), the candidate TEXTS also
+    # fit in the object store. Broadcast them once and verify every
+    # pair in a single map over the (deduped) pair set: ZERO additional
+    # shuffles vs the three (union + two groupbys) of the join path
+    # below, which remains the fallback for adversarial candidate
+    # volumes. Duplicate pairs from multiple colliding bands are
+    # collapsed on the driver (the pair table is already collected for
+    # the semi-join ids).
+    if len(cand_ids) <= _BROADCAST_TEXT_CAP:
+        parts = [t for t in ray.get(docs.to_arrow_refs()) if len(t)]
+        ttbl = (pa.concat_tables(parts) if parts else
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string())}))
+        texts_ref = ray.put(ttbl)
+        uniq = id_tbl.drop_duplicates(["doc_a", "doc_b"])
+        pair_ds = rd.from_arrow(pa.table({
+            "doc_a": pa.array(uniq["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(uniq["doc_b"].to_numpy(), pa.int64())}))
+
+        def verify_broadcast(b: pa.Table) -> pa.Table:
+            tt = ray.get(texts_ref)
+            text_of = dict(zip(tt.column("doc_id").to_pylist(),
+                               tt.column("text").to_pylist()))
+            memo: dict = {}
+
+            def sh(d):
+                if d not in memo:
+                    memo[d] = _shingles(text_of.get(d, ""))
+                return memo[d]
+
+            ra, rb, rj = [], [], []
+            for a, b2 in zip(b.column("doc_a").to_pylist(),
+                             b.column("doc_b").to_pylist()):
+                sa, sb = sh(a), sh(b2)
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 0.0
+                if j >= JACCARD_THRESHOLD:
+                    ra.append(a)
+                    rb.append(b2)
+                    rj.append(round(j, 4))
+            return pa.table({"doc_a": pa.array(ra, pa.int64()),
+                             "doc_b": pa.array(rb, pa.int64()),
+                             "jaccard": pa.array(rj, pa.float64())})
+
+        return pair_ds.map_batches(verify_broadcast,
+                                   batch_format="pyarrow")
 
     # ---- distributed text join: explode pair sides, union with docs,
     # group by doc_id (side rows have text="", the doc row carries it)

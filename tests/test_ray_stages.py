@@ -178,6 +178,19 @@ def test_minhash_finds_near_duplicates(ray_session, tmp_path):
     hit = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
     assert (hit["jaccard"] > 0.9).all()
 
+    # broadcast fast path and shuffled join fallback must agree exactly
+    from gpml2pvjson_js_ray.pipelines import textops
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(textops, "_BROADCAST_TEXT_CAP", 0)
+        slow = documents_minhash_dups(str(d)).to_pandas()
+    finally:
+        mp.undo()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "jaccard"]]
+                                .itertuples(index=False)))  # noqa: E731
+    assert key(slow) == key(pairs)
+
 
 def test_entity_merge_fs_matches_dataset_merge(ray_session, pages_dir,
                                                tmp_path):
