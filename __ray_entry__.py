@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "documents_similarity_components"),
         "documents_mixture_interleave":
             _sampling_query("documents_mixture_interleave"),
+        "documents_dedup_survivors":
+            _graph_query("documents_dedup_survivors"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
@@ -279,6 +281,8 @@ def oracle_sql() -> dict[str, str]:
             graph.SQL_DOCUMENTS_SIMILARITY_COMPONENTS,
         "documents_mixture_interleave":
             sampling.SQL_DOCUMENTS_MIXTURE_INTERLEAVE,
+        "documents_dedup_survivors":
+            graph.SQL_DOCUMENTS_DEDUP_SURVIVORS,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":

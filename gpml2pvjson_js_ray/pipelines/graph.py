@@ -285,6 +285,19 @@ def entity_components(adjacency, num_partitions: int = 8,
             .sort("entity"))
 
 
+def documents_dedup_survivors(sf_dir: str, threshold: float = 0.3):
+    """The near-dup 'keep list': one representative document per
+    similarity cluster (its smallest doc_id) with the cluster size —
+    what a curation pipeline actually consumes after transitive-closure
+    dedup. One tiny groupby over the components output."""
+    from ray.data.aggregate import Count
+
+    comp = documents_similarity_components(sf_dir, threshold=threshold)
+    return (comp.groupby("component")
+            .aggregate(Count(alias_name="n_members"))
+            .sort("component"))
+
+
 # Recursive-CTE transitive closure over the SAME SQL pair set the
 # n-gram-Jaccard oracle uses: comp labels propagate along edges until
 # the (node, reachable-label) fixpoint, then min per node.
@@ -305,4 +318,10 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
 FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+SQL_DOCUMENTS_DEDUP_SURVIVORS = f"""
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM ({SQL_DOCUMENTS_SIMILARITY_COMPONENTS}) comp
+GROUP BY component ORDER BY component
 """
