@@ -137,6 +137,13 @@ def _graph_query(fn_name):
     return q
 
 
+def _mlprep_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import mlprep
+        return getattr(mlprep, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -198,6 +205,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sampling_query("documents_stratified_sample"),
         "documents_concat_chunks":
             _sampling_query("documents_concat_chunks"),
+        "documents_weighted_sample":
+            _sampling_query("documents_weighted_sample"),
+        # ML-prep transforms (all DuckDB-verified)
+        "documents_tfidf_top_term": _mlprep_query("documents_tfidf_top_term"),
+        "documents_pii_redact": _mlprep_query("documents_pii_redact"),
+        "events_value_band_join": _mlprep_query("events_value_band_join"),
+        "events_value_ntile": _mlprep_query("events_value_ntile"),
+        "events_value_zscore": _mlprep_query("events_value_zscore"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -236,7 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins,
+    from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins, mlprep,
                                               quantiles, rollup, sampling,
                                               simops, sketches, textops,
                                               windows)
@@ -291,6 +306,13 @@ def oracle_sql() -> dict[str, str]:
         "documents_stratified_sample":
             sampling.SQL_DOCUMENTS_STRATIFIED_SAMPLE,
         "documents_concat_chunks": sampling.SQL_DOCUMENTS_CONCAT_CHUNKS,
+        "documents_weighted_sample":
+            sampling.SQL_DOCUMENTS_WEIGHTED_SAMPLE,
+        "documents_tfidf_top_term": mlprep.SQL_DOCUMENTS_TFIDF_TOP_TERM,
+        "documents_pii_redact": mlprep.SQL_DOCUMENTS_PII_REDACT,
+        "events_value_band_join": mlprep.SQL_EVENTS_VALUE_BAND_JOIN,
+        "events_value_ntile": mlprep.SQL_EVENTS_VALUE_NTILE,
+        "events_value_zscore": mlprep.SQL_EVENTS_VALUE_ZSCORE,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

@@ -1,0 +1,404 @@
+"""ML-data-prep operators: TF-IDF, PII redaction, range join, global
+NTILE bucketize, per-group z-score normalization.
+
+Beyond-reference extension surface (SURVEY.md §2 extension table) — the
+transforms a training-data pipeline applies between raw web text and a
+tokenized corpus, each expressed scale-first:
+
+- **TF-IDF top term** (`documents_tfidf_top_term`): the classic
+  two-pass: pass 1 aggregates document frequencies with a per-batch
+  distinct-terms combiner (the shuffle carries vocabulary partials,
+  never tokens); pass 2 re-tokenizes, joins the broadcast DF table per
+  batch, and picks each document's best term WITHOUT any further
+  shuffle (a document's rows are complete inside its batch). The
+  broadcast holds while |vocab| fits a worker (true for natural-language
+  vocabularies after the DF≥1 cut at any corpus size that fits training
+  — Heaps' law); beyond that the same pass-2 becomes a term-hash
+  `Dataset.join` + doc-id groupby, the shape `joins.py` demonstrates.
+- **PII redaction** (`documents_pii_redact`): vectorized RE2
+  `replace_substring_regex` over the scan (emails → <EMAIL>, long digit
+  runs → <NUM>), with per-doc redaction counts. Pure map; zero shuffle.
+- **Range join** (`events_value_band_join`): non-equi band lookup
+  (value BETWEEN lo AND hi) as a broadcast range join — the band table
+  is a constant, each batch probes it with one `np.searchsorted`, and
+  only per-band partials reach the groupby.
+- **Global NTILE** (`events_value_ntile`): exact rank-based bucketize
+  over a total order — the two-pass distributed prefix scan from
+  `sampling.documents_concat_chunks` generalized to a NON-contiguous
+  sort key: deterministic value-range buckets give per-bucket counts →
+  exclusive scan → offsets broadcast; each bucket sorts locally and
+  adds its offset. The only all-to-all is the bucket co-location
+  groupby (this IS the sort exchange); no driver-side ordering.
+- **Per-group z-score** (`events_value_zscore`): the feature-scaling
+  primitive — per-group (n, Σx, Σx²) partials combine in one tiny
+  groupby, the stats broadcast by closure, and the transform is a pure
+  vectorized map. The big side never shuffles.
+
+Column names match the oracle SQL aliases exactly (the driver's
+hash-compare sorts columns by name). All float outputs round through
+the shared explicit half-away `floor(x·1e4 + 0.5) * 1e-4` so polars /
+numpy and DuckDB produce bitwise-identical doubles (see
+`textops._round4_away` for why round() alone is not oracle-able).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import _read
+
+# Same token recipe as documents_top_terms / SQL_DOCUMENTS_TOP_TERMS
+# (validated cross-engine: polars rust-regex == DuckDB RE2 on this class).
+_TERM_RE = "[a-zA-ZÀ-ÿ]+"
+
+# RE2-compatible on both sides (pyarrow uses RE2, DuckDB uses RE2).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_NUM_RE = r"[0-9]{6,}"
+
+
+def _docs_count(sf_dir: str) -> int:
+    import pyarrow.dataset as pads
+    return pads.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .count_rows()
+
+
+# -- TF-IDF: most characteristic term per document ---------------------------
+
+def documents_tfidf_top_term(sf_dir: str):
+    """Each document's highest-TF-IDF term (ties → lexicographic min).
+
+    Pass 1 (DF): per-batch distinct (doc, term) → per-term partial doc
+    counts; one vocabulary-sized groupby. Pass 2: re-tokenize (the
+    standard recompute-vs-materialize trade: tokenizing twice beats
+    persisting a token-level table at corpus scale), join the broadcast
+    DF per batch, score tf·ln(N/df), and take each doc's best row
+    inside the batch — documents never span batches, so pass 2 is
+    shuffle-free. Ranking uses the ROUNDED score so the tie-break is
+    reproducible across engines."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    n_docs = float(_docs_count(sf_dir))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tokens(pl, df):
+        return (df.select(
+            "doc_id",
+            term=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("term").drop_nulls("term"))
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (_tokens(pl, pl.from_arrow(b)).unique()
+               .group_by("term").len(name="df_part"))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("df_part", pa.int64())]))
+
+    df_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            docs.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df_part", alias_name="df"))
+            .to_arrow_refs()) if len(t)])
+    df_ref = ray.put(df_tbl.cast(pa.schema([("term", pa.string()),
+                                            ("df", pa.int64())])))
+
+    def score(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        dfl = pl.from_arrow(ray.get(df_ref))
+        tf = (_tokens(pl, pl.from_arrow(b))
+              .group_by(["doc_id", "term"]).len(name="tf"))
+        scored = (tf.join(dfl, on="term", how="inner")
+                  .with_columns(
+                      tfidf=((pl.col("tf").cast(pl.Float64)
+                              * (pl.lit(n_docs)
+                                 / pl.col("df").cast(pl.Float64)).log())
+                             * 10000.0 + 0.5).floor() * 0.0001)
+                  .sort(["doc_id", "tfidf", "term"],
+                        descending=[False, True, False])
+                  .group_by("doc_id", maintain_order=True).first()
+                  .select("doc_id", "term", "tfidf"))
+        return scored.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("tfidf", pa.float64())]))
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_TFIDF_TOP_TERM = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-zA-ZÀ-ÿ]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                          / CAST(df.df AS DOUBLE))
+               * 10000.0 + 0.5) * 0.0001 AS tfidf
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# -- PII redaction ------------------------------------------------------------
+
+def documents_pii_redact(sf_dir: str):
+    """Redact emails and long digit runs; count redactions per doc.
+
+    Pure vectorized map over the scan (RE2 kernels, zero shuffle,
+    zero state). Digit runs are counted AFTER email redaction so an
+    address's digits aren't double-counted — the SQL mirrors the same
+    composition order."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(b: pa.Table) -> pa.Table:
+        text = pc.coalesce(b.column("text"), pa.scalar("", pa.string()))
+        n_emails = pc.count_substring_regex(text, pattern=_EMAIL_RE)
+        t1 = pc.replace_substring_regex(text, pattern=_EMAIL_RE,
+                                        replacement="<EMAIL>")
+        n_numbers = pc.count_substring_regex(t1, pattern=_NUM_RE)
+        t2 = pc.replace_substring_regex(t1, pattern=_NUM_RE,
+                                        replacement="<NUM>")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "clean_text": t2,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_numbers": pc.cast(n_numbers, pa.int64())})
+
+    return (docs.map_batches(redact, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_PII_REDACT = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(coalesce(text, ''),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(coalesce(text, ''),
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_emails,
+  CAST(len(regexp_extract_all(
+       regexp_replace(coalesce(text, ''),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '[0-9]{6,}')) AS BIGINT) AS n_numbers
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- broadcast range join ------------------------------------------------------
+
+# (lo, hi, label); hi = None means unbounded. Constant band dimension —
+# the canonical small side of a range join.
+_VALUE_BANDS = [(0.0, 10.0, "low"), (10.0, 50.0, "mid"),
+                (50.0, 200.0, "high"), (200.0, None, "whale")]
+
+
+def events_value_band_join(sf_dir: str):
+    """Per-band event counts/revenue via a non-equi range join.
+
+    The band table is broadcast by closure (bytes); each batch resolves
+    its band with one searchsorted probe and pre-aggregates, so the
+    groupby shuffles |bands|×|blocks| partial rows — events never move
+    for the join itself."""
+    from ray.data.aggregate import Sum
+
+    los = np.array([b[0] for b in _VALUE_BANDS])
+    labels = np.array([b[2] for b in _VALUE_BANDS])
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        keep = idx >= 0  # values below the lowest band: no join match
+        t = pa.table({"band": pa.array(labels[idx[keep]]),
+                      "value": pa.array(v[keep])})
+        g = (pa.TableGroupBy(t, "band")
+             .aggregate([("value", "sum"), ("value", "count")]))
+        return g.rename_columns(["band", "sum_value", "n_events"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": b.column("band"),
+            "n_events": b.column("n_events"),
+            "sum_value": pc.round(b.column("sum_value"), ndigits=4)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("band")
+            .aggregate(Sum("sum_value", alias_name="sum_value"),
+                       Sum("n_events", alias_name="n_events"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("band"))
+
+
+SQL_EVENTS_VALUE_BAND_JOIN = """
+WITH bands(lo, hi, band) AS (VALUES
+  (0.0, 10.0, 'low'), (10.0, 50.0, 'mid'),
+  (50.0, 200.0, 'high'), (200.0, NULL, 'whale'))
+SELECT band, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events e JOIN bands b
+  ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
+GROUP BY band ORDER BY band
+"""
+
+
+# -- exact global NTILE --------------------------------------------------------
+
+def events_value_ntile(sf_dir: str, n_tiles: int = 8, n_ranges: int = 64):
+    """NTILE(n) OVER (ORDER BY value, event_id) — exact, distributed.
+
+    Two-pass prefix scan over deterministic value-range buckets:
+    (1) min/max + per-bucket counts (per-batch partials, tiny groupby);
+    (2) exclusive scan → per-bucket global offsets broadcast; bucket
+    co-location groupby, local sort + arange, NTILE arithmetic on the
+    exact global rank. n_ranges scales with the cluster so one bucket
+    fits one worker; correctness is independent of it (ranks are exact
+    whatever the bucket histogram looks like)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    stats = ds.aggregate(ray.data.aggregate.Min("value"),
+                         ray.data.aggregate.Max("value"))
+    lo, hi = stats["min(value)"], stats["max(value)"]
+    # interior edges; degenerate (lo == hi) → single bucket
+    edges = (np.linspace(lo, hi, n_ranges + 1)[1:-1]
+             if hi > lo else np.array([]))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(edges, v, side="right")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        bk = bucket_of(b.column("value").to_numpy(zero_copy_only=False))
+        ids, cnt = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(ids),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = pa.concat_tables(
+        [t for t in ray.get(
+            ds.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .to_arrow_refs()) if len(t)])
+    order = pc.sort_indices(counts.column("bucket"))
+    buckets = counts.column("bucket").take(order).to_numpy()
+    ns = counts.column("n").take(order).to_numpy()
+    total = int(ns.sum())
+    offsets = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    off_ref = ray.put((buckets, offsets))
+
+    q, rem = divmod(total, n_tiles)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = bucket_of(b.column("value").to_numpy(zero_copy_only=False))
+        return b.append_column("bucket", pa.array(bk))
+
+    def local_rank(g: pa.Table) -> pa.Table:
+        bks, offs = ray.get(off_ref)
+        idx = pc.sort_indices(g, sort_keys=[("value", "ascending"),
+                                            ("event_id", "ascending")])
+        g = g.take(idx)
+        base = offs[np.searchsorted(bks, g.column("bucket")[0].as_py())]
+        r = base + np.arange(len(g), dtype=np.int64)  # 0-based global rank
+        head = rem * (q + 1)
+        tile = np.where(r < head, r // max(q + 1, 1),
+                        rem + (r - head) // max(q, 1)) + 1
+        return pa.table({"event_id": g.column("event_id"),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(local_rank, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+SQL_EVENTS_VALUE_NTILE = """
+SELECT event_id,
+       CAST(NTILE(8) OVER (ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events ORDER BY event_id
+"""
+
+
+# -- per-group z-score normalization ------------------------------------------
+
+def events_value_zscore(sf_dir: str):
+    """z-score of value within its event_type (sample std, n-1).
+
+    Per-batch (n, Σx, Σx²) partials → one |types|-row groupby → stats
+    broadcast by closure → vectorized transform map. The events table
+    is scanned once and never shuffled."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("value")
+        t = pa.table({"event_type": b.column("event_type"),
+                      "sv": v, "svv": pc.multiply(v, v),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return (pa.TableGroupBy(t, "event_type")
+                .aggregate([("sv", "sum"), ("svv", "sum"), ("n", "sum")])
+                .rename_columns(["event_type", "sv", "svv", "n"]))
+
+    stats = pa.concat_tables(
+        [t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("sv", alias_name="sv"),
+                       Sum("svv", alias_name="svv"),
+                       Sum("n", alias_name="n"))
+            .to_arrow_refs()) if len(t)])
+    types = stats.column("event_type").to_pylist()
+    sv = stats.column("sv").to_numpy()
+    svv = stats.column("svv").to_numpy()
+    n = stats.column("n").to_numpy().astype(np.float64)
+    mean = sv / n
+    std = np.sqrt((svv - sv * sv / n) / (n - 1.0))
+    lut = {t: (m, s) for t, m, s in zip(types, mean, std)}
+    lut_ref = ray.put(lut)
+
+    def transform(b: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        keys = pa.array(list(table))
+        ms = np.array([table[k][0] for k in table])
+        ss = np.array([table[k][1] for k in table])
+        idx = pc.index_in(b.column("event_type").combine_chunks(),
+                          value_set=keys).to_numpy(zero_copy_only=False)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        z = (v - ms[idx]) / ss[idx]
+        z = np.floor(z * 10000.0 + 0.5) * 0.0001
+        return pa.table({"event_id": b.column("event_id"),
+                         "event_type": b.column("event_type"),
+                         "zscore": pa.array(z)})
+
+    return (ds.map_batches(transform, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+SQL_EVENTS_VALUE_ZSCORE = """
+WITH s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(value) AS sv, sum(value * value) AS svv
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       floor((e.value - s.sv / s.n)
+             / sqrt((s.svv - s.sv * s.sv / s.n) / (s.n - 1.0))
+             * 10000.0 + 0.5) * 0.0001 AS zscore
+FROM events e JOIN s USING (event_type) ORDER BY event_id
+"""

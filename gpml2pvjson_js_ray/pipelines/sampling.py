@@ -280,3 +280,41 @@ SELECT doc_id,
        start_pos % 4096 AS chunk_offset
 FROM scanned ORDER BY doc_id
 """
+
+
+# -- weighted sample without replacement (A-ES / exponential keys) -----------
+
+def documents_weighted_sample(sf_dir: str, k: int = 50):
+    """Deterministic weighted sample of k docs, P(i) ∝ n_chars — the
+    Efraimidis–Spirakis one-pass scheme: key_i = u_i^(1/w_i) with a
+    deterministic uniform u_i from the key hash; the k largest keys are
+    a weighted sample without replacement. Mergeable exactly like
+    `documents_uniform_k_sample`: each block pre-selects its local
+    top-k (argpartition), the global sort+limit sees ≤ k rows per
+    block. One tiny exchange; no pass stores more than k rows."""
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        w = np.maximum(b.column("n_chars").to_numpy(), 1).astype(np.float64)
+        u = ((ids * _SAMPLE_MULT) % _M32 + 1.0) / (_M32 + 1.0)
+        key = u ** (1.0 / w)
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "n_chars": b.column("n_chars"),
+                      "key": pa.array(key)})
+        if len(t) <= k:
+            return t
+        keep = np.argpartition(-key, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .sort(["key", "doc_id"], descending=[True, False])
+            .limit(k)
+            .select_columns(["doc_id", "n_chars"]))
+
+
+SQL_DOCUMENTS_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY pow((((doc_id * 2246822519) % 4294967296) + 1.0) / 4294967297.0,
+             1.0 / greatest(n_chars, 1)) DESC, doc_id
+LIMIT 50
+"""

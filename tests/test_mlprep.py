@@ -1,0 +1,100 @@
+"""Targeted tests for pipelines/mlprep.py and the weighted sampler —
+behaviors the synthetic driver corpus can't exercise (it contains no
+PII; its weights are near-uniform). The cross-engine value parity of
+every mlprep operator is covered by the auto-parametrized
+tests/test_oracles.py sweep."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts, n_chars=None):
+    table = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": n_chars or [len(t or "") for t in texts],
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pii_redact_planted(ray_session, tmp_path):
+    texts = [
+        "contact Jane.Doe+spam@example-mail.org or bob@x.io today",
+        "order 1234567890 shipped; ref 000042 ok, short 12345 stays",
+        "no pii here at all",
+        None,
+    ]
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.mlprep import documents_pii_redact
+    out = documents_pii_redact(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_numbers"] == 0
+    # 1234567890 redacted; 000042 is 6 digits → redacted; 12345 kept
+    assert out.loc[1, "clean_text"] == \
+        "order <NUM> shipped; ref <NUM> ok, short 12345 stays"
+    assert out.loc[1, "n_numbers"] == 2 and out.loc[1, "n_emails"] == 0
+    assert out.loc[2, "clean_text"] == texts[2]
+    assert out.loc[3, "clean_text"] == ""  # NULL text → empty, not crash
+
+
+def test_tfidf_prefers_rare_terms(ray_session, tmp_path):
+    # 'zebra' appears once in doc0 only; 'common' is in every doc, so its
+    # idf is ln(1)=0 and it can never win despite the higher tf.
+    texts = [
+        "common common common zebra",
+        "common common apple apple",
+        "common banana",
+    ]
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.mlprep import documents_tfidf_top_term
+    out = documents_tfidf_top_term(d).to_pandas().set_index("doc_id")
+    assert out.loc[0, "term"] == "zebra"
+    assert out.loc[1, "term"] == "apple"
+    assert out.loc[2, "term"] == "banana"
+    assert (out["tfidf"] > 0).all()
+
+
+def test_weighted_sample_prefers_heavy_docs(ray_session, tmp_path):
+    # One doc carries ~10^6× the weight of the rest: its E–S key
+    # u^(1/w) ≈ 1 dominates any realistic uniform draw, so a k=5 sample
+    # must include it; with k = n the sample is the whole corpus.
+    texts = [f"doc number {i}" for i in range(40)]
+    weights = [10] * 40
+    weights[17] = 10_000_000
+    d = _write_docs(tmp_path, texts, n_chars=weights)
+    from gpml2pvjson_js_ray.pipelines.sampling import \
+        documents_weighted_sample
+    out = documents_weighted_sample(d, k=5).to_pandas()
+    assert 17 in set(out["doc_id"])
+    assert len(out) == 5
+    full = documents_weighted_sample(d, k=40).to_pandas()
+    assert set(full["doc_id"]) == set(range(40))
+
+
+def test_ntile_remainder_distribution(ray_session, tmp_path):
+    # 10 events into 8 tiles: NTILE gives the first 2 tiles 2 rows each
+    # and 1 row to the rest (remainder to the front).
+    import os
+
+    events = pa.table({
+        "event_id": list(range(10)),
+        "ts": pa.array([0] * 10, pa.timestamp("us")),
+        "user_id": [1] * 10,
+        "event_type": ["a"] * 10,
+        "value": [float(i) for i in range(10)],
+        "props": [""] * 10,
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(events, str(d / "events.parquet"))
+    from gpml2pvjson_js_ray.pipelines.mlprep import events_value_ntile
+    out = events_value_ntile(str(d)).to_pandas().sort_values("event_id")
+    assert list(out["tile"]) == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8]
+    assert os.path.basename(str(d)) == "ev"
