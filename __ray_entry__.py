@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band_join": _mlprep_query("events_value_band_join"),
         "events_value_ntile": _mlprep_query("events_value_ntile"),
         "events_value_zscore": _mlprep_query("events_value_zscore"),
+        "documents_normalize": _mlprep_query("documents_normalize"),
+        "documents_term_postings": _mlprep_query("documents_term_postings"),
+        "documents_contamination": _mlprep_query("documents_contamination"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -313,6 +316,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_band_join": mlprep.SQL_EVENTS_VALUE_BAND_JOIN,
         "events_value_ntile": mlprep.SQL_EVENTS_VALUE_NTILE,
         "events_value_zscore": mlprep.SQL_EVENTS_VALUE_ZSCORE,
+        "documents_normalize": mlprep.SQL_DOCUMENTS_NORMALIZE,
+        "documents_term_postings": mlprep.SQL_DOCUMENTS_TERM_POSTINGS,
+        "documents_contamination": mlprep.SQL_DOCUMENTS_CONTAMINATION,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

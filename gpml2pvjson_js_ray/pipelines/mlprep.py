@@ -402,3 +402,204 @@ SELECT e.event_id, e.event_type,
              * 10000.0 + 0.5) * 0.0001 AS zscore
 FROM events e JOIN s USING (event_type) ORDER BY event_id
 """
+
+
+# -- text normalization --------------------------------------------------------
+
+def documents_normalize(sf_dir: str):
+    """Canonical text cleanup: NFC unicode normalization → lowercase →
+    whitespace-run collapse → trim, plus the normalized char count.
+    Pure vectorized Arrow kernel chain over the scan; zero shuffle —
+    the first stage of any tokenizer-bound corpus pipeline."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.coalesce(b.column("text"), pa.scalar("", pa.string()))
+        t = pc.utf8_normalize(t, form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "norm_text": t,
+                         "n_chars_norm": pc.utf8_length(t)})
+
+    return (docs.map_batches(norm, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_NORMALIZE = r"""
+SELECT doc_id,
+  trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+                      '\s+', ' ', 'g')) AS norm_text,
+  length(trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+                             '\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- inverted index (term → postings) ------------------------------------------
+
+def documents_term_postings(sf_dir: str, k: int = 100,
+                            num_buckets: int = 32):
+    """Top-k terms by document frequency with their full posting lists
+    (sorted doc_ids, comma-joined) — the inverted-index build.
+
+    Per-batch distinct (doc, term) pairs shrink the exchange to the
+    index's own size; terms are hash-bucketed so each map_groups call
+    aggregates a whole vocabulary shard vectorized (one polars group_by
+    per bucket, not one Python call per term). num_buckets scales with
+    the cluster; correctness is bucket-independent."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b).select(
+            "doc_id",
+            term=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("term").drop_nulls("term").unique()
+            .with_columns(bucket=pl.col("term").hash(seed=7)
+                          % num_buckets))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("bucket", pa.uint64())]))
+
+    def bucket_postings(g: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(g.select(["doc_id", "term"]))
+               .group_by("term")
+               .agg(df=pl.col("doc_id").len().cast(pl.Int64),
+                    postings=pl.col("doc_id").sort()
+                    .cast(pl.String))
+               .with_columns(postings=pl.col("postings").list.join(",")))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("df", pa.int64()),
+            ("postings", pa.string())]))
+
+    return (docs.map_batches(pairs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_postings, batch_format="pyarrow")
+            .sort(["df", "term"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_TERM_POSTINGS = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[a-zA-ZÀ-ÿ]+')) AS term
+        FROM documents)
+)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+# -- benchmark contamination check ---------------------------------------------
+
+_BENCH_SOURCE = "src0"
+
+
+def documents_contamination(sf_dir: str, bench_source: str = _BENCH_SOURCE):
+    """Word-trigram overlap of every candidate document against a
+    benchmark subset (source == bench_source) — the decontamination
+    screen run before training on scraped text.
+
+    The benchmark's distinct trigram set is collected once and
+    broadcast (benchmarks are small by definition — this is the
+    canonical broadcast-the-small-side shape); candidates stream
+    through a vectorized explode → shift-window → unique → is_in chain.
+    Candidates never shuffle."""
+    import ray
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _trigrams(pl, df):
+        ex = (df.select(
+            "doc_id",
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(r"\S+"))
+            .explode("tok").drop_nulls("tok"))
+        return (ex.with_columns(
+            g=pl.col("tok") + " "
+            + pl.col("tok").shift(-1).over("doc_id") + " "
+            + pl.col("tok").shift(-2).over("doc_id"))
+            .drop_nulls("g").select("doc_id", "g").unique())
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        mask = pc.equal(b.column("source"), pa.scalar(bench_source))
+        g = _trigrams(pl, pl.from_arrow(b.filter(mask))) \
+            .select("g").unique()
+        return g.to_arrow().cast(pa.schema([("g", pa.string())]))
+
+    bench_tbl = pa.concat_tables(
+        [t for t in ray.get(
+            docs.map_batches(bench_grams, batch_format="pyarrow")
+            .to_arrow_refs()) if len(t)])
+    bench = pc.unique(bench_tbl.column("g").combine_chunks())
+    bench_ref = ray.put(bench)
+
+    def score(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        mask = pc.not_equal(b.column("source"), pa.scalar(bench_source))
+        cand = b.filter(mask)
+        df = pl.from_arrow(cand.select(["doc_id", "text"]))
+        bench_s = pl.Series("bench", ray.get(bench_ref))
+        hits = (_trigrams(pl, df)
+                .with_columns(hit=pl.col("g").is_in(bench_s))
+                .group_by("doc_id")
+                .agg(n_grams=pl.len().cast(pl.Int64),
+                     n_hits=pl.col("hit").sum().cast(pl.Int64)))
+        out = (df.select("doc_id").join(hits, on="doc_id", how="left")
+               .with_columns(pl.col("n_grams").fill_null(0),
+                             pl.col("n_hits").fill_null(0))
+               .with_columns(
+                   contamination=(pl.col("n_hits").cast(pl.Float64)
+                                  / pl.max_horizontal(
+                                      pl.col("n_grams").cast(pl.Float64),
+                                      pl.lit(1.0))
+                                  * 10000.0 + 0.5).floor() * 0.0001))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+            ("n_hits", pa.int64()), ("contamination", pa.float64())]))
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_CONTAMINATION = r"""
+WITH cand AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM documents WHERE source <> 'src0'
+), bench AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM (SELECT regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+        FROM documents WHERE source = 'src0')
+  WHERE len(toks) >= 3
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+  FROM cand WHERE len(toks) >= 3
+), scored AS (
+  SELECT doc_id, count(*) AS n_grams, count(b.g) AS n_hits
+  FROM grams LEFT JOIN bench b USING (g) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_hits, 0) AS n_hits,
+       floor(coalesce(s.n_hits, 0)
+             / greatest(CAST(coalesce(s.n_grams, 0) AS DOUBLE), 1.0)
+             * 10000.0 + 0.5) * 0.0001 AS contamination
+FROM cand c LEFT JOIN scored s USING (doc_id) ORDER BY c.doc_id
+"""
