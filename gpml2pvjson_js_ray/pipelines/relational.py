@@ -543,14 +543,23 @@ FROM documents GROUP BY lang
 # -- brute-force cosine top-k (broadcast query vector) ----------------------
 
 def embeddings_cosine_top10(sf_dir: str):
+    import pyarrow.dataset as pads
+
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    query_row = emb.filter(expr="vec_id == 0").take(1)[0]
-    query = np.asarray(query_row["embedding"], dtype=np.float64)
+    # light metadata-path read for the single query vector — no extra
+    # Dataset execution just to fetch one row
+    qt = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["embedding"], filter=pads.field("vec_id") == 0)
+    query = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float64)
     qn = query / np.linalg.norm(query)
 
     def sims(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        # flatten the list<float> values buffer and reshape — no Python
+        # list round-trip (same shape as simops._emb_matrix)
+        arr = b.column("embedding").combine_chunks()
+        mat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False).reshape(len(arr), -1)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         s = (mat @ qn) / norms

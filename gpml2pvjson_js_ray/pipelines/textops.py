@@ -573,11 +573,15 @@ def documents_ngram_jaccard(sf_dir: str, threshold: float = 0.3,
     docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
 
     def add_block(b: pa.Table) -> pa.Table:
-        langs = b.column("lang").to_pylist()
-        texts = b.column("text").to_pylist()
-        blocks = [f"{lang}:{len((t or '').split()) // 40}"
-                  for lang, t in zip(langs, texts)]
-        return b.append_column("block", pa.array(blocks, type=pa.string()))
+        pl = polars_capped()
+        blocks = (pl.from_arrow(b.select(["lang", "text"]))
+                  .select(block=pl.col("lang") + ":"
+                          + (pl.col("text").fill_null("")
+                             .str.count_matches(r"\S+") // 40)
+                          .cast(pl.String))
+                  .to_series())
+        return b.append_column(
+            "block", blocks.to_arrow().cast(pa.string()))
 
     def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
         sh = {int(r.doc_id): _shingles(r.text)
