@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_normalize": _mlprep_query("documents_normalize"),
         "documents_term_postings": _mlprep_query("documents_term_postings"),
         "documents_contamination": _mlprep_query("documents_contamination"),
+        "events_props_k_stats": _mlprep_query("events_props_k_stats"),
+        "events_type_cooccurrence":
+            _mlprep_query("events_type_cooccurrence"),
+        "documents_top_bigrams": _mlprep_query("documents_top_bigrams"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -319,6 +323,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_normalize": mlprep.SQL_DOCUMENTS_NORMALIZE,
         "documents_term_postings": mlprep.SQL_DOCUMENTS_TERM_POSTINGS,
         "documents_contamination": mlprep.SQL_DOCUMENTS_CONTAMINATION,
+        "events_props_k_stats": mlprep.SQL_EVENTS_PROPS_K_STATS,
+        "events_type_cooccurrence": mlprep.SQL_EVENTS_TYPE_COOCCURRENCE,
+        "documents_top_bigrams": mlprep.SQL_DOCUMENTS_TOP_BIGRAMS,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

@@ -603,3 +603,162 @@ SELECT c.doc_id,
              * 10000.0 + 0.5) * 0.0001 AS contamination
 FROM cand c LEFT JOIN scored s USING (doc_id) ORDER BY c.doc_id
 """
+
+
+# -- JSON property extraction ----------------------------------------------
+
+def events_props_k_stats(sf_dir: str):
+    """Per-type stats over a JSON payload field: parse `props.k` with a
+    vectorized JSON-path kernel and fold (n, Σk, max k) partials per
+    batch — the semi-structured-column pattern (payload stays a string
+    at rest; extraction is a map, aggregation is a tiny groupby)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.exchange import polars_capped
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = (pl.from_arrow(b).with_columns(
+            k=pl.col("props").str.json_path_match("$.k")
+            .cast(pl.Int64)))
+        out = (df.group_by("event_type")
+               .agg(n=pl.len().cast(pl.Int64),
+                    sum_k=pl.col("k").sum().cast(pl.Int64),
+                    max_k=pl.col("k").max().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("n", pa.int64()),
+            ("sum_k", pa.int64()), ("max_k", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(b.column("sum_k"), pa.float64()),
+                        pc.cast(b.column("n"), pa.float64()))
+        return pa.table({"event_type": b.column("event_type"),
+                         "n": b.column("n"),
+                         "max_k": b.column("max_k"),
+                         "avg_k": pc.round(avg, ndigits=4)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Max("max_k", alias_name="max_k"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+SQL_EVENTS_PROPS_K_STATS = """
+SELECT event_type, count(*) AS n,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       round(sum(CAST(props->>'$.k' AS BIGINT))
+             / CAST(count(*) AS DOUBLE), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- event-type co-occurrence (market-basket pairs) ---------------------------
+
+def events_type_cooccurrence(sf_dir: str, num_buckets: int = 32):
+    """How many users perform BOTH event types, for every type pair —
+    the co-occurrence / market-basket matrix.
+
+    Per-batch distinct (user, type) pairs collapse the event stream to
+    its user-type support before any exchange; users are hash-bucketed
+    so each map_groups call self-joins a whole user shard vectorized
+    (types-per-user is small and bounded, so the pair explosion is
+    |users|·K², never |events|²); per-bucket pair partials then merge
+    in a |types|²-row groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b).unique()
+               .with_columns(bucket=pl.col("user_id").hash(seed=11)
+                             % num_buckets))
+        return out.to_arrow().cast(pa.schema([
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("bucket", pa.uint64())]))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = (pl.from_arrow(g.select(["user_id", "event_type"]))
+              .unique())
+        j = (df.join(df, on="user_id", suffix="_b")
+             .filter(pl.col("event_type") < pl.col("event_type_b"))
+             .group_by(["event_type", "event_type_b"])
+             .agg(n_part=pl.len().cast(pl.Int64))
+             .rename({"event_type": "type_a", "event_type_b": "type_b"}))
+        return j.to_arrow().cast(pa.schema([
+            ("type_a", pa.string()), ("type_b", pa.string()),
+            ("n_part", pa.int64())]))
+
+    return (ds.map_batches(pairs_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_part", alias_name="n_users"))
+            .sort(["type_a", "type_b"]))
+
+
+SQL_EVENTS_TYPE_COOCCURRENCE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
+
+
+# -- corpus-wide bigram counts --------------------------------------------
+
+def documents_top_bigrams(sf_dir: str, k: int = 50):
+    """Top-k word bigrams corpus-wide — the combiner pattern of
+    documents_top_terms one n up: per-batch bigram partial counts
+    (explode → within-doc shift window → group), so the shuffle moves
+    a bigram-vocabulary table, never the token stream."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        ex = (pl.from_arrow(b).select(
+            "doc_id",
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("tok").drop_nulls("tok"))
+        out = (ex.with_columns(
+            bigram=pl.col("tok") + " "
+            + pl.col("tok").shift(-1).over("doc_id"))
+            .drop_nulls("bigram")
+            .group_by("bigram").agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("bigram", pa.string()), ("n", pa.int64())]))
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bigram")
+            .aggregate(Sum("n", alias_name="n_occurrences"))
+            .sort(["n_occurrences", "bigram"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_TOP_BIGRAMS = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')),
+                            '[a-zA-ZÀ-ÿ]+') AS ts
+  FROM documents
+)
+SELECT bg AS bigram, count(*) AS n_occurrences
+FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2)
+GROUP BY bg ORDER BY n_occurrences DESC, bigram ASC LIMIT 50
+"""
