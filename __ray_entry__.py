@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence":
             _mlprep_query("events_type_cooccurrence"),
         "documents_top_bigrams": _mlprep_query("documents_top_bigrams"),
+        "embeddings_linear_score_topk":
+            _mlprep_query("embeddings_linear_score_topk"),
+        "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -326,6 +329,9 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_stats": mlprep.SQL_EVENTS_PROPS_K_STATS,
         "events_type_cooccurrence": mlprep.SQL_EVENTS_TYPE_COOCCURRENCE,
         "documents_top_bigrams": mlprep.SQL_DOCUMENTS_TOP_BIGRAMS,
+        "embeddings_linear_score_topk":
+            mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
+        "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

@@ -762,3 +762,108 @@ FROM (SELECT unnest(list_transform(range(1, len(ts)),
       FROM toks WHERE len(ts) >= 2)
 GROUP BY bg ORDER BY n_occurrences DESC, bigram ASC LIMIT 50
 """
+
+
+# -- batched linear-model scoring over embeddings ------------------------------
+
+_W_MULT = 2654435761
+_W_M32 = float(1 << 32)
+
+
+def _linear_weights(dim: int) -> np.ndarray:
+    i = np.arange(dim, dtype=np.int64)
+    return ((i * _W_MULT) % (1 << 32)) / _W_M32 - 0.5
+
+
+def embeddings_linear_score_topk(sf_dir: str, k: int = 20):
+    """Top-k rows by a broadcast linear model: score = σ(w·x) with a
+    deterministic weight vector — the batched-model-inference shape
+    (weights shipped once by closure, one BLAS matmul per batch, local
+    top-k prefilter so the global sort+limit sees ≤ k rows per block).
+    Swap `_linear_weights` for real checkpoint weights via ray.put and
+    this is the scoring stage of a learned quality filter."""
+    import pyarrow.dataset as pads
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dim = len(pads.dataset(src).head(1, columns=["embedding"])
+              .column("embedding")[0])
+    w = _linear_weights(dim)
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        arr = b.column("embedding").combine_chunks()
+        mat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False).reshape(len(arr), -1)
+        s = np.round(1.0 / (1.0 + np.exp(-(mat @ w))), 6)
+        t = pa.table({"vec_id": pa.array(ids),
+                      "score": pa.array(s)})
+        if len(t) <= k:
+            return t
+        keep = np.argpartition(-s, k)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    import ray.data as rd
+    emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
+    return (emb.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "vec_id"], descending=[True, False])
+            .limit(k))
+
+
+SQL_EMBEDDINGS_LINEAR_SCORE_TOPK = """
+WITH w AS (
+  SELECT list_transform(range(0, 64),
+         i -> ((i * 2654435761) % 4294967296) / 4294967296.0 - 0.5) AS wv
+)
+SELECT vec_id,
+       round(1.0 / (1.0 + exp(-list_inner_product(
+           CAST(embedding AS DOUBLE[]), wv))), 6) AS score
+FROM embeddings, w
+ORDER BY score DESC, vec_id ASC LIMIT 20
+"""
+
+
+# -- per-user moving average (ordered window over a partition) ----------------
+
+def events_user_moving_avg(sf_dir: str, num_buckets: int = 32):
+    """AVG(value) OVER (PARTITION BY user ORDER BY ts ROWS 2 PRECEDING)
+    — the ordered-window aggregate. Users are hash-bucketed so each
+    map_groups call holds complete user histories and computes every
+    window vectorized (one polars rolling_mean per bucket); the only
+    exchange is the user co-location groupby."""
+    from ..stages.exchange import polars_capped
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((u * _W_MULT) % (1 << 32) % num_buckets))
+
+    def windows(g: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(g.select(
+            ["event_id", "ts", "user_id", "value"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                ma_value=(pl.col("value")
+                          .rolling_mean(window_size=3, min_samples=1)
+                          .over("user_id") * 10000.0 + 0.5)
+                .floor() * 0.0001)
+            .select("event_id", "user_id", "ma_value"))
+        return out.to_arrow().cast(pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ma_value", pa.float64())]))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(windows, batch_format="pyarrow")
+            .sort("event_id"))
+
+
+SQL_EVENTS_USER_MOVING_AVG = """
+SELECT event_id, user_id,
+       floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             * 10000.0 + 0.5) * 0.0001 AS ma_value
+FROM events ORDER BY event_id
+"""
