@@ -867,3 +867,76 @@ SELECT event_id, user_id,
              * 10000.0 + 0.5) * 0.0001 AS ma_value
 FROM events ORDER BY event_id
 """
+
+
+# -- time-series gap fill (resample to a dense grid) ---------------------------
+
+def events_5min_gap_fill(sf_dir: str):
+    """Dense per-type 5-minute count series: missing windows appear
+    with n_events = 0 over the global [min, max] window range — the
+    resample/gap-fill operator feeding any windowed model.
+
+    The only corpus-scale pass is the per-batch partial-count map; the
+    gap fill itself runs on the AGGREGATE (|types| × |windows| rows,
+    which is grid-sized no matter how big the event stream is), so the
+    dense grid is constructed once from the reduced table and returned
+    as a Dataset."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        micros = pc.cast(b.column("ts"), pa.int64())
+        window = pc.cast(pc.floor(pc.divide(
+            pc.cast(micros, pa.float64()), pa.scalar(300_000_000.0))),
+            pa.int64())
+        t = pa.table({"event_type": b.column("event_type"),
+                      "window_id": window,
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return (pa.TableGroupBy(t, ["event_type", "window_id"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["event_type", "window_id", "n"]))
+
+    agg = pa.concat_tables(
+        [t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "window_id"])
+            .aggregate(Sum("n", alias_name="n_events"))
+            .to_arrow_refs()) if len(t)])
+
+    types = np.sort(np.unique(agg.column("event_type").to_numpy(
+        zero_copy_only=False)))
+    wins = agg.column("window_id").to_numpy()
+    lo, hi = int(wins.min()), int(wins.max())
+    span = hi - lo + 1
+    # dense |types| × span zero grid, scatter the observed counts in
+    dense = np.zeros(len(types) * span, dtype=np.int64)
+    t_idx = np.searchsorted(types, agg.column("event_type").to_numpy(
+        zero_copy_only=False))
+    dense[t_idx * span + (wins - lo)] = agg.column("n_events").to_numpy()
+    out = pa.table({
+        "event_type": pa.array(np.repeat(types, span)),
+        "window_id": pa.array(np.tile(np.arange(lo, hi + 1), len(types))),
+        "n_events": pa.array(dense)})
+    return rd.from_arrow(out)
+
+
+SQL_EVENTS_5MIN_GAP_FILL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, window_id
+), grid AS (
+  SELECT t.event_type, g.window_id
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range((SELECT min(window_id) FROM b),
+                                  (SELECT max(window_id) FROM b) + 1))
+              AS window_id) g
+)
+SELECT grid.event_type, grid.window_id,
+       coalesce(b.n_events, 0) AS n_events
+FROM grid LEFT JOIN b USING (event_type, window_id)
+ORDER BY event_type, window_id
+"""
