@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
+        "events_top_users": _sketch_query("events_top_users"),
+        "events_top_users_cms": _sketch_query("events_top_users_cms"),
         "customers_without_large_orders":
             _join_query("customers_without_large_orders"),
         "events_last_purchase_asof":
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,
         "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
+        "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":
             joins.SQL_CUSTOMERS_WITHOUT_LARGE_ORDERS,
         "events_last_purchase_asof":

@@ -141,3 +141,106 @@ def events_distinct_users_hll(sf_dir: str, p: int = 14):
             .groupby("event_type")
             .map_groups(merge, batch_format="pandas")
             .sort("event_type"))
+
+
+# -- heavy hitters: exact and Count-Min Sketch --------------------------------
+
+def events_top_users(sf_dir: str, k: int = 20):
+    """Exact top-k users by event count — combiner pattern: per-batch
+    partial counts (rows = distinct users per block) feed the groupby,
+    so the shuffle moves a user table, never the event stream."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids, cnt = np.unique(
+            b.column("user_id").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"user_id": pa.array(ids),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("n", alias_name="n_events"))
+            .sort(["n_events", "user_id"], descending=[True, False])
+            .limit(k))
+
+
+SQL_EVENTS_TOP_USERS = """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 20
+"""
+
+
+_CMS_SEEDS = np.array([0x243F6A8885A308D3, 0x13198A2E03707344,
+                       0xA4093822299F31D0, 0x082EFA98EC4E6C89],
+                      dtype=np.uint64)  # π hex digits (nothing up sleeve)
+
+
+def _cms_fold(users: np.ndarray, counts: np.ndarray, w: int) -> np.ndarray:
+    """(d, w) int64 Count-Min registers for pre-counted keys."""
+    d = len(_CMS_SEEDS)
+    cms = np.zeros((d, w), dtype=np.int64)
+    u = users.astype(np.uint64)
+    for r in range(d):
+        idx = (_splitmix64(u ^ _CMS_SEEDS[r]) % np.uint64(w)).astype(
+            np.int64)
+        np.add.at(cms[r], idx, counts)
+    return cms
+
+
+def events_top_users_cms(sf_dir: str, k: int = 20, w: int = 2048):
+    """Approximate top-k users by event count in ONE streaming pass —
+    the point-frequency sketch completing the family (HLL: cardinality,
+    t-digest: quantiles, MinHash/SimHash: similarity, CMS: frequency).
+
+    Each batch folds its local user counts into a (d×w) Count-Min grid
+    and nominates its local top-4k users as candidates; the merge sums
+    the constant-size grids (8 KiB each, whatever the corpus size),
+    unions the candidate sets, and reads each candidate's estimate as
+    the min over rows. Standard heavy-hitter assumption (a global
+    heavy hitter is locally heavy somewhere): sound on skewed data —
+    `tests/test_sketches.py` pins it against the exact twin."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    n_local = 4 * k
+
+    def batch_sketch(b: pa.Table) -> pa.Table:
+        ids, cnt = np.unique(
+            b.column("user_id").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        cms = _cms_fold(ids, cnt.astype(np.int64), w)
+        if len(ids) > n_local:
+            keep = np.argpartition(-cnt, n_local)[:n_local]
+            ids = ids[keep]
+        return pa.table({
+            "g": pa.array([0]),
+            "cms": pa.array([cms.tobytes()], type=pa.binary()),
+            "cands": pa.array([np.sort(ids).astype(np.int64).tobytes()],
+                              type=pa.binary())})
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = len(_CMS_SEEDS)
+        cms = np.zeros((d, w), dtype=np.int64)
+        cand_sets = []
+        for blob, cblob in zip(df["cms"], df["cands"]):
+            cms += np.frombuffer(blob, dtype=np.int64).reshape(d, w)
+            cand_sets.append(np.frombuffer(cblob, dtype=np.int64))
+        cands = np.unique(np.concatenate(cand_sets))
+        u = cands.astype(np.uint64)
+        est = np.full(len(cands), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(d):
+            idx = (_splitmix64(u ^ _CMS_SEEDS[r]) % np.uint64(w)).astype(
+                np.int64)
+            est = np.minimum(est, cms[r][idx])
+        order = np.lexsort((cands, -est))[:k]
+        return pd.DataFrame({"user_id": cands[order],
+                             "est_events": est[order]})
+
+    return (ds.map_batches(batch_sketch, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(merge, batch_format="pandas")
+            .sort(["est_events", "user_id"], descending=[True, False]))

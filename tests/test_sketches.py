@@ -61,3 +61,54 @@ def test_hll_close_to_exact_on_events(ray_session):
     for _, row in exact.merge(approx, on="event_type").iterrows():
         err = abs(row["distinct_users_est"] - row["distinct_users"])
         assert err / max(1, row["distinct_users"]) < 0.05, row
+
+
+def test_cms_top_users_matches_exact_on_skew(ray_session, tmp_path):
+    """Planted Zipf-ish skew: the CMS top-k must contain the true heavy
+    hitters with estimates >= true counts (CMS never underestimates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.sketches import (events_top_users,
+                                                       events_top_users_cms)
+
+    rng = np.random.RandomState(3)
+    # heavy users 0..4 with 400-800 events; 500 background users w/ ~4
+    users = np.concatenate(
+        [np.repeat(np.arange(5), [800, 700, 600, 500, 400]),
+         rng.randint(100, 600, size=2000)]).astype(np.int64)
+    rng.shuffle(users)
+    n = len(users)
+    t = pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+        "user_id": users,
+        "event_type": ["e"] * n,
+        "value": np.ones(n),
+        "props": ["{}"] * n})
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    exact = events_top_users(str(d), k=5).to_pandas()
+    approx = events_top_users_cms(str(d), k=5).to_pandas()
+    assert list(exact["user_id"]) == [0, 1, 2, 3, 4]
+    assert set(approx["user_id"]) == {0, 1, 2, 3, 4}
+    truth = dict(zip(exact["user_id"], exact["n_events"]))
+    for uid, est in zip(approx["user_id"], approx["est_events"]):
+        assert est >= truth[uid]          # CMS overestimates only
+        assert est <= truth[uid] * 1.5    # ...and not grossly here
+
+
+def test_cms_merge_is_order_invariant():
+    from gpml2pvjson_js_ray.pipelines.sketches import _cms_fold
+
+    rng = np.random.RandomState(11)
+    users = rng.randint(0, 1000, size=5000).astype(np.int64)
+    ids, cnt = np.unique(users, return_counts=True)
+    whole = _cms_fold(ids, cnt.astype(np.int64), 512)
+    ids_a, cnt_a = np.unique(users[:2500], return_counts=True)
+    ids_b, cnt_b = np.unique(users[2500:], return_counts=True)
+    split = (_cms_fold(ids_a, cnt_a.astype(np.int64), 512)
+             + _cms_fold(ids_b, cnt_b.astype(np.int64), 512))
+    assert (whole == split).all()
