@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cosine_top10": rel.embeddings_cosine_top10,
         "revenue_by_nation": _join_query("revenue_by_nation"),
         "order_shipping_priority": _join_query("order_shipping_priority"),
+        "revenue_by_nation_bloom": _join_query("revenue_by_nation_bloom"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
         "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,
         "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
+        "revenue_by_nation_bloom": joins.SQL_REVENUE_BY_NATION,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

@@ -38,7 +38,8 @@ def _ts(s: str):
 def revenue_by_nation(sf_dir: str, region: str = "ASIA",
                       year_lo: str = "1996-01-01T00:00:00",
                       year_hi: str = "1997-01-01T00:00:00",
-                      num_partitions: int = 16):
+                      num_partitions: int = 16,
+                      _lineitem_prefilter=None):
     """lineitem ⋈ orders (shuffle hash join) ⋈ customer ⋈ supplier ⋈
     nation ⋈ region (broadcast) → revenue per nation where the supplier
     and customer nation match.
@@ -81,6 +82,11 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA",
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_suppkey", "l_extendedprice",
                       "l_discount"])
+    if _lineitem_prefilter is not None:
+        # semi-join pushdown (e.g. the Bloom bitmap of surviving
+        # orderkeys, revenue_by_nation_bloom) shrinks the shuffled side
+        lineitem = lineitem.map_batches(_lineitem_prefilter,
+                                        batch_format="pyarrow")
 
     joined = lineitem.join(orders, join_type="inner",
                            num_partitions=num_partitions,
@@ -284,3 +290,98 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
+
+
+# -- Bloom-filter semi-join pushdown -----------------------------------------
+
+# Double hashing (Kirsch–Mitzenmacher): k positions from two splitmix64
+# draws. k=7, 10 bits/key → ~1% false positives; false positives only
+# cost shuffle bytes — the exact hash join after the filter removes them,
+# so the result is identical to the unfiltered plan.
+_BLOOM_K = 7
+_BLOOM_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(u: np.ndarray, m_bits: int):
+    from .sketches import _splitmix64
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ _BLOOM_SALT) | np.uint64(1)
+    for i in range(_BLOOM_K):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def _bloom_words(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    u = keys.astype(np.uint64)
+    for pos in _bloom_positions(u, m_bits):
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def _bloom_contains(words: np.ndarray, keys: np.ndarray,
+                    m_bits: int) -> np.ndarray:
+    u = keys.astype(np.uint64)
+    ok = np.ones(len(u), dtype=bool)
+    for pos in _bloom_positions(u, m_bits):
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        ok &= bit.astype(bool)
+    return ok
+
+
+def _dataset_bloom(ds, key_col: str, m_bits: int):
+    """OR-merge per-batch Bloom partials into one broadcast bitmap.
+    Each batch contributes one constant-size row (m_bits/8 bytes), so
+    the merge shuffles kilobytes however large the build side is — the
+    probabilistic stand-in for an exact key broadcast when the key set
+    itself no longer fits a worker (the 100-TB regime)."""
+    import pandas as pd
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array([0]),
+            "words": pa.array([_bloom_words(keys, m_bits).tobytes()],
+                              type=pa.binary())})
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        w = np.zeros(m_bits // 64, dtype=np.uint64)
+        for blob in df["words"]:
+            w |= np.frombuffer(blob, dtype=np.uint64)
+        return pd.DataFrame({"g": [0], "words": [w.tobytes()]})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("g").map_groups(merge, batch_format="pandas")
+            .take_all())  # exactly one constant-size row
+    return ray.put(np.frombuffer(rows[0]["words"], dtype=np.uint64).copy())
+
+
+def revenue_by_nation_bloom(sf_dir: str, m_bits: int = 1 << 20, **kw):
+    """revenue_by_nation with a Bloom semi-join pushdown: the date
+    filter survives only ~1/7 of orders, so a Bloom bitmap of the
+    surviving orderkeys (built distributed, OR-merged, broadcast once)
+    drops most lineitem rows BEFORE the hash-partition exchange. The
+    build side streams twice (bloom pass + join pass) — cheaper than
+    shuffling the unfiltered big side; the exact join then removes the
+    ~1% false positives, so the result is bit-identical to
+    revenue_by_nation (same SQL oracle)."""
+    import ray
+
+    lo = _ts(kw.get("year_lo", "1996-01-01T00:00:00"))
+    hi = _ts(kw.get("year_hi", "1997-01-01T00:00:00"))
+    orders_keys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+                   .map_batches(lambda b: b.filter(pc.and_(
+                       pc.greater_equal(b.column("o_orderdate"), lo),
+                       pc.less(b.column("o_orderdate"), hi)))
+                       .select(["o_orderkey"]),
+                       batch_format="pyarrow"))
+    words_ref = _dataset_bloom(orders_keys, "o_orderkey", m_bits)
+
+    def probe(b: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(_bloom_contains(w, keys, m_bits)))
+
+    return revenue_by_nation(sf_dir, _lineitem_prefilter=probe, **kw)

@@ -112,3 +112,18 @@ def test_cms_merge_is_order_invariant():
     split = (_cms_fold(ids_a, cnt_a.astype(np.int64), 512)
              + _cms_fold(ids_b, cnt_b.astype(np.int64), 512))
     assert (whole == split).all()
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from gpml2pvjson_js_ray.pipelines.joins import (_bloom_contains,
+                                                    _bloom_words)
+
+    keys = np.arange(0, 20000, 2, dtype=np.int64)
+    probes = np.arange(1, 20001, 2, dtype=np.int64)
+    m = 1 << 17  # ~13 bits/key
+    w = _bloom_words(keys, m)
+    assert _bloom_contains(w, keys, m).all()  # Bloom never drops a member
+    assert _bloom_contains(w, probes, m).mean() < 0.02
+    # partial-build OR-merge == whole build (the distributed fold)
+    merged = _bloom_words(keys[:5000], m) | _bloom_words(keys[5000:], m)
+    assert (merged == w).all()
