@@ -33,11 +33,31 @@ def _ts(s: str):
     return pa.scalar(np.datetime64(s, "us"))
 
 
+# shared defaults for revenue_by_nation and its Bloom variant — a single
+# source of truth so the bitmap's build predicate can never drift from
+# the join's (a drifted Bloom under-covers keys and silently DROPS
+# matching rows; false positives are safe, false negatives are not)
+_RBN_YEAR_LO = "1996-01-01T00:00:00"
+_RBN_YEAR_HI = "1997-01-01T00:00:00"
+
+
+def _orders_in_window(sf_dir: str, lo, hi, columns):
+    """Orders scan filtered to o_orderdate ∈ [lo, hi) — the one
+    definition of the build-side predicate, used by both the join plan
+    and the Bloom bitmap builder."""
+    return (_read(sf_dir, "orders", columns + ["o_orderdate"])
+            .map_batches(lambda b: b.filter(pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi)))
+                .drop_columns(["o_orderdate"]),
+                batch_format="pyarrow"))
+
+
 # -- Q5-style: revenue by nation, local suppliers only ----------------------
 
 def revenue_by_nation(sf_dir: str, region: str = "ASIA",
-                      year_lo: str = "1996-01-01T00:00:00",
-                      year_hi: str = "1997-01-01T00:00:00",
+                      year_lo: str = _RBN_YEAR_LO,
+                      year_hi: str = _RBN_YEAR_HI,
                       num_partitions: int = 16,
                       _lineitem_prefilter=None):
     """lineitem ⋈ orders (shuffle hash join) ⋈ customer ⋈ supplier ⋈
@@ -72,13 +92,8 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA",
         pa.array(in_region["n_name"].astype(str).to_numpy())))
 
     lo, hi = _ts(year_lo), _ts(year_hi)
-    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey",
-                                       "o_orderdate"])
-              .map_batches(lambda b: b.filter(pc.and_(
-                  pc.greater_equal(b.column("o_orderdate"), lo),
-                  pc.less(b.column("o_orderdate"), hi)))
-                  .drop_columns(["o_orderdate"]),
-                  batch_format="pyarrow"))
+    orders = _orders_in_window(sf_dir, lo, hi,
+                               ["o_orderkey", "o_custkey"])
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_suppkey", "l_extendedprice",
                       "l_discount"])
@@ -369,14 +384,9 @@ def revenue_by_nation_bloom(sf_dir: str, m_bits: int = 1 << 20, **kw):
     revenue_by_nation (same SQL oracle)."""
     import ray
 
-    lo = _ts(kw.get("year_lo", "1996-01-01T00:00:00"))
-    hi = _ts(kw.get("year_hi", "1997-01-01T00:00:00"))
-    orders_keys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-                   .map_batches(lambda b: b.filter(pc.and_(
-                       pc.greater_equal(b.column("o_orderdate"), lo),
-                       pc.less(b.column("o_orderdate"), hi)))
-                       .select(["o_orderkey"]),
-                       batch_format="pyarrow"))
+    lo = _ts(kw.get("year_lo", _RBN_YEAR_LO))
+    hi = _ts(kw.get("year_hi", _RBN_YEAR_HI))
+    orders_keys = _orders_in_window(sf_dir, lo, hi, ["o_orderkey"])
     words_ref = _dataset_bloom(orders_keys, "o_orderkey", m_bits)
 
     def probe(b: pa.Table) -> pa.Table:

@@ -66,6 +66,22 @@ def _docs_count(sf_dir: str) -> int:
         .count_rows()
 
 
+# Worker-local memo for broadcast-side conversions (polars frames,
+# lookup arrays): ray.get is plasma-cached but per-batch re-CONVERSION
+# of a broadcast table is O(n_batches) wasted work (joins._NATION_CACHE
+# pattern). Keyed by ObjectRef identity, bounded.
+_BCAST_CACHE: dict[int, object] = {}
+
+
+def _cached_bcast(ref, build):
+    key = id(ref)
+    if key not in _BCAST_CACHE:
+        while len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[key] = build()
+    return _BCAST_CACHE[key]
+
+
 # -- TF-IDF: most characteristic term per document ---------------------------
 
 def documents_tfidf_top_term(sf_dir: str):
@@ -112,7 +128,8 @@ def documents_tfidf_top_term(sf_dir: str):
 
     def score(b: pa.Table) -> pa.Table:
         pl = polars_capped()
-        dfl = pl.from_arrow(ray.get(df_ref))
+        dfl = _cached_bcast(df_ref,
+                            lambda: pl.from_arrow(ray.get(df_ref)))
         tf = (_tokens(pl, pl.from_arrow(b))
               .group_by(["doc_id", "term"]).len(name="tf"))
         scored = (tf.join(dfl, on="term", how="inner")
@@ -369,14 +386,11 @@ def events_value_zscore(sf_dir: str):
     n = stats.column("n").to_numpy().astype(np.float64)
     mean = sv / n
     std = np.sqrt((svv - sv * sv / n) / (n - 1.0))
-    lut = {t: (m, s) for t, m, s in zip(types, mean, std)}
-    lut_ref = ray.put(lut)
+    # pre-built probe arrays shipped once (not a dict re-unpacked per batch)
+    lut_ref = ray.put((pa.array([str(t) for t in types]), mean, std))
 
     def transform(b: pa.Table) -> pa.Table:
-        table = ray.get(lut_ref)
-        keys = pa.array(list(table))
-        ms = np.array([table[k][0] for k in table])
-        ss = np.array([table[k][1] for k in table])
+        keys, ms, ss = _cached_bcast(lut_ref, lambda: ray.get(lut_ref))
         idx = pc.index_in(b.column("event_type").combine_chunks(),
                           value_set=keys).to_numpy(zero_copy_only=False)
         v = b.column("value").to_numpy(zero_copy_only=False)
@@ -521,11 +535,16 @@ def documents_contamination(sf_dir: str, bench_source: str = _BENCH_SOURCE):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
+    # Explicit ASCII non-whitespace class: rust-regex \S is Unicode-aware
+    # (splits on NBSP etc.) while DuckDB's RE2 \S is ASCII — spelling the
+    # class out makes both engines tokenize identically on any input.
+    tok_re = r"[^\t\n\f\r ]+"
+
     def _trigrams(pl, df):
         ex = (df.select(
             "doc_id",
             tok=pl.col("text").fill_null("").str.to_lowercase()
-            .str.extract_all(r"\S+"))
+            .str.extract_all(tok_re))
             .explode("tok").drop_nulls("tok"))
         return (ex.with_columns(
             g=pl.col("tok") + " "
@@ -552,7 +571,8 @@ def documents_contamination(sf_dir: str, bench_source: str = _BENCH_SOURCE):
         mask = pc.not_equal(b.column("source"), pa.scalar(bench_source))
         cand = b.filter(mask)
         df = pl.from_arrow(cand.select(["doc_id", "text"]))
-        bench_s = pl.Series("bench", ray.get(bench_ref))
+        bench_s = _cached_bcast(
+            bench_ref, lambda: pl.Series("bench", ray.get(bench_ref)))
         hits = (_trigrams(pl, df)
                 .with_columns(hit=pl.col("g").is_in(bench_s))
                 .group_by("doc_id")
@@ -578,12 +598,14 @@ def documents_contamination(sf_dir: str, bench_source: str = _BENCH_SOURCE):
 SQL_DOCUMENTS_CONTAMINATION = r"""
 WITH cand AS (
   SELECT doc_id,
-         regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+         regexp_extract_all(lower(coalesce(text, '')),
+                            '[^\t\n\f\r ]+') AS toks
   FROM documents WHERE source <> 'src0'
 ), bench AS (
   SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
-  FROM (SELECT regexp_extract_all(lower(coalesce(text, '')), '\S+') AS toks
+  FROM (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                            '[^\t\n\f\r ]+') AS toks
         FROM documents WHERE source = 'src0')
   WHERE len(toks) >= 3
 ), grams AS (
@@ -625,7 +647,11 @@ def events_props_k_stats(sf_dir: str):
             .cast(pl.Int64)))
         out = (df.group_by("event_type")
                .agg(n=pl.len().cast(pl.Int64),
-                    sum_k=pl.col("k").sum().cast(pl.Int64),
+                    # SQL sum() over an all-null group is NULL; polars
+                    # sum() is 0 — keep the SQL semantics explicitly
+                    sum_k=pl.when(pl.col("k").count() > 0)
+                    .then(pl.col("k").sum()).otherwise(None)
+                    .cast(pl.Int64),
                     max_k=pl.col("k").max().cast(pl.Int64)))
         return out.to_arrow().cast(pa.schema([
             ("event_type", pa.string()), ("n", pa.int64()),
@@ -790,17 +816,20 @@ def embeddings_linear_score_topk(sf_dir: str, k: int = 20):
     w = _linear_weights(dim)
 
     def score(b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        arr = b.column("embedding").combine_chunks()
-        mat = arr.flatten().to_numpy(zero_copy_only=False) \
-            .astype(np.float64, copy=False).reshape(len(arr), -1)
+        from .simops import _emb_matrix
+        ids, mat = _emb_matrix(b)
         s = np.round(1.0 / (1.0 + np.exp(-(mat @ w))), 6)
         t = pa.table({"vec_id": pa.array(ids),
                       "score": pa.array(s)})
         if len(t) <= k:
             return t
-        keep = np.argpartition(-s, k)[:k]
-        return t.take(pa.array(np.sort(keep)))
+        # threshold-keep, not argpartition[:k]: scores are ROUNDED, so
+        # ties at the local k-th position are real — dropping an
+        # arbitrary tied row here could drop the row the global
+        # (score DESC, vec_id ASC) order keeps. Keeping every row tied
+        # with the k-th score is still O(k) per block in expectation.
+        thresh = np.partition(s, len(s) - k)[len(s) - k]
+        return t.filter(pa.array(s >= thresh))
 
     import ray.data as rd
     emb = rd.read_parquet(src, columns=["vec_id", "embedding"])
@@ -811,7 +840,9 @@ def embeddings_linear_score_topk(sf_dir: str, k: int = 20):
 
 SQL_EMBEDDINGS_LINEAR_SCORE_TOPK = """
 WITH w AS (
-  SELECT list_transform(range(0, 64),
+  -- weight length derives from the data like the Ray side's dim probe
+  SELECT list_transform(
+         range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
          i -> ((i * 2654435761) % 4294967296) / 4294967296.0 - 0.5) AS wv
 )
 SELECT vec_id,

@@ -554,12 +554,8 @@ def embeddings_cosine_top10(sf_dir: str):
     qn = query / np.linalg.norm(query)
 
     def sims(b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        # flatten the list<float> values buffer and reshape — no Python
-        # list round-trip (same shape as simops._emb_matrix)
-        arr = b.column("embedding").combine_chunks()
-        mat = arr.flatten().to_numpy(zero_copy_only=False) \
-            .astype(np.float64, copy=False).reshape(len(arr), -1)
+        from .simops import _emb_matrix
+        ids, mat = _emb_matrix(b)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         s = (mat @ qn) / norms

@@ -81,8 +81,6 @@ def test_weighted_sample_prefers_heavy_docs(ray_session, tmp_path):
 def test_ntile_remainder_distribution(ray_session, tmp_path):
     # 10 events into 8 tiles: NTILE gives the first 2 tiles 2 rows each
     # and 1 row to the rest (remainder to the front).
-    import os
-
     events = pa.table({
         "event_id": list(range(10)),
         "ts": pa.array([0] * 10, pa.timestamp("us")),
@@ -97,4 +95,24 @@ def test_ntile_remainder_distribution(ray_session, tmp_path):
     from gpml2pvjson_js_ray.pipelines.mlprep import events_value_ntile
     out = events_value_ntile(str(d)).to_pandas().sort_values("event_id")
     assert list(out["tile"]) == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8]
-    assert os.path.basename(str(d)) == "ev"
+
+
+def test_linear_score_topk_tie_break(ray_session, tmp_path):
+    # Identical embeddings → every rounded score ties; the per-block
+    # prefilter must keep ALL tied rows so the global (score DESC,
+    # vec_id ASC) order can pick vec_ids 0..k-1, matching SQL ROW ORDER.
+    import numpy as np
+
+    n, dim = 40, 8
+    emb = [list(np.full(dim, 0.1, dtype=np.float32)) for _ in range(n)]
+    t = pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": pa.array(emb, pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32))})
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    from gpml2pvjson_js_ray.pipelines.mlprep import \
+        embeddings_linear_score_topk
+    out = embeddings_linear_score_topk(str(d), k=5).to_pandas()
+    assert list(out["vec_id"]) == [0, 1, 2, 3, 4]
