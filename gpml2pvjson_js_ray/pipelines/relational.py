@@ -416,10 +416,14 @@ def documents_token_stats(sf_dir: str):
     def stats(b: pa.Table) -> pa.Table:
         pl = polars_capped()
         df = pl.from_arrow(b)
+        # explicit ASCII whitespace set: polars strip_chars()/\s are
+        # Unicode-aware while DuckDB trim()/RE2 \s are ASCII — spelling
+        # the set out keeps both engines identical on NBSP-bearing text
         out = df.select(
             pl.col("doc_id"),
-            n_tokens=(pl.col("text").str.strip_chars()
-                      .str.count_matches(r"\s+") + 1).cast(pl.Int64),
+            n_tokens=(pl.col("text").str.strip_chars("\t\n\f\r ")
+                      .str.count_matches(r"[\t\n\f\r ]+") + 1)
+            .cast(pl.Int64),
             n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
         )
         return out.to_arrow().cast(pa.schema([
@@ -432,7 +436,10 @@ def documents_token_stats(sf_dir: str):
 
 SQL_DOCUMENTS_TOKEN_STATS = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_split_to_array(
+           trim(text, chr(9) || chr(10) || chr(12) || chr(13) || ' '),
+           '[' || chr(9) || chr(10) || chr(12) || chr(13) || ' ]+'))
+           AS n_tokens,
        length(text) AS n_chars
 FROM documents
 """
@@ -484,8 +491,9 @@ GROUP BY t ORDER BY n_occurrences DESC, term ASC LIMIT 50
 # GPT-2-style pre-tokenizer shape, ASCII-simplified so Python's re, polars'
 # rust regex and DuckDB's RE2 agree exactly: a token is an optional leading
 # space followed by a letter run, digit run, or symbol run. Whitespace-only
-# runs are not tokens.
-BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# runs are not tokens. The whitespace set is spelled out because \s is
+# Unicode in rust-regex but ASCII in RE2 (they'd diverge on NBSP).
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\t\n\f\r A-Za-z0-9]+"
 
 
 def documents_token_stats_bpe(sf_dir: str):
@@ -515,7 +523,9 @@ def documents_token_stats_bpe(sf_dir: str):
 
 SQL_DOCUMENTS_TOKEN_STATS_BPE = r"""
 SELECT doc_id,
-       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+       len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^' || chr(9) || chr(10) || chr(12)
+           || chr(13) || ' A-Za-z0-9]+'))
            AS n_tokens_bpe,
        length(text) AS n_chars
 FROM documents

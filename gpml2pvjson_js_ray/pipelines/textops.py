@@ -9,6 +9,7 @@ checks and pytest covers their semantics on known inputs.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -32,7 +33,13 @@ def _read_docs(sf_dir: str, columns):
 # per-document folds (rolling fingerprint, minhash min, simhash bit
 # votes) are numpy segment reductions over the exploded token arrays.
 
-def _token_hash_arrays(texts, regex: str = r"\S+",
+# Explicit ASCII non-whitespace class — rust-regex \S is Unicode-aware
+# while DuckDB's RE2 \S is ASCII; the spelled-out class tokenizes
+# identically in polars, RE2 and Python re (NBSP etc. stay token chars).
+WS_TOKEN_RE = r"[^\t\n\f\r ]+"
+
+
+def _token_hash_arrays(texts, regex: str = WS_TOKEN_RE,
                        lowercase: bool = True):
     """→ (flat uint64 token hashes in text order, int64 per-text counts).
     No per-token Python anywhere."""
@@ -266,10 +273,15 @@ _PERM_A = _rng.randint(1, 2**63 - 1, size=N_PERM).astype(np.uint64) | np.uint64(
 _PERM_B = _rng.randint(0, 2**63 - 1, size=N_PERM).astype(np.uint64)
 
 
+_WS_TOKEN_CRE = re.compile(WS_TOKEN_RE)
+
+
 def _shingles(text: str) -> set:
     """Python-set shingles, used only in the exact-Jaccard verify of the
-    (tiny) candidate set — the sketch path below never calls this."""
-    toks = (text or "").lower().split()
+    (tiny) candidate set — the sketch path below never calls this.
+    Tokenization matches WS_TOKEN_RE (str.split() would split on
+    Unicode whitespace that the SQL oracle's RE2 \\S does not)."""
+    toks = _WS_TOKEN_CRE.findall((text or "").lower())
     if len(toks) < SHINGLE_K:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i:i + SHINGLE_K])
@@ -577,7 +589,7 @@ def documents_ngram_jaccard(sf_dir: str, threshold: float = 0.3,
         blocks = (pl.from_arrow(b.select(["lang", "text"]))
                   .select(block=pl.col("lang") + ":"
                           + (pl.col("text").fill_null("")
-                             .str.count_matches(r"\S+") // 40)
+                             .str.count_matches(WS_TOKEN_RE) // 40)
                           .cast(pl.String))
                   .to_series())
         return b.append_column(
@@ -794,7 +806,9 @@ SQL_DOCUMENTS_NGRAM_JACCARD = r"""
 WITH sh AS (
   SELECT doc_id,
          lang || ':' ||
-         CAST(len(regexp_extract_all(text, '\S+')) // 40 AS VARCHAR)
+         CAST(len(regexp_extract_all(text,
+             '[^' || chr(9) || chr(10) || chr(12) || chr(13) || ' ]+'))
+         // 40 AS VARCHAR)
              AS block,
          CASE WHEN len(toks) = 0 THEN []
               WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -802,7 +816,9 @@ WITH sh AS (
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          END AS sh
   FROM documents,
-       LATERAL (SELECT regexp_extract_all(lower(text), '\S+') AS toks)
+       LATERAL (SELECT regexp_extract_all(lower(text),
+             '[^' || chr(9) || chr(10) || chr(12) || chr(13) || ' ]+')
+         AS toks)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

@@ -116,3 +116,26 @@ def test_linear_score_topk_tie_break(ray_session, tmp_path):
         embeddings_linear_score_topk
     out = embeddings_linear_score_topk(str(d), k=5).to_pandas()
     assert list(out["vec_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_token_stats_parity_on_unicode_whitespace(ray_session, tmp_path):
+    """Regression for the rust-regex-vs-RE2 whitespace divergence: NBSP
+    and thin-space must be token CHARS on both engines (ASCII \\s only)."""
+    import duckdb
+
+    texts = ["foo bar baz", "a b c", "plain text", None]
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.relational import (
+        SQL_DOCUMENTS_TOKEN_STATS, documents_token_stats)
+    mine = (documents_token_stats(d).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    theirs = (con.execute(SQL_DOCUMENTS_TOKEN_STATS).fetchdf()
+              .sort_values("doc_id").reset_index(drop=True))
+    m = mine.fillna(-1)
+    t = theirs[m.columns].fillna(-1)
+    assert m.equals(t), (mine, theirs)
+    # NBSP doc: 'foo\xa0bar' + 'baz' → 2 tokens, not 3
+    assert mine.loc[0, "n_tokens"] == 2
