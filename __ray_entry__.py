@@ -109,6 +109,13 @@ def _corpus_query(fn_name):
     return q
 
 
+def _spans_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import spans
+        return getattr(spans, fn_name)(sf_dir)
+    return q
+
+
 def _quantile_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import quantiles
@@ -223,6 +230,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence":
             _mlprep_query("events_type_cooccurrence"),
         "documents_top_bigrams": _mlprep_query("documents_top_bigrams"),
+        "documents_span_dedup_stats":
+            _spans_query("documents_span_dedup_stats"),
+        "documents_repetition_stats":
+            _spans_query("documents_repetition_stats"),
+        "events_type_transitions":
+            _spans_query("events_type_transitions"),
         "embeddings_linear_score_topk":
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
@@ -267,8 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins, mlprep,
                                               quantiles, rollup, sampling,
-                                              simops, sketches, textops,
-                                              windows)
+                                              simops, sketches, spans,
+                                              textops, windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -335,6 +348,11 @@ def oracle_sql() -> dict[str, str]:
         "events_props_k_stats": mlprep.SQL_EVENTS_PROPS_K_STATS,
         "events_type_cooccurrence": mlprep.SQL_EVENTS_TYPE_COOCCURRENCE,
         "documents_top_bigrams": mlprep.SQL_DOCUMENTS_TOP_BIGRAMS,
+        "documents_span_dedup_stats":
+            spans.SQL_DOCUMENTS_SPAN_DEDUP_STATS,
+        "documents_repetition_stats":
+            spans.SQL_DOCUMENTS_REPETITION_STATS,
+        "events_type_transitions": spans.SQL_EVENTS_TYPE_TRANSITIONS,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

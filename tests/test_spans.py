@@ -1,0 +1,115 @@
+"""Planted-case tests for pipelines/spans.py — cross-doc span dedup,
+within-doc repetition stats, and event-type transitions. Cross-engine
+value parity at sf0.01 is covered by the auto-parametrized
+tests/test_oracles.py sweep; these tests pin the semantics on corpora
+the synthetic driver data can't exercise (planted shared spans, heavy
+repetition, short docs, None text)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    table = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": [len(t or "") for t in texts],
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_span_dedup_planted_shared_span(ray_session, tmp_path):
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-gram
+    texts = [
+        f"{shared} zeta eta theta",        # grams: 4 (8 words)
+        f"iota kappa {shared} mu",         # shares the planted span
+        "nu xi omicron pi rho sigma tau",  # 3 grams, all unique
+        "too short here",                  # <5 words → no row
+        None,                              # no tokens → no row
+    ]
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.spans import \
+        documents_span_dedup_stats
+    out = (documents_span_dedup_stats(d).to_pandas()
+           .set_index("doc_id"))
+    assert sorted(out.index) == [0, 1, 2]
+    assert out.loc[0, "n_grams"] == 4
+    assert out.loc[1, "n_grams"] == 4
+    assert out.loc[2, "n_grams"] == 3
+    # only the planted "alpha beta gamma delta epsilon" occurrence in
+    # each of doc 0 and doc 1 is cross-duplicated
+    assert out.loc[0, "n_cross_dup_grams"] == 1
+    assert out.loc[1, "n_cross_dup_grams"] == 1
+    assert out.loc[2, "n_cross_dup_grams"] == 0
+
+
+def test_span_dedup_within_doc_repeat_not_cross(ray_session, tmp_path):
+    # the same 5-gram repeated INSIDE one doc is not a cross-doc dup
+    texts = ["a b c d e a b c d e", "f g h i j"]
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.spans import \
+        documents_span_dedup_stats
+    out = (documents_span_dedup_stats(d).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[0, "n_grams"] == 6  # 10 words → 6 windows
+    assert out.loc[0, "n_cross_dup_grams"] == 0
+    assert out.loc[1, "n_cross_dup_grams"] == 0
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    texts = [
+        "spam spam spam spam eggs",   # 5 words, 2 distinct, top=4
+        "one two three four",         # all distinct
+        None,                         # no row
+    ]
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.spans import \
+        documents_repetition_stats
+    out = (documents_repetition_stats(d).to_pandas()
+           .set_index("doc_id"))
+    assert sorted(out.index) == [0, 1]
+    assert out.loc[0, "n_words"] == 5
+    assert out.loc[0, "n_distinct_words"] == 2
+    assert out.loc[0, "top_word_count"] == 4
+    assert abs(out.loc[0, "dup_word_frac"] - (1 - 2 / 5)) < 1e-12
+    assert abs(out.loc[0, "top_word_frac"] - 4 / 5) < 1e-12
+    assert out.loc[1, "dup_word_frac"] == 0.0
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    import datetime as dt
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: view → click → purchase
+        (1, base, 1, "view"),
+        (2, base + dt.timedelta(minutes=1), 1, "click"),
+        (3, base + dt.timedelta(minutes=2), 1, "purchase"),
+        # user 2: view → click (tie on ts broken by event_id: 4 then 5)
+        (5, base, 2, "click"),
+        (4, base, 2, "view"),
+        # user 3: single event → no transition
+        (6, base, 3, "view"),
+    ]
+    table = pa.table({
+        "event_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"))
+    from gpml2pvjson_js_ray.pipelines.spans import events_type_transitions
+    out = events_type_transitions(str(d)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n_transitions
+           for r in out.itertuples()}
+    assert got == {("view", "click"): 2, ("click", "purchase"): 1}
