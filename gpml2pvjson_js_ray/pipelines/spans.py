@@ -16,6 +16,13 @@ most-frequent-word fraction per document. It needs NO shuffle at all —
 each input row is a whole document, so every statistic closes inside the
 batch.
 
+Why bucketed-groupby instead of Dataset.join here: Ray 2.49's hash
+join (`HashShuffleAggregator.finalize`) raises ArrowInvalid ("No match
+... on right side") when a right-side hash partition receives zero
+rows — and a filtered gram vocabulary routinely leaves partitions
+empty. The bucket reduce sidesteps the join entirely and saves an
+exchange besides.
+
 Scale shape:
 - span stats shuffle (doc_id, gram, occ) PARTIALS — the per-batch
   explode collapses repeated grams within a doc before anything moves,
