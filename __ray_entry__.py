@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _spans_query("documents_repetition_stats"),
         "events_type_transitions":
             _spans_query("events_type_transitions"),
+        "documents_span_dedup_filter":
+            _spans_query("documents_span_dedup_filter"),
         "embeddings_linear_score_topk":
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
@@ -254,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_near_dups": simops.embeddings_near_dups,
         "embeddings_near_dups_exact": simops.embeddings_near_dups_exact,
         "embeddings_label_stats": simops.embeddings_label_stats,
+        "embeddings_sq8_error": simops.embeddings_sq8_error,
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
@@ -353,6 +356,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_repetition_stats":
             spans.SQL_DOCUMENTS_REPETITION_STATS,
         "events_type_transitions": spans.SQL_EVENTS_TYPE_TRANSITIONS,
+        "documents_span_dedup_filter":
+            spans.SQL_DOCUMENTS_SPAN_DEDUP_FILTER,
+        "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

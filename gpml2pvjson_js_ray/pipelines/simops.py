@@ -428,3 +428,56 @@ def embeddings_ann_ivf_top10(sf_dir: str, nprobe: int = 4):
     return (candidates.map_batches(sim, batch_format="pyarrow")
             .sort(["sim", "vec_id"], descending=[True, False])
             .limit(10))
+
+
+# -- int8 scalar quantization (the PQ/SQ compression step of a vector store) --
+
+def embeddings_sq8_error(sf_dir: str):
+    """Per-vector int8 scalar quantization with reconstruction-error
+    stats — the compression pass a 100-TB vector store runs before
+    ANN indexing (4× smaller than float32, ~8× smaller than float64).
+
+    q_i = round_half_away(127 * x_i / scale), scale = max|x_i|; output
+    (vec_id, scale, max_abs_err, mean_abs_err) rounded to 6 digits.
+    Map-only: one numpy pass per batch, nothing shuffles but the output.
+    Rounding is sign * floor(|y| + 0.5) to match SQL ROUND (numpy's
+    np.round is half-even and diverges on exact .5 boundaries)."""
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        scale = np.abs(mat).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)[:, None]
+        y = 127.0 * mat / safe
+        q = np.sign(y) * np.floor(np.abs(y) + 0.5)
+        err = np.abs(mat - q * safe / 127.0)
+        err[scale == 0.0, :] = 0.0
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "scale": pa.array(np.round(scale, 6), type=pa.float64()),
+            "max_abs_err": pa.array(np.round(err.max(axis=1), 6),
+                                    type=pa.float64()),
+            "mean_abs_err": pa.array(
+                np.round(err.sum(axis=1) / mat.shape[1], 6),
+                type=pa.float64())})
+
+    return (emb.map_batches(stats, batch_format="pyarrow")
+            .sort("vec_id"))
+
+
+SQL_EMBEDDINGS_SQ8_ERROR = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'max') AS scale
+  FROM embeddings
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  CASE WHEN scale = 0 THEN 0.0 ELSE round(list_aggregate(
+    list_transform(emb, x -> abs(x - round(127*x/scale)*scale/127)),
+    'max'), 6) END AS max_abs_err,
+  CASE WHEN scale = 0 THEN 0.0 ELSE round(list_aggregate(
+    list_transform(emb, x -> abs(x - round(127*x/scale)*scale/127)),
+    'sum') / len(emb), 6) END AS mean_abs_err
+FROM s ORDER BY vec_id
+"""

@@ -267,3 +267,39 @@ SELECT event_type AS from_type, next_type AS to_type,
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def documents_span_dedup_filter(sf_dir: str, n: int = 5,
+                                max_dup_frac: float = 0.5):
+    """The filter half of exact-substring dedup: keep documents whose
+    cross-corpus duplicated-span fraction is at most `max_dup_frac`.
+    Composes documents_span_dedup_stats (docs with <n words have no
+    grams, hence no row — nothing to dedup there). The fraction is the
+    identical IEEE-double division in both engines."""
+    import pyarrow.compute as pc
+
+    stats = documents_span_dedup_stats(sf_dir, n=n)
+
+    def keep(b: pa.Table) -> pa.Table:
+        frac = pc.divide(
+            pc.cast(b.column("n_cross_dup_grams"), pa.float64()),
+            pc.cast(b.column("n_grams"), pa.float64()))
+        b = b.append_column("dup_frac", frac)
+        return b.filter(pc.less_equal(frac,
+                                      pa.scalar(float(max_dup_frac))))
+
+    return stats.map_batches(keep, batch_format="pyarrow")
+
+
+def _filter_sql() -> str:
+    return f"""
+WITH stats AS ({SQL_DOCUMENTS_SPAN_DEDUP_STATS.replace("ORDER BY g.doc_id", "")})
+SELECT doc_id, n_grams, n_cross_dup_grams,
+       n_cross_dup_grams / (1.0 * n_grams) AS dup_frac
+FROM stats
+WHERE n_cross_dup_grams / (1.0 * n_grams) <= 0.5
+ORDER BY doc_id
+"""
+
+
+SQL_DOCUMENTS_SPAN_DEDUP_FILTER = _filter_sql()

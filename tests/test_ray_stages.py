@@ -665,3 +665,28 @@ def test_media_real_decoder_end_to_end_with_pil(ray_session):
     out = mm.MediaFeatureExtractor(strict=True)(batch).to_pydict()
     assert out["decoder"] == ["pil"]
     assert len(out["feature"][0]) == mm.FEATURE_DIM
+
+
+def test_embeddings_sq8_error_known_vectors(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    vecs = [
+        [1.0, -0.5, 0.0, 0.25],   # scale 1; -0.5→q=-64 (half away), err≈0.003937
+        [0.0, 0.0, 0.0, 0.0],     # zero vector → scale 0, zero error
+    ]
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": [0, 1],
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": ["a", "b"]}), str(d / "embeddings.parquet"))
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_sq8_error
+    out = embeddings_sq8_error(str(d)).to_pandas().set_index("vec_id")
+    assert out.loc[0, "scale"] == 1.0
+    # q(-0.5) = round_half_away(-63.5) = -64 → reconstruct -64/127
+    expected = abs(-0.5 - (-64.0 / 127.0))
+    assert abs(out.loc[0, "max_abs_err"] - round(expected, 6)) <= 1e-9
+    assert out.loc[1, "scale"] == 0.0
+    assert out.loc[1, "max_abs_err"] == 0.0
+    assert out.loc[1, "mean_abs_err"] == 0.0

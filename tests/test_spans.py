@@ -113,3 +113,20 @@ def test_event_transitions_planted(ray_session, tmp_path):
     got = {(r.from_type, r.to_type): r.n_transitions
            for r in out.itertuples()}
     assert got == {("view", "click"): 2, ("click", "purchase"): 1}
+
+
+def test_span_dedup_filter_drops_heavy_dup(ray_session, tmp_path):
+    shared = "alpha beta gamma delta epsilon"
+    texts = [
+        shared,                              # 1 gram, 100% dup → dropped
+        f"{shared} unique tail words here",  # dup_frac 1/5 → kept
+        "all fresh words in this document",  # 0% dup → kept
+    ]
+    d = _write_docs(tmp_path, texts + [shared])  # doc 3 repeats doc 0
+    from gpml2pvjson_js_ray.pipelines.spans import \
+        documents_span_dedup_filter
+    out = (documents_span_dedup_filter(d, max_dup_frac=0.5).to_pandas()
+           .set_index("doc_id"))
+    assert sorted(out.index) == [1, 2]
+    assert out.loc[1, "dup_frac"] == 0.2
+    assert out.loc[2, "dup_frac"] == 0.0
