@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _spans_query("events_type_transitions"),
         "documents_span_dedup_filter":
             _spans_query("documents_span_dedup_filter"),
+        "documents_char_lm_score": textops.documents_char_lm_score,
         "embeddings_linear_score_topk":
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_span_dedup_filter":
             spans.SQL_DOCUMENTS_SPAN_DEDUP_FILTER,
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
+        "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

@@ -827,3 +827,112 @@ FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / nullif(len(list_distinct(a.sh || b.sh)), 0) >= 0.3
 """
+
+
+# -- char-bigram LM scoring (the CCNet/KenLM perplexity-filter shape) --------
+
+def documents_char_lm_score(sf_dir: str):
+    """Language-model quality scoring with a corpus-trained character
+    bigram model — the two-pass broadcast-model shape of a CCNet-style
+    perplexity filter (train a small LM, score every document, filter
+    on the score downstream).
+
+    Pass 1 (train): per-batch (first_char, bigram) partial counts →
+    one groupby over the BIGRAM VOCABULARY (alphabet², tiny — this is
+    the only exchange); the folded model materializes on the driver
+    (hundreds of rows) and broadcasts into pass 2 via task closure.
+    Pass 2 (score): map-only — each doc's bigrams look up
+    ln(C(ab)/C(a·)) through one vectorized searchsorted, and the
+    per-doc mean closes inside the batch because each row is a whole
+    document. No smoothing needed: scoring bigrams always exist in the
+    model (trained on the same corpus).
+
+    Output: (doc_id, n_bigrams, avg_logp) — avg_logp rounded to 6 (ln
+    and the mean are float64 in both engines; only summation order
+    differs). Docs with no 2+-char tokens emit no row."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _bigrams(b, pl):
+        """(doc_id, ca, bg) rows — explode tokens, then chars, pair
+        adjacent chars within each token instance."""
+        ex = (pl.from_arrow(b).select(
+            "doc_id",
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all("[a-zA-ZÀ-ÿ]+"))
+            .explode("tok").drop_nulls("tok")
+            .with_row_index("tid")
+            .with_columns(ch=pl.col("tok").str.extract_all("."))
+            .explode("ch"))
+        return (ex.with_columns(
+            cb=pl.col("ch").shift(-1).over("tid"))
+            .drop_nulls("cb")
+            .select("doc_id", ca=pl.col("ch"),
+                    bg=pl.col("ch") + pl.col("cb")))
+
+    def train_partial(b) -> "pa.Table":
+        pl = polars_capped()
+        out = (_bigrams(b, pl).group_by("ca", "bg")
+               .agg(c=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("ca", pa.string()), ("bg", pa.string()),
+            ("c", pa.int64())]))
+
+    model = (docs.map_batches(train_partial, batch_format="pyarrow")
+             .groupby(["ca", "bg"]).aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    prefix_tot = model.groupby("ca")["c"].transform("sum")
+    logp = np.log(model["c"].to_numpy(dtype=np.float64)
+                  / prefix_tot.to_numpy(dtype=np.float64))
+    order = np.argsort(model["bg"].to_numpy())
+    vocab = model["bg"].to_numpy()[order]
+    logp = logp[order]
+
+    def score(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        bgf = _bigrams(b, pl)
+        idx = np.searchsorted(vocab, bgf["bg"].to_numpy())
+        scored = bgf.with_columns(
+            lp=pl.Series("lp", logp[idx], dtype=pl.Float64))
+        out = (scored.group_by("doc_id").agg(
+            n_bigrams=pl.len().cast(pl.Int64),
+            avg_logp=(pl.col("lp").sum()
+                      / pl.len().cast(pl.Float64)).round(6)))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+            ("avg_logp", pa.float64())]))
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_CHAR_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-zA-ZÀ-ÿ]+')) AS tok
+  FROM documents
+),
+chars AS (SELECT doc_id, regexp_extract_all(tok, '.') AS cs FROM toks),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(cs)), i -> cs[i])) AS ca,
+         unnest(list_transform(range(1, len(cs)),
+                               i -> cs[i] || cs[i+1])) AS b
+  FROM chars WHERE len(cs) >= 2
+),
+model AS (SELECT b, any_value(ca) AS ca, count(*) AS c FROM bg GROUP BY b),
+prefix AS (SELECT ca, sum(c) AS ctot FROM model GROUP BY ca),
+scored AS (
+  SELECT g.doc_id, ln((m.c * 1.0) / p.ctot) AS lp
+  FROM bg g JOIN model m USING (b) JOIN prefix p ON m.ca = p.ca
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(lp) / count(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -130,3 +130,24 @@ def test_span_dedup_filter_drops_heavy_dup(ray_session, tmp_path):
     assert sorted(out.index) == [1, 2]
     assert out.loc[1, "dup_frac"] == 0.2
     assert out.loc[2, "dup_frac"] == 0.0
+
+
+def test_char_lm_score_planted(ray_session, tmp_path):
+    """Hand-check: corpus 'ab ab' + 'ab cd'. Bigram counts: ab×3, cd×1.
+    Prefix totals: a·=3, c·=1 → logp(ab)=ln(1)=0, logp(cd)=ln(1)=0...
+    make it non-trivial: add 'ac' so a-prefix splits."""
+    texts = ["ab ab", "ab cd", "ac"]
+    import math
+    d = _write_docs(tmp_path, texts)
+    from gpml2pvjson_js_ray.pipelines.textops import \
+        documents_char_lm_score
+    out = (documents_char_lm_score(d).to_pandas().set_index("doc_id"))
+    # model: ab→3, ac→1 (a·=4); cd→1 (c·=1)
+    lp_ab = math.log(3 / 4)
+    lp_ac = math.log(1 / 4)
+    assert out.loc[0, "n_bigrams"] == 2
+    assert abs(out.loc[0, "avg_logp"] - round(lp_ab, 6)) < 2e-6
+    assert out.loc[1, "n_bigrams"] == 2
+    assert abs(out.loc[1, "avg_logp"] - round((lp_ab + 0.0) / 2, 6)) < 2e-6
+    assert out.loc[2, "n_bigrams"] == 1
+    assert abs(out.loc[2, "avg_logp"] - round(lp_ac, 6)) < 2e-6
