@@ -109,6 +109,13 @@ def _corpus_query(fn_name):
     return q
 
 
+def _profiler_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import profiler
+        return getattr(profiler, fn_name)(sf_dir)
+    return q
+
+
 def _spans_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import spans
@@ -239,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_span_dedup_filter":
             _spans_query("documents_span_dedup_filter"),
         "documents_char_lm_score": textops.documents_char_lm_score,
+        "events_profile": _profiler_query("events_profile"),
         "embeddings_linear_score_topk":
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
@@ -283,9 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins, mlprep,
-                                              quantiles, rollup, sampling,
-                                              simops, sketches, spans,
-                                              textops, windows)
+                                              profiler, quantiles, rollup,
+                                              sampling, simops, sketches,
+                                              spans, textops, windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -361,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
             spans.SQL_DOCUMENTS_SPAN_DEDUP_FILTER,
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
+        "events_profile": profiler.SQL_EVENTS_PROFILE,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

@@ -151,3 +151,34 @@ def test_char_lm_score_planted(ray_session, tmp_path):
     assert abs(out.loc[1, "avg_logp"] - round((lp_ab + 0.0) / 2, 6)) < 2e-6
     assert out.loc[2, "n_bigrams"] == 1
     assert abs(out.loc[2, "avg_logp"] - round(lp_ac, 6)) < 2e-6
+
+
+def test_profile_table_with_nulls_and_lists(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "p"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a", None, "a", "b"],
+        "lang": ["en", "en", None, None],
+        "source": ["s"] * 4,
+        "n_chars": [1, 0, 1, 1],
+    }), str(d / "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": [0, 1, 2],
+        "embedding": pa.array([[1.0, 2.0], [1.0, 2.0], [3.0, 4.0]],
+                              type=pa.list_(pa.float32())),
+        "label": ["x", "y", "x"],
+    }), str(d / "embeddings.parquet"))
+    from gpml2pvjson_js_ray.pipelines.profiler import profile_table
+    out = profile_table(str(d), "documents").set_index("column_name")
+    assert out.loc["text", "n_nulls"] == 1
+    assert out.loc["text", "n_distinct"] == 2   # 'a', 'b' (NULL excluded)
+    assert out.loc["lang", "n_nulls"] == 2
+    assert out.loc["lang", "n_distinct"] == 1
+    assert out.loc["source", "n_distinct"] == 1
+    assert (out["n_rows"] == 4).all()
+    emb = profile_table(str(d), "embeddings").set_index("column_name")
+    assert emb.loc["embedding", "n_distinct"] == 2  # list column dedup
+    assert emb.loc["label", "n_distinct"] == 2
