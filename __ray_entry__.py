@@ -247,6 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _spans_query("documents_span_dedup_filter"),
         "documents_char_lm_score": textops.documents_char_lm_score,
         "events_profile": _profiler_query("events_profile"),
+        "embeddings_semantic_components":
+            _graph_query("embeddings_semantic_components"),
+        "embeddings_semantic_survivors":
+            _graph_query("embeddings_semantic_survivors"),
         "embeddings_linear_score_topk":
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
@@ -370,6 +374,10 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
         "events_profile": profiler.SQL_EVENTS_PROFILE,
+        "embeddings_semantic_components":
+            graph.SQL_EMBEDDINGS_SEMANTIC_COMPONENTS,
+        "embeddings_semantic_survivors":
+            graph.SQL_EMBEDDINGS_SEMANTIC_SURVIVORS,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

@@ -325,3 +325,61 @@ SELECT component, CAST(count(*) AS BIGINT) AS n_members
 FROM ({SQL_DOCUMENTS_SIMILARITY_COMPONENTS}) comp
 GROUP BY component ORDER BY component
 """
+
+
+def embeddings_semantic_components(sf_dir: str, threshold: float = 0.5):
+    """SemDeDup-style semantic duplicate clusters: connected components
+    over the exact embedding-cosine near-dup pairs (the oracled pair
+    set of embeddings_near_dups_exact). Every vector gets a component
+    id = the smallest vec_id in its cluster. Scale path: swap the exact
+    pair source for the LSH-bucketed embeddings_near_dups — identical
+    downstream graph, sublinear pair generation."""
+    from .simops import embeddings_near_dups_exact
+
+    pairs = embeddings_near_dups_exact(sf_dir, threshold=threshold)
+    nodes = _read(sf_dir, "embeddings", ["vec_id"])
+    comp = connected_components(pairs, nodes, "vec_a", "vec_b")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("node"),
+                         "component": b.column("label")})
+
+    return (comp.map_batches(rename, batch_format="pyarrow")
+            .sort("vec_id"))
+
+
+def embeddings_semantic_survivors(sf_dir: str, threshold: float = 0.5):
+    """The semantic keep-list: one representative vector per cosine
+    cluster (smallest vec_id) with the cluster size."""
+    from ray.data.aggregate import Count
+
+    comp = embeddings_semantic_components(sf_dir, threshold=threshold)
+    return (comp.groupby("component")
+            .aggregate(Count(alias_name="n_members"))
+            .sort("component"))
+
+
+from .simops import SQL_EMBEDDINGS_NEAR_DUPS_EXACT as _SQL_EPAIRS  # noqa: E402
+
+SQL_EMBEDDINGS_SEMANTIC_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_EPAIRS}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+),
+walk(node, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON w.node = e.a
+  WHERE w.comp < e.b
+)
+SELECT node AS vec_id, CAST(min(comp) AS BIGINT) AS component
+FROM walk GROUP BY node ORDER BY vec_id
+"""
+
+SQL_EMBEDDINGS_SEMANTIC_SURVIVORS = f"""
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM ({SQL_EMBEDDINGS_SEMANTIC_COMPONENTS}) comp
+GROUP BY component ORDER BY component
+"""

@@ -119,3 +119,35 @@ def test_kg_entity_components_matches_union_find(ray_session, tmp_path):
     assert len(out) == len(set(e.canonical_subj) | set(e.canonical_obj))
     assert {frozenset(v) for v in got.values()} == \
         {frozenset(v) for v in want.values()}
+
+
+def test_semantic_components_planted_cluster(ray_session, tmp_path):
+    """Three near-identical vectors + one orthogonal: the trio clusters
+    under its smallest vec_id, the loner is a singleton."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    eps = np.array([0.0, 0.01, 0.0, 0.0])
+    vecs = [base, base + eps, base + 2 * eps,
+            np.array([0.0, 0.0, 1.0, 0.0])]
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": [0, 1, 2, 9],
+        "embedding": pa.array([v.astype("float32").tolist()
+                               for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": ["a"] * 4}), str(d / "embeddings.parquet"))
+    from gpml2pvjson_js_ray.pipelines.graph import (
+        embeddings_semantic_components, embeddings_semantic_survivors)
+    comp = (embeddings_semantic_components(str(d), threshold=0.95)
+            .to_pandas().set_index("vec_id"))
+    assert comp.loc[0, "component"] == 0
+    assert comp.loc[1, "component"] == 0
+    assert comp.loc[2, "component"] == 0
+    assert comp.loc[9, "component"] == 9
+    surv = (embeddings_semantic_survivors(str(d), threshold=0.95)
+            .to_pandas().set_index("component"))
+    assert surv.loc[0, "n_members"] == 3
+    assert surv.loc[9, "n_members"] == 1
