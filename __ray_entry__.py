@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _graph_query("embeddings_semantic_components"),
         "embeddings_semantic_survivors":
             _graph_query("embeddings_semantic_survivors"),
+        "documents_semantic_keep":
+            _graph_query("documents_semantic_keep"),
         "embeddings_linear_score_topk":
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
@@ -378,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
             graph.SQL_EMBEDDINGS_SEMANTIC_COMPONENTS,
         "embeddings_semantic_survivors":
             graph.SQL_EMBEDDINGS_SEMANTIC_SURVIVORS,
+        "documents_semantic_keep": graph.SQL_DOCUMENTS_SEMANTIC_KEEP,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

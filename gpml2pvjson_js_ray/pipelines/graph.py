@@ -383,3 +383,37 @@ SELECT component, CAST(count(*) AS BIGINT) AS n_members
 FROM ({SQL_EMBEDDINGS_SEMANTIC_COMPONENTS}) comp
 GROUP BY component ORDER BY component
 """
+
+
+def documents_semantic_keep(sf_dir: str, threshold: float = 0.5,
+                            num_partitions: int = 8):
+    """The cross-table SemDeDup keep-list: each semantic cluster's
+    representative (component id == smallest vec_id == its doc_id in
+    this corpus) joined back to the documents table for curation
+    metadata. Inner hash join on the dense doc_id key."""
+    import ray.data as rd
+    import os
+
+    surv = embeddings_semantic_survivors(sf_dir, threshold=threshold)
+
+    def as_doc(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("component"),
+                         "n_members": b.column("n_members")})
+
+    meta = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "source"])
+    out = (surv.map_batches(as_doc, batch_format="pyarrow")
+           .join(meta, join_type="inner",
+                 num_partitions=num_partitions, on=("doc_id",)))
+    return (out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "source", "n_members"]),
+        batch_format="pyarrow")
+        .sort("doc_id"))
+
+
+SQL_DOCUMENTS_SEMANTIC_KEEP = f"""
+WITH surv AS ({SQL_EMBEDDINGS_SEMANTIC_SURVIVORS})
+SELECT surv.component AS doc_id, d.lang, d.source, surv.n_members
+FROM surv JOIN documents d ON d.doc_id = surv.component
+ORDER BY doc_id
+"""
