@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_near_dups_exact": simops.embeddings_near_dups_exact,
         "embeddings_label_stats": simops.embeddings_label_stats,
         "embeddings_sq8_error": simops.embeddings_sq8_error,
+        "documents_related_topk": simops.documents_related_topk,
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
@@ -381,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_semantic_survivors":
             graph.SQL_EMBEDDINGS_SEMANTIC_SURVIVORS,
         "documents_semantic_keep": graph.SQL_DOCUMENTS_SEMANTIC_KEEP,
+        "documents_related_topk": simops.SQL_DOCUMENTS_RELATED_TOPK,
         "embeddings_linear_score_topk":
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,

@@ -481,3 +481,132 @@ SELECT vec_id, round(scale, 6) AS scale,
     'sum') / len(emb), 6) END AS mean_abs_err
 FROM s ORDER BY vec_id
 """
+
+
+# -- hybrid related-document retrieval (lexical + vector score fusion) -------
+
+def documents_related_topk(sf_dir: str, query_id: int = 0, k: int = 10,
+                           w_cos: float = 0.7, w_jac: float = 0.3,
+                           num_partitions: int = 8):
+    """Top-k documents most related to a query document, scored by a
+    weighted fusion of embedding cosine and distinct-token Jaccard —
+    the hybrid (vector + lexical) retrieval shape of a RAG corpus
+    service.
+
+    The query doc's embedding and distinct-token set broadcast into
+    both map stages (tiny); cosine and Jaccard are each MAP-ONLY passes
+    over their own table (one numpy matvec per batch; one polars
+    explode→is_in→fold per batch), fused by one inner hash join on the
+    dense shared id, then sort+limit. Ranking uses the 6-digit rounded
+    score with id tiebreak so the k-boundary is deterministic
+    cross-engine."""
+    import ray.data as rd
+
+    from ..stages.exchange import polars_capped
+
+    # -- broadcast sides (one tiny read each, driver-held) ------------
+    emb0 = (rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+            .filter(expr=f"vec_id == {int(query_id)}").take(1))
+    qv = np.asarray(emb0[0]["embedding"], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    doc0 = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+            .filter(expr=f"doc_id == {int(query_id)}").take(1))
+    import re as _re
+    qtoks = sorted(set(_re.findall("[a-zA-ZÀ-ÿ]+",
+                                   (doc0[0]["text"] or "").lower())))
+    nq = len(qtoks)
+
+    def cos(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        c = (mat @ qv) / norms
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "cosine": pa.array(c, type=pa.float64())})
+
+    def jac(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        # explode DISTINCT tokens; an empty token list explodes to one
+        # null row, so zero-token docs stay in the output with
+        # jaccard 0 (the SQL keeps them through its join too)
+        ex = (pl.from_arrow(b).select(
+            "doc_id",
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all("[a-zA-ZÀ-ÿ]+").list.unique())
+            .explode("tok")
+            .with_columns(
+                v=pl.col("tok").is_not_null(),
+                hit=pl.col("tok").is_in(qtoks).fill_null(False)))
+        g = ex.group_by("doc_id").agg(
+            nd=pl.col("v").sum().cast(pl.Int64),
+            ni=pl.col("hit").sum().cast(pl.Int64))
+        g = g.with_columns(
+            jaccard=pl.when(pl.col("nd") + nq - pl.col("ni") > 0)
+            .then(pl.col("ni") / (1.0 * (pl.col("nd") + nq
+                                         - pl.col("ni"))))
+            .otherwise(0.0))
+        return (g.select("doc_id", "jaccard").to_arrow()
+                .cast(pa.schema([("doc_id", pa.int64()),
+                                 ("jaccard", pa.float64())])))
+
+    emb = (rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+           .map_batches(cos, batch_format="pyarrow"))
+    docs = (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+            .map_batches(jac, batch_format="pyarrow"))
+
+    fused = emb.join(docs, join_type="inner",
+                     num_partitions=num_partitions, on=("doc_id",))
+
+    def score(b: pa.Table) -> pa.Table:
+        s = (w_cos * b.column("cosine").to_numpy(zero_copy_only=False)
+             + w_jac * b.column("jaccard").to_numpy(
+                 zero_copy_only=False))
+        b = b.append_column("score",
+                            pa.array(np.round(s, 6), type=pa.float64()))
+        keep = pc.not_equal(b.column("doc_id"),
+                            pa.scalar(int(query_id), type=pa.int64()))
+        return b.filter(keep).select(["doc_id", "score"])
+
+    return (fused.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_RELATED_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = 0
+),
+qt AS (
+  SELECT list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zA-ZÀ-ÿ]+')) AS qtoks
+  FROM documents WHERE doc_id = 0
+),
+dt AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zA-ZÀ-ÿ]+')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT e.vec_id AS doc_id,
+    round(0.7 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       q.qv)
+        + 0.3 * (CASE WHEN len(dt.toks) + len(qt.qtoks)
+                           - len(list_intersect(dt.toks, qt.qtoks)) > 0
+                 THEN len(list_intersect(dt.toks, qt.qtoks))
+                      / (1.0 * (len(dt.toks) + len(qt.qtoks)
+                                - len(list_intersect(dt.toks,
+                                                     qt.qtoks))))
+                 ELSE 0.0 END), 6) AS score
+  FROM embeddings e, q, qt
+  JOIN dt ON dt.doc_id = e.vec_id
+  WHERE e.vec_id <> 0
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
