@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mlprep_query("embeddings_linear_score_topk"),
         "events_user_moving_avg": _mlprep_query("events_user_moving_avg"),
         "events_5min_gap_fill": _mlprep_query("events_5min_gap_fill"),
+        "events_value_histogram":
+            _mlprep_query("events_value_histogram"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -387,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
             mlprep.SQL_EMBEDDINGS_LINEAR_SCORE_TOPK,
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,
         "events_5min_gap_fill": mlprep.SQL_EVENTS_5MIN_GAP_FILL,
+        "events_value_histogram": mlprep.SQL_EVENTS_VALUE_HISTOGRAM,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

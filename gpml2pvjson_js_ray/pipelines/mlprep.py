@@ -971,3 +971,66 @@ SELECT grid.event_type, grid.window_id,
 FROM grid LEFT JOIN b USING (event_type, window_id)
 ORDER BY event_type, window_id
 """
+
+
+def events_value_histogram(sf_dir: str, n_bins: int = 20):
+    """Equal-width histogram of `value`: two-pass — a tiny global
+    (min, max) aggregate broadcasts by closure into a vectorized
+    bucket-count map, then one n_bins-row groupby. The events table
+    scans twice and never shuffles (the exchange carries ≤ n_bins rows
+    per block).
+
+    Bin rule shared with the oracle: bin = least(floor((v - min) /
+    width), n_bins - 1), width = (max - min) / n_bins; degenerate
+    min == max puts everything in bin 0. Bounds are exact doubles in
+    both engines, so the floor arithmetic is bitwise-identical."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["value"])
+    bounds = ds.aggregate(Min("value"), Max("value"))
+    lo = float(bounds["min(value)"])
+    hi = float(bounds["max(value)"])
+    width = (hi - lo) / n_bins
+
+    def buckets(b: pa.Table) -> pa.Table:
+        v = (b.column("value").combine_chunks().drop_null()
+             .to_numpy(zero_copy_only=False))
+        if width > 0:
+            idx = np.minimum(np.floor((v - lo) / width),
+                             n_bins - 1).astype(np.int64)
+        else:
+            idx = np.zeros(len(v), dtype=np.int64)
+        bins, counts = np.unique(idx, return_counts=True)
+        return pa.table({"bin": pa.array(bins, type=pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    out = (ds.map_batches(buckets, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("n", alias_name="n_values"))
+           .sort("bin"))
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b.column("bin").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": b.column("bin"),
+            "lo_edge": pa.array(np.round(lo + i * width, 6),
+                                type=pa.float64()),
+            "n_values": b.column("n_values")})
+
+    return out.map_batches(edges, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+w AS (SELECT lo, (hi - lo) / 20 AS width FROM b),
+binned AS (
+  SELECT CASE WHEN w.width > 0
+         THEN CAST(least(floor((e.value - w.lo) / w.width), 19)
+              AS BIGINT)
+         ELSE 0 END AS bin
+  FROM events e, w WHERE e.value IS NOT NULL
+)
+SELECT bin, round((SELECT lo FROM w) + bin * (SELECT width FROM w), 6)
+           AS lo_edge,
+       count(*) AS n_values
+FROM binned GROUP BY bin ORDER BY bin
+"""
