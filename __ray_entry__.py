@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_5min": rel.events_tumbling_5min,
         "events_sliding_10min": rel.events_sliding_10min,
         "events_sessionize": rel.events_sessionize,
+        "events_session_stats": rel.events_session_stats,
         "documents_exact_dedup": rel.documents_exact_dedup,
         "documents_token_stats": rel.documents_token_stats,
         "documents_token_stats_bpe": rel.documents_token_stats_bpe,
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_moving_avg": mlprep.SQL_EVENTS_USER_MOVING_AVG,
         "events_5min_gap_fill": mlprep.SQL_EVENTS_5MIN_GAP_FILL,
         "events_value_histogram": mlprep.SQL_EVENTS_VALUE_HISTOGRAM,
+        "events_session_stats": rel.SQL_EVENTS_SESSION_STATS,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

@@ -589,3 +589,84 @@ FROM embeddings WHERE vec_id != 0
 ORDER BY sim DESC, vec_id ASC
 LIMIT 10
 """
+
+
+def events_session_stats(sf_dir: str, num_buckets: int = 32):
+    """Session-LEVEL analytics table: one row per (user, session) with
+    event count, exact microsecond duration and total value — the
+    enrichment step downstream of events_sessionize (which returns only
+    per-user counts).
+
+    Same co-locate-by-user-bucket-then-vectorize shape as sessionize:
+    power-of-two bucket mask, one pandas call per bucket, session
+    boundaries from the 30-minute gap rule, session index via per-user
+    cumsum of boundary flags. Durations subtract int64 microsecond
+    ticks (exact — the float total-value sum is the only rounded
+    column)."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.bit_wise_and(b.column("user_id"),
+                                 pa.scalar(num_buckets - 1,
+                                           type=pa.int64()))
+        return b.append_column("user_bucket",
+                               pc.cast(bucket, pa.int32()))
+
+    def stats(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        gaps = df.groupby("user_id")["ts"].diff().dt.total_seconds()
+        new_s = (gaps.isna() | (gaps > SESSION_GAP_SECONDS))
+        df = df.assign(
+            session_idx=new_s.groupby(df["user_id"].values).cumsum()
+            .astype("int64"))
+        g = df.groupby(["user_id", "session_idx"])
+        # explicit µs cast — Arrow timestamp[us] arrives as
+        # datetime64[us] under pandas 2, so a bare int64 view is
+        # already microseconds (not nanoseconds)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        dur_us = (ts_us.groupby([df["user_id"].values,
+                                 df["session_idx"].values]).max()
+                  - ts_us.groupby([df["user_id"].values,
+                                   df["session_idx"].values]).min())
+        out = pd.DataFrame({
+            "n_events": g.size().astype("int64"),
+            "total_value": g["value"].sum().round(6),
+        }).reset_index()
+        out["duration_us"] = dur_us.values.astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        return out[["user_id", "session_idx", "n_events",
+                    "duration_us", "total_value"]]
+
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("user_bucket")
+            .map_groups(stats, batch_format="pandas")
+            .sort(["user_id", "session_idx"]))
+
+
+SQL_EVENTS_SESSION_STATS = f"""
+WITH seq AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w)
+                      > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM seq
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT)
+           AS duration_us,
+       round(sum(value), 6) AS total_value
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
