@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_5min_gap_fill": _mlprep_query("events_5min_gap_fill"),
         "events_value_histogram":
             _mlprep_query("events_value_histogram"),
+        "events_zorder_keys": _mlprep_query("events_zorder_keys"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -392,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "events_5min_gap_fill": mlprep.SQL_EVENTS_5MIN_GAP_FILL,
         "events_value_histogram": mlprep.SQL_EVENTS_VALUE_HISTOGRAM,
         "events_session_stats": rel.SQL_EVENTS_SESSION_STATS,
+        "events_zorder_keys": mlprep.SQL_EVENTS_ZORDER_KEYS,
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,

@@ -1034,3 +1034,49 @@ SELECT bin, round((SELECT lo FROM w) + bin * (SELECT width FROM w), 6)
        count(*) AS n_values
 FROM binned GROUP BY bin ORDER BY bin
 """
+
+
+def events_zorder_keys(sf_dir: str):
+    """Z-order (Morton) layout keys over (user_id, value): interleave
+    the low 16 bits of each dimension so a sort by zkey co-locates
+    rows close in BOTH dimensions — the multi-dimensional clustering
+    trick behind Delta/Iceberg Z-ORDER that lets min-max block pruning
+    serve two-column range predicates at once. Map-only key
+    computation (16 vectorized numpy bit steps), one sort.
+
+    Output: (event_id, zkey) sorted by (zkey, event_id); writing
+    blocks in this order IS the layout optimization — at 100 TB this
+    sort feeds write_parquet so each file's (user, value) min-max
+    envelope stays tight."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def zkeys(b: pa.Table) -> pa.Table:
+        u = (b.column("user_id").to_numpy(zero_copy_only=False)
+             .astype(np.int64) & 0xFFFF)
+        v = (np.floor(b.column("value").to_numpy(zero_copy_only=False))
+             .astype(np.int64) & 0xFFFF)
+        z = np.zeros(len(u), dtype=np.int64)
+        for i in range(16):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((v >> i) & 1) << (2 * i + 1)
+        return pa.table({"event_id": b.column("event_id"),
+                         "zkey": pa.array(z, type=pa.int64())})
+
+    return (ds.map_batches(zkeys, batch_format="pyarrow")
+            .sort(["zkey", "event_id"]))
+
+
+SQL_EVENTS_ZORDER_KEYS = """
+WITH d AS (
+  SELECT event_id,
+         user_id & 65535 AS u,
+         CAST(floor(value) AS BIGINT) & 65535 AS v
+  FROM events
+)
+SELECT event_id,
+       CAST(list_aggregate(list_transform(range(0, 16),
+            i -> (((u >> i) & 1) << (2 * i))
+                 + (((v >> i) & 1) << (2 * i + 1))), 'sum')
+            AS BIGINT) AS zkey
+FROM d ORDER BY zkey, event_id
+"""
