@@ -158,6 +158,13 @@ def _mlprep_query(fn_name):
     return q
 
 
+def _lexical_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import lexical
+        return getattr(lexical, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -248,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _spans_query("documents_span_dedup_filter"),
         "documents_char_lm_score": textops.documents_char_lm_score,
         "events_profile": _profiler_query("events_profile"),
+        "documents_source_divergence":
+            _profiler_query("documents_source_divergence"),
         "embeddings_semantic_components":
             _graph_query("embeddings_semantic_components"),
         "embeddings_semantic_survivors":
@@ -261,6 +270,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram":
             _mlprep_query("events_value_histogram"),
         "events_zorder_keys": _mlprep_query("events_zorder_keys"),
+        # lexical / tokenizer-training ops (all DuckDB-verified)
+        "documents_entity_mentions":
+            _lexical_query("documents_entity_mentions"),
+        "documents_search_and": _lexical_query("documents_search_and"),
+        "documents_bpe_pair_stats":
+            _lexical_query("documents_bpe_pair_stats"),
+        "embeddings_knn_graph": _lexical_query("embeddings_knn_graph"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
@@ -301,10 +317,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins, mlprep,
-                                              profiler, quantiles, rollup,
-                                              sampling, simops, sketches,
-                                              spans, textops, windows)
+    from gpml2pvjson_js_ray.pipelines import (corpus, graph, joins, lexical,
+                                              mlprep, profiler, quantiles,
+                                              rollup, sampling, simops,
+                                              sketches, spans, textops,
+                                              windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
     return {
@@ -381,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
         "events_profile": profiler.SQL_EVENTS_PROFILE,
+        "documents_source_divergence":
+            profiler.SQL_DOCUMENTS_SOURCE_DIVERGENCE,
         "embeddings_semantic_components":
             graph.SQL_EMBEDDINGS_SEMANTIC_COMPONENTS,
         "embeddings_semantic_survivors":
@@ -397,4 +416,9 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,
+        "documents_entity_mentions":
+            lexical.SQL_DOCUMENTS_ENTITY_MENTIONS,
+        "documents_search_and": lexical.SQL_DOCUMENTS_SEARCH_AND,
+        "documents_bpe_pair_stats": lexical.SQL_DOCUMENTS_BPE_PAIR_STATS,
+        "embeddings_knn_graph": lexical.SQL_EMBEDDINGS_KNN_GRAPH,
     }

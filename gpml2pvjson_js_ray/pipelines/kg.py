@@ -135,6 +135,42 @@ def read_pages(path: str):
                            override_num_blocks=_even_blocks(len(files)))
 
 
+def read_pages_ndjson(path: str):
+    """Alternate source format: Common-Crawl-style pages as
+    newline-delimited JSON (one object per line with url, warc_ts as an
+    ISO-8601 string, html as UTF-8 text, text, lang — JSON cannot carry
+    raw bytes, so html travels as text). Each batch is normalized to the
+    EXACT parquet page schema (html → binary, warc_ts → timestamp[us],
+    KG columns only), so every downstream stage is source-agnostic:
+    `islands_dataset(read_pages_ndjson(d))` ==
+    `islands_dataset(read_pages(d))` on the same corpus
+    (tests/test_ray_stages.py::test_ndjson_source_parity)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(path, "*.ndjson"))
+                   + glob.glob(os.path.join(path, "*.jsonl")))
+
+    def norm(b: pa.Table) -> pa.Table:
+        ts = b.column("warc_ts")
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        else:
+            ts = pc.strptime(ts.cast(pa.string()),
+                             format="%Y-%m-%dT%H:%M:%S", unit="us")
+        return pa.table({
+            "url": b.column("url").cast(pa.string()),
+            "warc_ts": ts,
+            "html": b.column("html").cast(pa.string()).cast(pa.binary()),
+        })
+
+    return rd.read_json(
+        files or path,
+        file_extensions=["json", "jsonl", "ndjson"]).map_batches(
+        norm, batch_format="pyarrow")
+
+
 def islands_dataset(pages):
     return pages.map_batches(extract_islands_batch, batch_format="pyarrow",
                              batch_size=256)

@@ -1,0 +1,277 @@
+"""Lexical / tokenizer-training operators: dictionary mention detection,
+inverted-index intersection search, BPE merge-pair counting, kNN graph.
+
+Beyond-reference extension surface (SURVEY.md §2 extension table) — each
+expressed scale-first over the synthetic driver tables:
+
+- **Dictionary mention detection** (`documents_entity_mentions`): the
+  plain-text analogue of the KG pipeline's xref entity linking
+  (`stages/link.py`, reference `Processor.ts` xref lookups): a small
+  gazetteer of surface form → KB IRI is broadcast by closure, each batch
+  tokenizes vectorized, filters to dictionary hits and counts mentions
+  per (doc, term) ENTIRELY in-batch (a document's tokens are complete
+  inside its row, so no shuffle exists at any corpus size). At a
+  dictionary too large to broadcast the same pass becomes a term-hash
+  `Dataset.join`, the shape `pipelines/joins.py` demonstrates.
+- **Index-intersection search** (`documents_search_and`): multi-term AND
+  query answered the inverted-index way — per-batch DISTINCT (doc, term)
+  pairs filtered to the query terms BEFORE the exchange, so the groupby
+  that intersects posting lists carries at most |query| rows per
+  matching document, never tokens. The degenerate-to-scan alternative
+  (regex per doc) is what this operator exists to avoid at 100 TB.
+- **BPE merge-pair counting** (`documents_bpe_pair_stats`): the inner
+  statistic of byte-pair-encoding tokenizer training — corpus-wide
+  counts of adjacent within-word byte pairs. Each batch folds its texts
+  into one uint8 buffer and counts pairs with a single vectorized
+  bincount over `256*b[:-1] + b[1:]` (no per-token Python, no per-pair
+  dict); the exchange then carries ≤ 256² count rows per block —
+  constant-size regardless of corpus bytes, the combiner pattern that
+  makes tokenizer training a one-pass streaming job.
+- **kNN graph** (`embeddings_knn_graph`): each vector's top-k neighbors
+  by cosine — the exact broadcast-brute-force baseline (one matmul per
+  batch against the unit-normalized matrix in the object store, the
+  same shape as `simops.embeddings_near_dups_exact`); ranks break ties
+  on the 6-dp-rounded score then neighbor id so the order is
+  cross-engine stable. At scale the candidate generator swaps to the
+  persisted IVF/LSH indexes in `pipelines/simops.py`; this exact pass
+  is their per-bucket scorer and small-corpus ground truth.
+
+Column names match the oracle SQL aliases exactly (the driver's
+hash-compare sorts columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .relational import _read
+
+# Same token recipe as documents_top_terms / documents_term_postings
+# (validated cross-engine: polars rust-regex == DuckDB RE2 on this class).
+_TERM_RE = "[a-zA-ZÀ-ÿ]+"
+
+# Gazetteer: surface form → knowledge-base IRI. Deliberately NOT derivable
+# from the term string (forces a real lookup, like a BridgeDb xref table);
+# broadcast by closure — tiny, read-only, pickled once per worker.
+_ENTITY_DICT = {
+    "customer": "urn:kb:ent:0001",
+    "spark": "urn:kb:ent:0002",
+    "vector": "urn:kb:ent:0003",
+    "table": "urn:kb:ent:0004",
+    "dup": "urn:kb:ent:0005",
+    "window": "urn:kb:ent:0006",
+}
+
+_SEARCH_TERMS = ("dup", "key", "vector")  # default AND query
+
+
+def documents_entity_mentions(sf_dir: str):
+    """Per-document mention counts against the broadcast gazetteer:
+    (doc_id, term, iri, n_mentions) for every dictionary term that
+    occurs in the document. Pure map — counts are complete in-batch."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(_ENTITY_DICT)
+    iris = [_ENTITY_DICT[t] for t in terms]
+
+    def mentions(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        gaz = pl.DataFrame({"term": terms, "iri": iris})
+        out = (pl.from_arrow(b).select(
+            "doc_id",
+            term=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("term")
+            .filter(pl.col("term").is_in(terms))
+            .group_by(["doc_id", "term"])
+            .agg(n_mentions=pl.len().cast(pl.Int64))
+            .join(gaz, on="term", how="inner"))
+        return (out.select(["doc_id", "term", "iri", "n_mentions"])
+                .to_arrow().cast(pa.schema([
+                    ("doc_id", pa.int64()), ("term", pa.string()),
+                    ("iri", pa.string()), ("n_mentions", pa.int64())])))
+
+    return docs.map_batches(mentions, batch_format="pyarrow")
+
+
+SQL_DOCUMENTS_ENTITY_MENTIONS = """
+WITH gaz(term, iri) AS (VALUES
+  ('customer', 'urn:kb:ent:0001'), ('spark', 'urn:kb:ent:0002'),
+  ('vector', 'urn:kb:ent:0003'), ('table', 'urn:kb:ent:0004'),
+  ('dup', 'urn:kb:ent:0005'), ('window', 'urn:kb:ent:0006')),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-zA-ZÀ-ÿ]+')) AS term
+  FROM documents)
+SELECT t.doc_id, t.term, g.iri, count(*) AS n_mentions
+FROM toks t JOIN gaz g USING (term)
+GROUP BY t.doc_id, t.term, g.iri
+"""
+
+
+def documents_search_and(sf_dir: str, terms: tuple[str, ...] = _SEARCH_TERMS):
+    """Documents containing ALL query terms, by posting-list
+    intersection: distinct (doc, term) hits are extracted and filtered
+    per batch (the exchange carries ≤ |terms| rows per candidate doc),
+    then one groupby counts distinct matched terms per doc."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    want = sorted(set(terms))
+
+    def hits(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b).select(
+            "doc_id",
+            term=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("term")
+            .filter(pl.col("term").is_in(want))
+            .unique())
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string())]))
+
+    def full_match(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.equal(b.column("n_terms"), len(want))
+        return b.filter(mask).select(["doc_id"])
+
+    from ray.data.aggregate import Count
+    # rows are distinct (doc, term) pairs ⇒ Count == distinct terms hit
+    return (docs.map_batches(hits, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="n_terms"))
+            .map_batches(full_match, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_SEARCH_AND = """
+WITH hits AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-zA-ZÀ-ÿ]+')) AS term
+    FROM documents)
+  WHERE term IN ('dup', 'key', 'vector'))
+SELECT doc_id FROM hits
+GROUP BY doc_id HAVING count(*) = 3
+ORDER BY doc_id
+"""
+
+
+def documents_bpe_pair_stats(sf_dir: str, k: int = 50):
+    """Top-k adjacent within-word byte pairs across the corpus — one
+    merge-candidate scoring pass of BPE tokenizer training. Per batch:
+    texts fold into a single NUL-joined uint8 buffer; pair codes are
+    `256*b[:-1] + b[1:]`, masked to drop pairs touching NUL or ASCII
+    whitespace (word boundaries), counted with one bincount. The
+    exchange carries per-block (pair, n) partials (≤ 65536 rows, in
+    practice ~|alphabet|²) — constant-size in corpus bytes."""
+    docs = _read(sf_dir, "documents", ["text"])
+    # ASCII whitespace + NUL separator: pairs crossing these are not
+    # within-word pairs (mirrors the tokenizers' word-boundary rule).
+    _sep = np.zeros(256, dtype=bool)
+    _sep[[0, 9, 10, 12, 13, 32]] = True
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        buf = np.frombuffer(
+            "\x00".join(t or "" for t in texts).encode("utf-8"),
+            dtype=np.uint8)
+        if len(buf) < 2:
+            return pa.Table.from_pydict({
+                "pair": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64())})
+        a, c = buf[:-1], buf[1:]
+        ok = ~(_sep[a] | _sep[c])
+        codes = a[ok].astype(np.int32) * 256 + c[ok]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(counts)
+        pairs = [chr(v >> 8) + chr(v & 0xFF) for v in nz]
+        return pa.Table.from_pydict({
+            "pair": pa.array(pairs, type=pa.string()),
+            "n": pa.array(counts[nz], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "pair"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_BPE_PAIR_STATS = """
+WITH pos AS (
+  SELECT text, unnest(generate_series(1, length(text) - 1)) AS g
+  FROM documents WHERE text IS NOT NULL),
+p AS (SELECT substring(text, g, 2) AS pair FROM pos)
+SELECT pair, count(*) AS n FROM p
+WHERE NOT contains(pair, ' ') AND NOT contains(pair, chr(9))
+  AND NOT contains(pair, chr(10)) AND NOT contains(pair, chr(12))
+  AND NOT contains(pair, chr(13))
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
+def embeddings_knn_graph(sf_dir: str, k: int = 3):
+    """Exact k-nearest-neighbor graph: (vec_id, neighbor_id, rank,
+    cosine) with rank 1..k per vector, ordered by 6-dp-rounded cosine
+    desc then neighbor_id asc (cross-engine-stable ties). Broadcast
+    brute force — see module docstring for the sublinear swap."""
+    import ray
+    import pyarrow.dataset as pads
+    from .simops import _emb_matrix, _read_emb
+
+    tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["vec_id", "embedding"])
+    ids_all, mat_all = _emb_matrix(tbl)
+    order = np.argsort(ids_all)          # id-ascending ⇒ stable-sort
+    ids_all = ids_all[order].astype(np.int64)   # tiebreak comes free
+    norms = np.linalg.norm(mat_all[order], axis=1)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_all, mat_all[order] / norms[:, None]))
+
+    def topk(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids_b, mat_b = _emb_matrix(b)
+        bn = np.linalg.norm(mat_b, axis=1)
+        bn[bn == 0] = 1.0
+        all_ids, all_unit = _ray.get(ref)
+        sims = np.round((mat_b / bn[:, None]) @ all_unit.T, 6)
+        sims[ids_b[:, None] == all_ids[None, :]] = -np.inf  # no self edge
+        # stable argsort on -sims: candidates already id-ascending, so
+        # equal rounded scores resolve to the smaller neighbor_id
+        nn = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(ids_b.astype(np.int64), k)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(rows),
+            "neighbor_id": pa.array(all_ids[nn].ravel()),
+            "rank": pa.array(np.tile(np.arange(1, k + 1), len(ids_b)),
+                             type=pa.int64()),
+            "cosine": pa.array(np.take_along_axis(sims, nn, axis=1)
+                               .ravel(), type=pa.float64())})
+
+    return (_read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(topk, batch_format="pyarrow")
+            .sort(["vec_id", "rank"]))
+
+
+SQL_EMBEDDINGS_KNN_GRAPH = """
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims)
+SELECT vec_id, neighbor_id, rank, cosine FROM ranked
+WHERE rank <= 3 ORDER BY vec_id, rank
+"""

@@ -108,3 +108,101 @@ def _sql_profile(table: str, cols: list[str]) -> str:
 SQL_EVENTS_PROFILE = _sql_profile(
     "events", ["event_id", "ts", "user_id", "event_type", "value",
                "props"])
+
+
+# -- per-source token-distribution drift ------------------------------------
+
+_TERM_RE = "[a-zA-ZÀ-ÿ]+"  # shared token recipe (see mlprep._TERM_RE)
+
+
+def documents_source_divergence(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence (natural log) of each source's unigram
+    distribution against the whole-corpus distribution — the domain-mix
+    drift monitor a training pipeline runs per ingest batch.
+
+    Distributed part: per-batch polars group_by((source, term)) count
+    partials, then one Ray groupby-sum — the exchange carries
+    vocabulary-sized partials, never tokens. The finish runs on the
+    (|sources| × |vocab|)-sized aggregate (driver-side by design: it IS
+    the reduced result, constant in corpus bytes for a natural-language
+    vocabulary). Output: (source, n_tokens, js_divergence) rounded to
+    6 dp, source-sorted."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..stages.exchange import polars_capped
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b).select(
+            "source",
+            term=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("term").drop_nulls("term")
+            .group_by(["source", "term"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("term", pa.string()),
+            ("n", pa.int64())]))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "term"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+    import numpy as np
+    pivot = counts.pivot_table(index="term", columns="source", values="n",
+                               aggfunc="sum", fill_value=0)
+    totals = pivot.sum(axis=0)
+    q = pivot.sum(axis=1).to_numpy(dtype=np.float64)
+    q = q / q.sum()
+    rows = []
+    for source in sorted(pivot.columns):
+        n_src = pivot[source].to_numpy(dtype=np.float64)
+        p = n_src / n_src.sum()
+        m = 0.5 * (p + q)
+        kl_pm = float(np.sum(np.where(p > 0, p * np.log(p / m), 0.0)))
+        kl_qm = float(np.sum(np.where(q > 0, q * np.log(q / m), 0.0)))
+        rows.append({"source": source,
+                     "n_tokens": int(totals[source]),
+                     "js_divergence":
+                         float(np.round(0.5 * (kl_pm + kl_qm), 6))})
+    return pd.DataFrame(rows, columns=["source", "n_tokens",
+                                       "js_divergence"])
+
+
+SQL_DOCUMENTS_SOURCE_DIVERGENCE = """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-zA-ZÀ-ÿ]+')) AS term
+  FROM documents),
+counts AS (SELECT source, term, count(*) AS n FROM toks
+           GROUP BY source, term),
+grid AS (
+  SELECT s.source, t.term, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM counts) s
+  CROSS JOIN (SELECT DISTINCT term FROM counts) t
+  LEFT JOIN counts c ON c.source = s.source AND c.term = t.term),
+src_tot AS (SELECT source, sum(n) AS tot FROM grid GROUP BY source),
+term_tot AS (SELECT term, sum(n) AS gn FROM grid GROUP BY term),
+gt AS (SELECT sum(n) AS gtot FROM grid),
+probs AS (
+  SELECT g.source,
+         g.n / CAST(st.tot AS DOUBLE) AS p,
+         tt.gn / CAST(gt.gtot AS DOUBLE) AS q
+  FROM grid g
+  JOIN src_tot st USING (source)
+  JOIN term_tot tt USING (term)
+  CROSS JOIN gt)
+SELECT p.source, CAST(st.tot AS BIGINT) AS n_tokens,
+       round(0.5 * sum(CASE WHEN p > 0
+                            THEN p * ln(p / (0.5 * (p + q))) ELSE 0 END)
+           + 0.5 * sum(CASE WHEN q > 0
+                            THEN q * ln(q / (0.5 * (p + q))) ELSE 0 END),
+             6) AS js_divergence
+FROM probs p JOIN src_tot st USING (source)
+GROUP BY p.source, st.tot ORDER BY p.source
+"""

@@ -562,3 +562,28 @@ def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
+
+
+def pages_to_ndjson(parquet_dir: str, out_dir: str) -> str:
+    """Re-export a parquet pages corpus as newline-delimited JSON shards
+    (one .ndjson per parquet shard) — the alternate ingest format
+    `pipelines.kg.read_pages_ndjson` consumes. warc_ts serializes as
+    ISO-8601 seconds; html (binary) as its UTF-8 text. Driver-side
+    utility for interop/testing, not a pipeline stage."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = sorted(_glob.glob(os.path.join(parquet_dir, "*.parquet")))
+    for shard in shards:
+        tbl = _pq.read_table(shard)
+        name = os.path.splitext(os.path.basename(shard))[0] + ".ndjson"
+        with open(os.path.join(out_dir, name), "w") as f:
+            for row in tbl.to_pylist():
+                row["warc_ts"] = row["warc_ts"].strftime(
+                    "%Y-%m-%dT%H:%M:%S")
+                row["html"] = row["html"].decode("utf-8")
+                f.write(_json.dumps(row) + "\n")
+    return out_dir

@@ -1,0 +1,108 @@
+"""Targeted tests for pipelines/lexical.py — planted-data behaviors
+(mention counting, AND-intersection, BPE pair math, kNN tie-breaks).
+Cross-engine value parity on the driver corpus is covered by the
+auto-parametrized tests/test_oracles.py sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    table = pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": [len(t or "") for t in texts],
+    })
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _write_embeddings(tmp_path, vecs):
+    table = pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), type=pa.int32()),
+    })
+    d = tmp_path / "emb"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_entity_mentions_counts_and_case(ray_session, tmp_path):
+    d = _write_docs(tmp_path, [
+        "customer customer dup likes the Table",
+        "Spark TABLE table tAbLe!",
+        "nothing relevant here",
+        None,
+    ])
+    from gpml2pvjson_js_ray.pipelines.lexical import documents_entity_mentions
+    out = documents_entity_mentions(d).to_pandas()
+    got = {(r.doc_id, r.term): (r.iri, r.n_mentions)
+           for r in out.itertuples()}
+    assert got[(0, "customer")] == ("urn:kb:ent:0001", 2)
+    assert got[(0, "dup")] == ("urn:kb:ent:0005", 1)
+    assert got[(0, "table")] == ("urn:kb:ent:0004", 1)
+    assert got[(1, "spark")] == ("urn:kb:ent:0002", 1)
+    assert got[(1, "table")][1] == 3  # case-folded, punctuation-split
+    assert not any(doc == 2 or doc == 3 for doc, _ in got)
+    # non-dictionary terms never appear
+    assert set(out["term"]) <= {"customer", "spark", "vector", "table",
+                                "dup", "window"}
+
+
+def test_search_and_requires_every_term(ray_session, tmp_path):
+    d = _write_docs(tmp_path, [
+        "dup key vector",          # all three → match
+        "dup dup key",             # missing vector
+        "vector key",              # missing dup
+        "key dup vector vector",   # all three → match
+        "",
+    ])
+    from gpml2pvjson_js_ray.pipelines.lexical import documents_search_and
+    out = documents_search_and(d).to_pandas()
+    assert out["doc_id"].tolist() == [0, 3]
+
+
+def test_bpe_pair_counts_word_boundaries(ray_session, tmp_path):
+    # "abab ab" → within-word pairs ab,ba,ab + ab; the space-crossing
+    # "b a" pair must NOT count
+    d = _write_docs(tmp_path, ["abab ab", None])
+    from gpml2pvjson_js_ray.pipelines.lexical import documents_bpe_pair_stats
+    out = documents_bpe_pair_stats(d).to_pandas()
+    counts = dict(zip(out["pair"], out["n"]))
+    assert counts == {"ab": 3, "ba": 1}
+    # ordering: n desc, then pair asc
+    assert out["pair"].tolist() == ["ab", "ba"]
+
+
+def test_knn_graph_ranks_and_tie_break(ray_session, tmp_path):
+    # v1 and v2 are identical ⇒ equal cosine to v0: the tie must resolve
+    # to the smaller neighbor_id at rank 1/2.
+    d = _write_embeddings(tmp_path, [
+        [1.0, 0.0], [0.0, 1.0], [0.0, 1.0], [-1.0, 0.0]])
+    from gpml2pvjson_js_ray.pipelines.lexical import embeddings_knn_graph
+    out = embeddings_knn_graph(d, k=2).to_pandas()
+    by_vec = {v: g.sort_values("rank") for v, g in out.groupby("vec_id")}
+    assert by_vec[0]["neighbor_id"].tolist() == [1, 2]  # tie → id asc
+    assert by_vec[0]["cosine"].tolist() == [0.0, 0.0]
+    # v1's nearest is its duplicate v2 (cosine 1), never itself
+    assert by_vec[1]["neighbor_id"].tolist() == [2, 0]
+    assert by_vec[1]["cosine"].tolist()[0] == 1.0
+    assert (out["neighbor_id"] != out["vec_id"]).all()
+    # matches a serial exact recompute of the same ranking rule
+    vecs = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0], [-1.0, 0.0]])
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    for v in range(4):
+        cand = sorted((-(sims[v, j]), j) for j in range(4) if j != v)
+        assert by_vec[v]["neighbor_id"].tolist() == \
+            [j for _, j in cand[:2]]

@@ -690,3 +690,31 @@ def test_embeddings_sq8_error_known_vectors(ray_session, tmp_path):
     assert out.loc[1, "scale"] == 0.0
     assert out.loc[1, "max_abs_err"] == 0.0
     assert out.loc[1, "mean_abs_err"] == 0.0
+
+
+def test_ndjson_source_parity(ray_session, pages_dir, tmp_path):
+    """The ndjson ingest path must be downstream-indistinguishable from
+    parquet: same schema after normalization and identical extracted
+    islands (doc ids + GPML bytes) on the same corpus."""
+    from gpml2pvjson_js_ray.pipelines.kg import (islands_dataset,
+                                                 read_pages,
+                                                 read_pages_ndjson)
+    from gpml2pvjson_js_ray.sources.pages import pages_to_ndjson
+
+    nd_dir = pages_to_ndjson(pages_dir, str(tmp_path / "nd"))
+    nd = read_pages_ndjson(nd_dir)
+    assert ({f.name: str(f.type) for f in nd.schema().base_schema}
+            == {"url": "string", "warc_ts": "timestamp[us]",
+                "html": "binary"})
+
+    def key(df):
+        # recrawl duplicates share doc_id (sha over island bytes) but
+        # differ in url — sort on the full row for a stable compare
+        return (df.sort_values(["doc_id", "url", "island"])
+                .reset_index(drop=True))
+
+    a = key(islands_dataset(read_pages(pages_dir))
+            .to_pandas()[["doc_id", "url", "island"]])
+    b = key(islands_dataset(read_pages_ndjson(nd_dir))
+            .to_pandas()[["doc_id", "url", "island"]])
+    assert a.equals(b)
