@@ -40,6 +40,17 @@ def _kg_docs(sf_dir: str):
     return kg.docs_dataset(kg.read_pages(path)).drop_columns(["pvjson"])
 
 
+def _kg_pages_latest(sf_dir: str):
+    """Re-crawl collapse: newest capture per url (url + warc_ts; html
+    dropped from the returned table only to keep the driver check
+    light). Exactness vs a DuckDB max(warc_ts)-per-url is pinned in
+    tests/test_ray_stages.py::test_latest_pages_recrawl_collapse."""
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf(sf_dir)
+    return (kg.latest_pages_dataset(kg.read_pages(path))
+            .drop_columns(["html"]))
+
+
 def _kg_text_invariant(sf_dir: str):
     from gpml2pvjson_js_ray.pipelines import kg
     path = kg.pages_path_for_sf(sf_dir)
@@ -305,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["media_frames"]).media_frames(64),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
+        "kg_pages_latest": _kg_pages_latest,
         "kg_linked_triples": _kg_query("linked_triples_from_pages"),
         "kg_deduped_triples": _kg_query("deduped_triples_from_pages"),
         "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),

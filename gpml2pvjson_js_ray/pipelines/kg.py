@@ -171,6 +171,40 @@ def read_pages_ndjson(path: str):
         norm, batch_format="pyarrow")
 
 
+def latest_pages_dataset(pages, num_buckets: int = 64):
+    """Re-crawl collapse: keep only the NEWEST capture of each url —
+    the ingest-side dedup a rolling web crawl needs before conversion
+    (the triple-level dedup downstream keeps min-url representatives of
+    identical ISLANDS; this collapses identical URLS). Hash-bucketed by
+    url so all captures of a url co-locate in one exchange; within a
+    bucket one vectorized polars group_by picks argmax(warc_ts), with
+    byte-order of html as the deterministic tiebreak for equal
+    timestamps. The exchange carries whole page rows — at 100 TB run
+    this FIRST, before any per-page work, so every later stage sees
+    each url once."""
+    import pyarrow as pa
+
+    from ..stages.exchange import hash_rows_mod, polars_capped
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        buckets = hash_rows_mod(b, ["url"], num_buckets)
+        return b.append_column(
+            "url_bucket", pa.array(buckets.astype("int32"),
+                                   type=pa.int32()))
+
+    def newest(g: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = pl.from_arrow(g.drop_columns(["url_bucket"]))
+        out = (df.sort(["url", "warc_ts", "html"])
+               .group_by("url", maintain_order=True).last()
+               .select(df.columns))
+        return out.to_arrow().cast(g.drop_columns(["url_bucket"]).schema)
+
+    return (pages.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("url_bucket")
+            .map_groups(newest, batch_format="pyarrow"))
+
+
 def islands_dataset(pages):
     return pages.map_batches(extract_islands_batch, batch_format="pyarrow",
                              batch_size=256)

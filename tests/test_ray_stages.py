@@ -718,3 +718,43 @@ def test_ndjson_source_parity(ray_session, pages_dir, tmp_path):
     b = key(islands_dataset(read_pages_ndjson(nd_dir))
             .to_pandas()[["doc_id", "url", "island"]])
     assert a.equals(b)
+
+
+def test_latest_pages_recrawl_collapse(ray_session, pages_dir, tmp_path):
+    """latest_pages_dataset keeps exactly one row per url — the capture
+    with the max warc_ts (html bytes break exact-timestamp ties)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines.kg import (latest_pages_dataset,
+                                                 read_pages)
+
+    # planted recrawl: same url captured twice, later capture differs
+    t0 = pa.scalar(1_500_000_000_000_000, type=pa.timestamp("us"))
+    t1 = pa.scalar(1_600_000_000_000_000, type=pa.timestamp("us"))
+    tbl = pa.table({
+        "url": ["http://a/1", "http://a/1", "http://a/2"],
+        "warc_ts": pa.array([t0.as_py(), t1.as_py(), t0.as_py()],
+                            type=pa.timestamp("us")),
+        "html": [b"<old/>", b"<new/>", b"<only/>"],
+    })
+    d = tmp_path / "re"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "pages-0.parquet"))
+    out = (latest_pages_dataset(rd.read_parquet(str(d / "pages-0.parquet")))
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert out["url"].tolist() == ["http://a/1", "http://a/2"]
+    assert out["html"].tolist() == [b"<new/>", b"<only/>"]
+
+    # synthetic corpus: row-per-distinct-url, ts == max ts per url
+    got = (latest_pages_dataset(read_pages(pages_dir))
+           .to_pandas()[["url", "warc_ts"]]
+           .sort_values("url").reset_index(drop=True))
+    want = duckdb.sql(
+        f"SELECT url, max(warc_ts) AS warc_ts FROM "
+        f"read_parquet('{pages_dir}/*.parquet') GROUP BY url "
+        f"ORDER BY url").df()
+    assert got["url"].tolist() == want["url"].tolist()
+    assert (got["warc_ts"] == want["warc_ts"]).all()
