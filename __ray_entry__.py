@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_near_dups_exact": simops.embeddings_near_dups_exact,
         "embeddings_label_stats": simops.embeddings_label_stats,
         "embeddings_sq8_error": simops.embeddings_sq8_error,
+        "embeddings_pca_error": simops.embeddings_pca_error,
         "documents_related_topk": simops.documents_related_topk,
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(

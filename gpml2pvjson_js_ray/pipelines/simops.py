@@ -610,3 +610,67 @@ scored AS (
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+
+# -- distributed PCA (two-pass moments → broadcast projection) ---------------
+
+def _pca_model(sf_dir: str, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fit PCA distributed: pass 1 folds each block into (n, Σx, ΣxxT)
+    moment partials — one row per block, dim²-sized regardless of block
+    rows — and the tiny partial table combines on the driver (it is the
+    reduced result; dim=64 → 4 KB per block). Eigendecomposition of the
+    covariance runs on the driver (dim × dim, constant in corpus size).
+    Eigenvector signs are fixed so the largest-|loading| coordinate is
+    positive — deterministic across runs and BLAS builds."""
+
+    def moments(b: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(b)
+        return pa.Table.from_pydict({
+            "n": pa.array([len(mat)], type=pa.int64()),
+            "s1": pa.array([mat.sum(axis=0)]),
+            "s2": pa.array([(mat.T @ mat).ravel()]),
+        })
+
+    parts = (_read_emb(sf_dir, ["vec_id", "embedding"])
+             .map_batches(moments, batch_format="pyarrow").to_pandas())
+    n = int(parts["n"].sum())
+    s1 = np.sum(np.stack(parts["s1"].to_numpy()), axis=0)
+    dim = len(s1)
+    s2 = np.sum(np.stack(parts["s2"].to_numpy()), axis=0).reshape(dim, dim)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    top = evecs[:, ::-1][:, :d]                 # top-d components
+    signs = np.sign(top[np.argmax(np.abs(top), axis=0),
+                        np.arange(top.shape[1])])
+    signs[signs == 0] = 1.0
+    return mean, top * signs
+
+
+def embeddings_pca_error(sf_dir: str, d: int = 8):
+    """Per-vector PCA reconstruction error with a rank-d model — the
+    dimensionality-reduction prep pass (and its quality audit) of an
+    embedding pipeline. Model fit is the distributed two-pass above;
+    scoring is a pure map: (mean, components) broadcast via ray.put
+    once, one matmul per batch. Output: (vec_id, err) with err =
+    ‖x - x̂‖₂ rounded to 6 dp. Non-SQL (eigendecomposition); exactness
+    vs a serial full-corpus PCA with the identical sign rule is pinned
+    in tests/test_ray_stages.py::test_pca_error_matches_serial."""
+    import ray
+
+    ref = ray.put(_pca_model(sf_dir, d))
+
+    def score(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        mean, comps = _ray.get(ref)
+        ids, mat = _emb_matrix(b)
+        centered = mat - mean
+        recon = (centered @ comps) @ comps.T
+        err = np.linalg.norm(centered - recon, axis=1)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "err": pa.array(np.round(err, 6), type=pa.float64())})
+
+    return (_read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(score, batch_format="pyarrow")
+            .sort("vec_id"))

@@ -758,3 +758,53 @@ def test_latest_pages_recrawl_collapse(ray_session, pages_dir, tmp_path):
         f"ORDER BY url").df()
     assert got["url"].tolist() == want["url"].tolist()
     assert (got["warc_ts"] == want["warc_ts"]).all()
+
+
+def test_pca_error_matches_serial(ray_session, tmp_path):
+    """Distributed two-pass PCA must equal a serial numpy PCA with the
+    identical sign rule, and a rank-dim model must reconstruct exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: two dominant directions + noise
+    base = rng.normal(size=(200, 2)) @ rng.normal(size=(2, 6)) * 3.0
+    vecs = (base + rng.normal(scale=0.1, size=(200, 6))).astype(np.float32)
+    table = pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0] * 200, type=pa.int32()),
+    })
+    d = tmp_path / "pca"
+    d.mkdir()
+    pq.write_table(table, str(d / "embeddings.parquet"))
+
+    from gpml2pvjson_js_ray.pipelines.simops import (_pca_model,
+                                                     embeddings_pca_error)
+    out = (embeddings_pca_error(str(d), d=2).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    # serial reference with the same sign-fixing rule
+    mat = vecs.astype(np.float64)
+    mean = mat.mean(axis=0)
+    cov = (mat - mean).T @ (mat - mean) / len(mat)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, ::-1][:, :2]
+    signs = np.sign(top[np.argmax(np.abs(top), axis=0),
+                        np.arange(top.shape[1])])
+    signs[signs == 0] = 1.0
+    top = top * signs
+    centered = mat - mean
+    err = np.linalg.norm(centered - (centered @ top) @ top.T, axis=1)
+    assert np.allclose(out["err"].to_numpy(), np.round(err, 6), atol=2e-6)
+    # the planted rank-2 structure dominates: rank-2 error ≈ noise scale
+    assert out["err"].median() < 0.5
+    # model parity too (mean + components)
+    m_mean, m_top = _pca_model(str(d), 2)
+    assert np.allclose(m_mean, mean, atol=1e-9)
+    assert np.allclose(m_top, top, atol=1e-7)
+    # rank-dim model reconstructs exactly
+    full = (embeddings_pca_error(str(d), d=6).to_pandas())
+    assert (full["err"] < 1e-5).all()
