@@ -334,6 +334,30 @@ def _ivf_index_dir(sf_dir: str, k: int) -> str:
     return os.path.join(_ANN_INDEX_ROOT, tag)
 
 
+def _train_coarse_quantizer(src: str,
+                            sample_rows: int = 8192
+                            ) -> tuple[int, np.ndarray]:
+    """k = max(8, √N) spherical-k-means centroids from a deterministic
+    UNBIASED sample: head() would be a file-prefix read — with
+    clustered/ordered storage the quantizer would skew toward the first
+    rows. Seeded random row indices via Dataset.take keep it unbiased
+    and still bounded (metadata row count, no full value scan)."""
+    import pyarrow.dataset as pads
+
+    n_vectors = pads.dataset(src).count_rows()
+    # ~sqrt(N) centroids, floor 8: buckets ≈ sqrt keeps both the probe
+    # cost and the per-list length sublinear
+    k = max(8, int(np.sqrt(n_vectors)))
+    n_sample = min(sample_rows, n_vectors)
+    rng = np.random.RandomState(_SEED)
+    idx = np.sort(rng.choice(n_vectors, size=n_sample, replace=False))
+    sample_tbl = pads.dataset(src).take(idx, columns=["embedding"])
+    arr = sample_tbl.column("embedding").combine_chunks()
+    sample = (arr.flatten().to_numpy(zero_copy_only=False)
+              .astype(np.float64, copy=False).reshape(len(arr), -1))
+    return k, _kmeans_spherical(sample, k)
+
+
 def build_ivf_index(sf_dir: str,
                     sample_rows: int = 8192) -> tuple[str, np.ndarray]:
     """IVF build (once; content-addressed cache): train a spherical
@@ -347,24 +371,8 @@ def build_ivf_index(sf_dir: str,
     import pyarrow.dataset as pads
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    n_vectors = pads.dataset(src).count_rows()
-    # ~sqrt(N) centroids, floor 8: buckets ≈ sqrt keeps both the probe
-    # cost and the per-list length sublinear
-    k = max(8, int(np.sqrt(n_vectors)))
+    k, centroids = _train_coarse_quantizer(src, sample_rows)
     idx_dir = _ivf_index_dir(sf_dir, k)
-
-    # deterministic UNBIASED sample: head() is a file-prefix read — with
-    # clustered/ordered storage the quantizer would skew toward the first
-    # rows. Seeded random row indices via Dataset.take keeps it unbiased
-    # and still bounded (metadata row count, no full scan of values).
-    n_sample = min(sample_rows, n_vectors)
-    rng = np.random.RandomState(_SEED)
-    idx = np.sort(rng.choice(n_vectors, size=n_sample, replace=False))
-    sample_tbl = pads.dataset(src).take(idx, columns=["embedding"])
-    arr = sample_tbl.column("embedding").combine_chunks()
-    sample = (arr.flatten().to_numpy(zero_copy_only=False)
-              .astype(np.float64, copy=False).reshape(len(arr), -1))
-    centroids = _kmeans_spherical(sample, k)
     if os.path.isdir(idx_dir):
         return idx_dir, centroids
 
@@ -674,3 +682,106 @@ def embeddings_pca_error(sf_dir: str, d: int = 8):
     return (_read_emb(sf_dir, ["vec_id", "embedding"])
             .map_batches(score, batch_format="pyarrow")
             .sort("vec_id"))
+
+
+# -- IVF + int8 codes: the compressed-index scale path -----------------------
+
+def _ivf_sq8_index_dir(sf_dir: str, k: int) -> str:
+    import hashlib
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"ivfsq8|{os.path.abspath(src)}|{os.path.getmtime(src)}|{k}|{_SEED}"
+        .encode()).hexdigest()[:16]
+    return os.path.join(_ANN_INDEX_ROOT, tag)
+
+
+def build_ivf_sq8_index(sf_dir: str,
+                        sample_rows: int = 8192) -> tuple[str, np.ndarray]:
+    """IVF layout with int8 scalar-quantized storage: the same coarse
+    quantizer and hive partitioning as `build_ivf_index`, but each list
+    stores (vec_id, code: list<int8>, scale: float64) instead of the raw
+    floats — 4× smaller on disk and in the probe reads, the compression a
+    100-TB vector store actually ships. Per-vector symmetric quantization
+    (code = round(x / scale), scale = max|x| / 127); cosine scoring needs
+    no dequantization pass beyond code × scale inside the matmul."""
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    k, centroids = _train_coarse_quantizer(src, sample_rows)
+    idx_dir = _ivf_sq8_index_dir(sf_dir, k)
+    if os.path.isdir(idx_dir):
+        return idx_dir, centroids
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def assign_quantize(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        lists = np.argmax((mat / norms[:, None]) @ centroids.T, axis=1)
+        scale = np.abs(mat).max(axis=1) / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        # shared half-away rule (matches embeddings_sq8_error)
+        code = np.clip(np.floor(mat / safe[:, None] + 0.5),
+                       -127, 127).astype(np.int8)
+        dim = mat.shape[1]
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(code.ravel(), type=pa.int8()), dim),
+            "scale": pa.array(scale, type=pa.float64()),
+            "ivf_list": pa.array(lists, type=pa.int64())})
+
+    tmp_dir = idx_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    emb.map_batches(assign_quantize, batch_format="pyarrow") \
+        .write_parquet(tmp_dir, partition_cols=["ivf_list"])
+    try:
+        os.rename(tmp_dir, idx_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return idx_dir, centroids
+
+
+def embeddings_ann_ivf_sq8_top10(sf_dir: str, nprobe: int = 4):
+    """Top-10 cosine neighbors of vec_id 0 from the COMPRESSED index:
+    probe the nprobe nearest lists, score int8 codes directly (scale
+    cancels in cosine up to sign; kept for reconstruction consumers)."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    idx_dir, centroids = build_ivf_sq8_index(sf_dir)
+    q_tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(filter=pads.field("vec_id") == 0, columns=["embedding"])
+    q = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ qn))[:nprobe]
+
+    files = [f for c in probe
+             for f in sorted(glob.glob(
+                 os.path.join(idx_dir, f"ivf_list={int(c)}", "*.parquet")))]
+    if not files:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}))
+    candidates = rd.read_parquet(files)
+
+    def sim(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = b.column("code").combine_chunks()
+        mat = (codes.flatten().to_numpy(zero_copy_only=False)
+               .astype(np.float64, copy=False).reshape(len(codes), -1))
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
+        keep = ids != 0
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep], type=pa.int64()),
+            "sim": pa.array(np.round(sims[keep], 6), type=pa.float64())})
+
+    return (candidates.map_batches(sim, batch_format="pyarrow")
+            .sort(["sim", "vec_id"], descending=[True, False])
+            .limit(10))

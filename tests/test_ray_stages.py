@@ -808,3 +808,34 @@ def test_pca_error_matches_serial(ray_session, tmp_path):
     # rank-dim model reconstructs exactly
     full = (embeddings_pca_error(str(d), d=6).to_pandas())
     assert (full["err"] < 1e-5).all()
+
+
+def test_ann_ivf_sq8_recall_and_compression(ray_session):
+    """The int8-compressed IVF must (a) store codes as int8 lists,
+    (b) keep per-candidate sims within quantization error of the exact
+    floats, (c) retain non-trivial recall vs brute force."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.relational import \
+        embeddings_cosine_top10
+    from gpml2pvjson_js_ray.pipelines.simops import (
+        build_ivf_sq8_index, embeddings_ann_ivf_sq8_top10)
+
+    sf = "/root/testdata/sf0.001"
+    idx_dir, _ = build_ivf_sq8_index(sf)
+    one = sorted(glob.glob(os.path.join(idx_dir, "*", "*.parquet")))[0]
+    schema = pq.read_schema(one)
+    assert str(schema.field("code").type) == "fixed_size_list<element: int8>[64]"
+    assert schema.field("scale").type == "double"
+
+    brute = embeddings_cosine_top10(sf).to_pandas()
+    ann = embeddings_ann_ivf_sq8_top10(sf, nprobe=6).to_pandas()
+    overlap = set(brute["vec_id"]) & set(ann["vec_id"])
+    assert len(overlap) >= 3, f"IVF-SQ8 recall too low: {len(overlap)}/10"
+    b = brute.set_index("vec_id")["sim"]
+    a = ann.set_index("vec_id")["sim"]
+    for vid in overlap:
+        # int8 quantization perturbs cosine by O(1/127) at most
+        assert abs(a[vid] - b[vid]) < 0.02
