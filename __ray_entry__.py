@@ -85,6 +85,14 @@ def _kg_components(sf_dir: str):
     return graph.entity_components(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_degrees(sf_dir: str):
+    """Out-degree histogram of the entity graph (adjacency rows) —
+    structural summary + hub-skew signal; DuckDB-cross-checked on
+    identical rows in tests/test_graph.py."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.entity_degree_hist(_kg_pipeline_output("adjacency")(sf_dir))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance by interaction in-links (PageRank over the
     same entity graph)."""
@@ -306,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_label_stats": simops.embeddings_label_stats,
         "embeddings_sq8_error": simops.embeddings_sq8_error,
         "embeddings_pca_error": simops.embeddings_pca_error,
+        "embeddings_batch_cosine_topk":
+            simops.embeddings_batch_cosine_topk,
         "documents_related_topk": simops.documents_related_topk,
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
@@ -325,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),
         "kg_adjacency": _kg_pipeline_output("adjacency"),
         "kg_entity_components": _kg_components,
+        "kg_entity_degrees": _kg_degrees,
         "kg_entity_pagerank": _kg_pagerank,
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
@@ -431,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_label_stats": simops.SQL_EMBEDDINGS_LABEL_STATS,
         "documents_quality": textops.SQL_DOCUMENTS_QUALITY,
         "embeddings_near_dups_exact": simops.SQL_EMBEDDINGS_NEAR_DUPS_EXACT,
+        "embeddings_batch_cosine_topk":
+            simops.SQL_EMBEDDINGS_BATCH_COSINE_TOPK,
         "documents_entity_mentions":
             lexical.SQL_DOCUMENTS_ENTITY_MENTIONS,
         "documents_search_and": lexical.SQL_DOCUMENTS_SEARCH_AND,

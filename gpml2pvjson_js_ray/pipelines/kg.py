@@ -171,6 +171,19 @@ def read_pages_ndjson(path: str):
         norm, batch_format="pyarrow")
 
 
+def _partition_id(part_files: list[str]) -> str:
+    """Content-derived partition id: sha1 over the shard basenames.
+    Index-derived ids (round ≤3 session 5) silently mis-skipped on
+    resume when a NEW shard sorted before existing ones (every index
+    shifts but the manifest matches by id alone) — content ids make an
+    incremental crawl drop resume-safe regardless of sort position.
+    Basenames, not full paths, so a corpus moved between mounts still
+    resumes."""
+    import hashlib
+    key = "|".join(os.path.basename(p) for p in part_files)
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
 def latest_pages_dataset(pages, num_buckets: int = 64):
     """Re-crawl collapse: keep only the NEWEST capture of each url —
     the ingest-side dedup a rolling web crawl needs before conversion
@@ -356,8 +369,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     # input branches the streaming executor drains mostly serially. Each
     # partition is ONE execution: the docs checkpoint is written through
     # inside the pipeline (no separate write+re-read execution).
-    todo = [(i, pf) for i, pf in enumerate(partitions)
-            if f"{i:05d}" not in manifest]
+    todo = [(_partition_id(pf), pf) for pf in partitions
+            if _partition_id(pf) not in manifest]
     stats["partitions_skipped"] = len(partitions) - len(todo)
     triples_root = os.path.join(out_dir, "triples")
 
@@ -399,8 +412,7 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
         entity_exchange_spec(os.path.join(out_dir, "entities")),
     ])
 
-    def run_partition(pidx: int, part_files: list[str]) -> tuple:
-        pid = f"{pidx:05d}"
+    def run_partition(pid: str, part_files: list[str]) -> tuple:
         docs_dir = os.path.join(out_dir, "docs", f"part={pid}")
         triples_dir = os.path.join(triples_root, f"part_id={pid}")
         # clear any half-written outputs from a previous failed run
@@ -435,8 +447,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
 
     # resume-skipped partitions enter the exchange from their checkpoint
     # files (no recompute)
-    for pidx, _pf in enumerate(partitions):
-        pid = f"{pidx:05d}"
+    for pf in partitions:
+        pid = _partition_id(pf)
         if pid in manifest:
             exchange.add_files(sorted(glob.glob(
                 os.path.join(triples_root, f"part_id={pid}", "*.parquet"))))

@@ -151,3 +151,30 @@ def test_semantic_components_planted_cluster(ray_session, tmp_path):
             .to_pandas().set_index("component"))
     assert surv.loc[0, "n_members"] == 3
     assert surv.loc[9, "n_members"] == 1
+
+
+def test_entity_degree_hist_matches_duckdb(ray_session, tmp_path):
+    """Degree histogram over a real adjacency output == DuckDB
+    count-per-subject histogram on identical rows."""
+    import glob
+
+    import duckdb
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    files = sorted(glob.glob(
+        str(tmp_path / "out" / "adjacency") + "/**/*.parquet",
+        recursive=True))
+    got = (graph.entity_degree_hist(rd.read_parquet(files))
+           .to_pandas().reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT degree, count(*) AS n_entities FROM ("
+        f"  SELECT count(*) AS degree FROM read_parquet({files!r}) "
+        "   GROUP BY canonical_subj) GROUP BY degree ORDER BY degree"
+    ).df()
+    assert got["degree"].tolist() == want["degree"].tolist()
+    assert got["n_entities"].tolist() == want["n_entities"].tolist()

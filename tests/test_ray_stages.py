@@ -331,9 +331,15 @@ def test_mid_run_crash_recovery(ray_session, pages_dir, tmp_path):
     stats1 = run_kg_pipeline(multi, out, files_per_partition=1)
     assert stats1["partitions_total"] >= 2
 
-    # "crash" partition 00001: drop its manifest entry, corrupt outputs
-    os.remove(os.path.join(out, "_manifest", "partition-00001.json"))
-    tdir = os.path.join(out, "triples", "part_id=00001")
+    # "crash" the second partition: drop its manifest entry, corrupt
+    # outputs (partition ids are content-derived — read them from the
+    # manifest rather than assuming an index)
+    import json
+    entries = sorted(glob.glob(os.path.join(out, "_manifest", "*.json")))
+    with open(entries[1]) as f:
+        pid = json.load(f)["partition_id"]
+    os.remove(entries[1])
+    tdir = os.path.join(out, "triples", f"part_id={pid}")
     for f in glob.glob(os.path.join(tdir, "*.parquet")):
         os.remove(f)
     with open(os.path.join(tdir, "garbage.parquet"), "w") as f:
@@ -839,3 +845,39 @@ def test_ann_ivf_sq8_recall_and_compression(ray_session):
     for vid in overlap:
         # int8 quantization perturbs cosine by O(1/127) at most
         assert abs(a[vid] - b[vid]) < 0.02
+
+
+def test_incremental_crawl_append_resumes(ray_session, tmp_path):
+    """An incremental crawl drop: a NEW shard that sorts BEFORE the
+    existing ones must rerun only itself (content-derived partition
+    ids; index-derived ids would shift and mis-skip) and phase-2 totals
+    must equal a fresh full run over all shards."""
+    import glob
+    import shutil
+
+    from gpml2pvjson_js_ray.pipelines.kg import run_kg_pipeline
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+
+    src = str(tmp_path / "gen")
+    write_pages_parquet(src, 96, rows_per_file=32)  # 3 shards
+    shards = sorted(glob.glob(os.path.join(src, "*.parquet")))
+
+    crawl = str(tmp_path / "crawl")
+    os.makedirs(crawl)
+    for s in shards[:2]:
+        shutil.copy(s, crawl)
+    out = str(tmp_path / "kg")
+    stats1 = run_kg_pipeline(crawl, out, files_per_partition=1)
+    assert stats1["partitions_total"] == 2
+
+    # the drop: new shard named to sort FIRST
+    shutil.copy(shards[2], os.path.join(crawl, "a-newcrawl.parquet"))
+    stats2 = run_kg_pipeline(crawl, out, files_per_partition=1)
+    assert stats2["partitions_total"] == 3
+    assert stats2["partitions_skipped"] == 2
+
+    # ground truth: fresh full run over the same three shards
+    full = run_kg_pipeline(crawl, str(tmp_path / "kg_full"),
+                           files_per_partition=1)
+    assert stats2["triples_deduped"] == full["triples_deduped"]
+    assert stats2["entities"] == full["entities"]
