@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _join_query("revenue_by_nation"),
         "order_shipping_priority": _join_query("order_shipping_priority"),
         "revenue_by_nation_bloom": _join_query("revenue_by_nation_bloom"),
+        "nation_pair_volume": _join_query("nation_pair_volume"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -272,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _spans_query("events_type_transitions"),
         "documents_span_dedup_filter":
             _spans_query("documents_span_dedup_filter"),
+        "documents_gopher_filter":
+            _spans_query("documents_gopher_filter"),
         "documents_char_lm_score": textops.documents_char_lm_score,
         "events_profile": _profiler_query("events_profile"),
         "documents_source_divergence":
@@ -371,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,
         "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
         "revenue_by_nation_bloom": joins.SQL_REVENUE_BY_NATION,
+        "nation_pair_volume": joins.SQL_NATION_PAIR_VOLUME,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":
@@ -421,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_transitions": spans.SQL_EVENTS_TYPE_TRANSITIONS,
         "documents_span_dedup_filter":
             spans.SQL_DOCUMENTS_SPAN_DEDUP_FILTER,
+        "documents_gopher_filter": spans.SQL_DOCUMENTS_GOPHER_FILTER,
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
         "events_profile": profiler.SQL_EVENTS_PROFILE,

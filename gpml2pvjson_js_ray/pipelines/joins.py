@@ -395,3 +395,120 @@ def revenue_by_nation_bloom(sf_dir: str, m_bits: int = 1 << 20, **kw):
         return b.filter(pa.array(_bloom_contains(w, keys, m_bits)))
 
     return revenue_by_nation(sf_dir, _lineitem_prefilter=probe, **kw)
+
+
+# -- Q7-style: shipping volume between a nation pair -------------------------
+
+def nation_pair_volume(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2",
+                       year_lo: str = "1996-01-01T00:00:00",
+                       year_hi: str = "1998-01-01T00:00:00",
+                       num_partitions: int = 16):
+    """supplier-nation ↔ customer-nation shipping volume by year (the
+    TPC-H Q7 shape): lineitem ⋈ orders meet in the hash-partitioned
+    shuffle join; BOTH sides are semi-filtered to the two nations BEFORE
+    the exchange via broadcast dimension probes (supplier→nation on the
+    lineitem side, customer→nation on the orders side), so the shuffle
+    carries only the ~(2/|nations|)² qualifying slice of each table.
+    Volume partial-aggregates per (supp_nation, cust_nation, year)
+    inside each joined batch; the final groupby is pair×years-sized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    keys = {n: int(nation.loc[nation["n_name"] == n,
+                              "n_nationkey"].iloc[0])
+            for n in (nation_a, nation_b)}
+    key_a, key_b = keys[nation_a], keys[nation_b]
+    name_of = {key_a: nation_a, key_b: nation_b}
+
+    supp = _broadcast_kv(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+    cust = _broadcast_kv(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    attach_snat = _make_attach(supp, "l_suppkey", "s_nationkey")
+    attach_cnat = _make_attach(cust, "o_custkey", "c_nationkey")
+    pair = pa.array([key_a, key_b])
+
+    lo, hi = _ts(year_lo), _ts(year_hi)
+
+    def line_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        b = attach_snat(b)
+        return (b.filter(pc.is_in(b.column("s_nationkey"), value_set=pair))
+                .drop_columns(["l_suppkey"]))
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        b = attach_cnat(b)
+        return (b.filter(pc.is_in(b.column("c_nationkey"), value_set=pair))
+                .drop_columns(["o_custkey"]))
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish_batch(b: pa.Table) -> pa.Table:
+        s_n = b.column("s_nationkey")
+        c_n = b.column("c_nationkey")
+        # the CROSS pair only (a→b or b→a), never domestic
+        b = b.filter(pc.invert(pc.equal(s_n, c_n)))
+        if b.num_rows == 0:
+            return pa.table({
+                "supp_nation": pa.array([], type=pa.string()),
+                "cust_nation": pa.array([], type=pa.string()),
+                "l_year": pa.array([], type=pa.int64()),
+                "volume": pa.array([], type=pa.float64())})
+        vol = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        names = pa.array([name_of[key_a], name_of[key_b]])
+        s_names = pc.take(names, pc.index_in(b.column("s_nationkey"),
+                                             value_set=pair))
+        c_names = pc.take(names, pc.index_in(b.column("c_nationkey"),
+                                             value_set=pair))
+        t = pa.table({
+            "supp_nation": s_names,
+            "cust_nation": c_names,
+            "l_year": pc.year(b.column("l_shipdate")).cast(pa.int64()),
+            "volume": vol})
+        return (pa.TableGroupBy(t, ["supp_nation", "cust_nation",
+                                    "l_year"])
+                .aggregate([("volume", "sum")])
+                .rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "volume"]))
+
+    out = (joined.map_batches(finish_batch, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("volume", alias_name="volume")))
+    return (out.map_batches(lambda b: _round_col(b, "volume", 2),
+                            batch_format="pyarrow")
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+SQL_NATION_PAIR_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem, orders, supplier, customer, nation n1, nation n2
+WHERE l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""

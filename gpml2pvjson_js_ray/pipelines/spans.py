@@ -303,3 +303,78 @@ ORDER BY doc_id
 
 
 SQL_DOCUMENTS_SPAN_DEDUP_FILTER = _filter_sql()
+
+
+# Gopher/MassiveText-style keep thresholds (word-count band + repetition
+# caps). One source of truth for the engine and the SQL oracle below.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MAX_DUP_FRAC = 0.6
+_GOPHER_MAX_TOP_FRAC = 0.3
+
+
+def documents_gopher_filter(sf_dir: str):
+    """Gopher-style composite quality gate, map-only: a document is kept
+    iff its word count sits in [min, max] AND its duplicate-word and
+    top-word fractions stay under the caps. Output: one row per doc
+    that produced tokens — (doc_id, keep, n_words, dup_word_frac,
+    top_word_frac). Built on the same per-batch repetition fold as
+    documents_repetition_stats (a doc's tokens are complete in its
+    row ⇒ zero shuffle at any corpus size); the boolean is the same
+    IEEE-double comparison in both engines."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        ex = (pl.from_arrow(b).select(
+            "doc_id",
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("tok").drop_nulls("tok"))
+        wc = ex.group_by("doc_id", "tok").agg(c=pl.len().cast(pl.Int64))
+        agg = (wc.group_by("doc_id").agg(
+            n_words=pl.col("c").sum(),
+            n_distinct=pl.len().cast(pl.Int64),
+            top_c=pl.col("c").max()))
+        agg = agg.with_columns(
+            dup_word_frac=1.0 - pl.col("n_distinct")
+            / (1.0 * pl.col("n_words")),
+            top_word_frac=pl.col("top_c") / (1.0 * pl.col("n_words")))
+        agg = agg.with_columns(
+            keep=(pl.col("n_words") >= _GOPHER_MIN_WORDS)
+            & (pl.col("n_words") <= _GOPHER_MAX_WORDS)
+            & (pl.col("dup_word_frac") <= _GOPHER_MAX_DUP_FRAC)
+            & (pl.col("top_word_frac") <= _GOPHER_MAX_TOP_FRAC))
+        return (agg.select(["doc_id", "keep", "n_words", "dup_word_frac",
+                            "top_word_frac"])
+                .to_arrow().cast(pa.schema([
+                    ("doc_id", pa.int64()), ("keep", pa.bool_()),
+                    ("n_words", pa.int64()),
+                    ("dup_word_frac", pa.float64()),
+                    ("top_word_frac", pa.float64())])))
+
+    return (docs.map_batches(gate, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_GOPHER_FILTER = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-zA-ZÀ-ÿ]+')) AS tok
+  FROM documents
+),
+wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c) AS n_words,
+         1.0 - count(*) / (1.0 * sum(c)) AS dup_word_frac,
+         max(c) / (1.0 * sum(c)) AS top_word_frac
+  FROM wc GROUP BY doc_id)
+SELECT doc_id,
+       (n_words >= 20 AND n_words <= 100000
+        AND dup_word_frac <= 0.6 AND top_word_frac <= 0.3) AS keep,
+       n_words, dup_word_frac, top_word_frac
+FROM agg ORDER BY doc_id
+"""

@@ -182,3 +182,37 @@ def test_profile_table_with_nulls_and_lists(ray_session, tmp_path):
     emb = profile_table(str(d), "embeddings").set_index("column_name")
     assert emb.loc["embedding", "n_distinct"] == 2  # list column dedup
     assert emb.loc["label", "n_distinct"] == 2
+
+
+def test_gopher_filter_planted_cases(ray_session, tmp_path):
+    """Short docs, duplicate-heavy docs and top-word-heavy docs are
+    dropped; ordinary prose passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # letter-only words: the shared token regex drops digits
+    import itertools
+    import string
+    vocab = ["".join(p) for p in
+             itertools.product(string.ascii_lowercase, repeat=2)]
+    ok = " ".join(vocab[:40])                              # diverse, long
+    short = "tiny doc"                                     # < 20 words
+    dupey = " ".join(["spam"] * 30 + ["ham"] * 10)         # dup 0.95
+    toppy = " ".join(["filler"] * 15 + vocab[100:125])     # top 0.375
+    table = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [ok, short, dupey, toppy],
+        "lang": ["en"] * 4,
+        "source": ["t"] * 4,
+        "n_chars": [len(t) for t in [ok, short, dupey, toppy]],
+    })
+    d = tmp_path / "gf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.spans import documents_gopher_filter
+    out = (documents_gopher_filter(str(d)).to_pandas()
+           .set_index("doc_id"))
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "keep"])   # word-count floor
+    assert not bool(out.loc[2, "keep"])   # dup_word_frac cap
+    assert not bool(out.loc[3, "keep"])   # top_word_frac cap
