@@ -881,3 +881,43 @@ def test_incremental_crawl_append_resumes(ray_session, tmp_path):
                            files_per_partition=1)
     assert stats2["triples_deduped"] == full["triples_deduped"]
     assert stats2["entities"] == full["entities"]
+
+
+def test_triples_writer_idempotent_under_retry(ray_session, tmp_path):
+    """A retried checkpoint task (same block, same dir) must not
+    duplicate or corrupt the checkpoint: content-addressed names make
+    the second write overwrite byte-identically; distinct blocks land
+    as distinct files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines.kg import (linked_triples_dataset,
+                                                 pages_path)
+    from gpml2pvjson_js_ray.stages.triples import make_triples_writer
+
+    block = (linked_triples_dataset(
+        rd.read_parquet(sorted(glob.glob(
+            os.path.join(pages_path(120), "*.parquet")))[:1]))
+        .limit(200).to_pandas())
+    import pyarrow as pa
+    tbl = pa.Table.from_pandas(block, preserve_index=False)
+
+    tdir = str(tmp_path / "triples")
+    os.makedirs(tdir)
+    writer = make_triples_writer(tdir)
+    writer(tbl)
+    first = {f: os.path.getsize(f)
+             for f in glob.glob(os.path.join(tdir, "*.parquet"))}
+    assert len(first) == 1
+    writer(tbl)  # the "retry"
+    second = {f: os.path.getsize(f)
+              for f in glob.glob(os.path.join(tdir, "*.parquet"))}
+    assert first == second
+    # a DIFFERENT block gets its own file
+    writer(tbl.slice(0, 100))
+    assert len(glob.glob(os.path.join(tdir, "*.parquet"))) == 2
+    total = sum(pq.read_table(f).num_rows
+                for f in glob.glob(os.path.join(tdir, "*.parquet")))
+    assert total == 300
