@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_gopher_filter":
             _spans_query("documents_gopher_filter"),
         "documents_char_lm_score": textops.documents_char_lm_score,
+        "documents_dsir_weights": textops.documents_dsir_weights,
         "events_profile": _profiler_query("events_profile"),
         "documents_source_divergence":
             _profiler_query("documents_source_divergence"),
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_gopher_filter": spans.SQL_DOCUMENTS_GOPHER_FILTER,
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
+        "documents_dsir_weights": textops.SQL_DOCUMENTS_DSIR_WEIGHTS,
         "events_profile": profiler.SQL_EVENTS_PROFILE,
         "documents_source_divergence":
             profiler.SQL_DOCUMENTS_SOURCE_DIVERGENCE,

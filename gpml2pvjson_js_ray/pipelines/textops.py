@@ -936,3 +936,123 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(sum(lp) / count(*), 6) AS avg_logp
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- DSIR-style importance weights (domain reweighting) ----------------------
+
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def documents_dsir_weights(sf_dir: str,
+                           target_source: str = _DSIR_TARGET_SOURCE):
+    """Data-selection importance weights: per-doc mean log ratio of a
+    TARGET-domain char-bigram model to the corpus model (the DSIR
+    shape — weight data toward a target domain before sampling). Both
+    are JOINT bigram multinomials (DSIR's hashed-ngram feature model),
+    not per-prefix conditionals — conditionals cancel on any domain
+    whose next-char is deterministic given the prefix. One training
+    pass fits BOTH models (per-batch bigram partials carry a corpus
+    count and a target count; one vocabulary-sized exchange); the
+    target model is add-one smoothed over the corpus vocabulary so
+    unseen-in-target bigrams stay finite. Scoring is map-only via the
+    same broadcast searchsorted lookup as documents_char_lm_score.
+    Output: (doc_id, n_bigrams, log_weight); positive ⇒ doc looks more
+    target-like than the corpus average."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read_docs(sf_dir, ["doc_id", "source", "text"])
+
+    def _bigrams_src(b, pl, with_source):
+        cols = ["doc_id", "source"] if with_source else ["doc_id"]
+        ex = (pl.from_arrow(b.select(cols + ["text"])).select(
+            *cols,
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all("[a-zA-ZÀ-ÿ]+"))
+            .explode("tok").drop_nulls("tok")
+            .with_row_index("tid")
+            .with_columns(ch=pl.col("tok").str.extract_all("."))
+            .explode("ch"))
+        return (ex.with_columns(cb=pl.col("ch").shift(-1).over("tid"))
+                .drop_nulls("cb")
+                .select(*cols, ca=pl.col("ch"),
+                        bg=pl.col("ch") + pl.col("cb")))
+
+    def train_partial(b: "pa.Table") -> "pa.Table":
+        pl = polars_capped()
+        out = (_bigrams_src(b, pl, with_source=True)
+               .group_by("bg")
+               .agg(c=pl.len().cast(pl.Int64),
+                    tc=(pl.col("source") == target_source)
+                    .sum().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("bg", pa.string()), ("c", pa.int64()),
+            ("tc", pa.int64())]))
+
+    model = (docs.map_batches(train_partial, batch_format="pyarrow")
+             .groupby("bg")
+             .aggregate(Sum("c", alias_name="c"),
+                        Sum("tc", alias_name="tc"))
+             .to_pandas())
+    c = model["c"].to_numpy(dtype=np.float64)
+    tc = model["tc"].to_numpy(dtype=np.float64)
+    ctot, ttot, vsize = c.sum(), tc.sum(), float(len(model))
+    logw = (np.log((tc + 1.0) / (ttot + vsize))
+            - np.log(c / ctot))
+    order = np.argsort(model["bg"].to_numpy())
+    vocab = model["bg"].to_numpy()[order]
+    logw = logw[order]
+
+    def score(b: "pa.Table") -> "pa.Table":
+        pl = polars_capped()
+        bgf = _bigrams_src(b, pl, with_source=False)
+        idx = np.searchsorted(vocab, bgf["bg"].to_numpy())
+        scored = bgf.with_columns(
+            lw=pl.Series("lw", logw[idx], dtype=pl.Float64))
+        out = (scored.group_by("doc_id").agg(
+            n_bigrams=pl.len().cast(pl.Int64),
+            log_weight=(pl.col("lw").sum()
+                        / pl.len().cast(pl.Float64)).round(6)))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+            ("log_weight", pa.float64())]))
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-zA-ZÀ-ÿ]+')) AS tok
+  FROM documents
+),
+chars AS (SELECT doc_id, source,
+                 regexp_extract_all(tok, '.') AS cs FROM toks),
+bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(cs)), i -> cs[i])) AS ca,
+         unnest(list_transform(range(1, len(cs)),
+                               i -> cs[i] || cs[i+1])) AS b
+  FROM chars WHERE len(cs) >= 2
+),
+model AS (
+  SELECT b, count(*) AS c,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc
+  FROM bg GROUP BY b),
+tot AS (SELECT sum(c) AS ctot, sum(tc) AS ttot, count(*) AS vsize
+        FROM model),
+scored AS (
+  SELECT g.doc_id,
+         ln((m.tc + 1.0) / (t.ttot + t.vsize))
+           - ln((m.c * 1.0) / t.ctot) AS lw
+  FROM bg g JOIN model m USING (b) CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(lw) / count(*), 6) AS log_weight
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

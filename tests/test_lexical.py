@@ -106,3 +106,24 @@ def test_knn_graph_ranks_and_tie_break(ray_session, tmp_path):
         cand = sorted((-(sims[v, j]), j) for j in range(4) if j != v)
         assert by_vec[v]["neighbor_id"].tolist() == \
             [j for _, j in cand[:2]]
+
+
+def test_dsir_weights_prefer_target_domain(ray_session, tmp_path):
+    """Docs that look like the target source score a higher log weight
+    than docs that look like the rest of the corpus."""
+    table = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["zyx zyx zyxzyx", "zyx zyxzyx zyx",   # target domain
+                 "abc abcabc cab", "cab abc abcabc"],  # background
+        "lang": ["en"] * 4,
+        "source": ["src0", "src0", "srcA", "srcB"],
+        "n_chars": [14] * 4,
+    })
+    d = tmp_path / "dsir"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.textops import documents_dsir_weights
+    out = (documents_dsir_weights(str(d)).to_pandas()
+           .set_index("doc_id")["log_weight"])
+    assert min(out[0], out[1]) > max(out[2], out[3])
+    assert out[0] > 0 and out[2] < 0
