@@ -157,8 +157,10 @@ def read_pages_ndjson(path: str):
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.timestamp("us"))
         else:
-            ts = pc.strptime(ts.cast(pa.string()),
-                             format="%Y-%m-%dT%H:%M:%S", unit="us")
+            # Arrow's string→timestamp cast parses ISO-8601 with or
+            # without fractional seconds (strptime %S can't carry %f,
+            # which silently dropped sub-second capture times)
+            ts = ts.cast(pa.string()).cast(pa.timestamp("us"))
         return pa.table({
             "url": b.column("url").cast(pa.string()),
             "warc_ts": ts,
@@ -172,13 +174,18 @@ def read_pages_ndjson(path: str):
 
 
 def _partition_id(part_files: list[str]) -> str:
-    """Content-derived partition id: sha1 over the shard basenames.
-    Index-derived ids (round ≤3 session 5) silently mis-skipped on
-    resume when a NEW shard sorted before existing ones (every index
-    shifts but the manifest matches by id alone) — content ids make an
-    incremental crawl drop resume-safe regardless of sort position.
-    Basenames, not full paths, so a corpus moved between mounts still
-    resumes."""
+    """Input-derived partition id: sha1 over the shard basenames of the
+    file GROUP. Index-derived ids (round ≤3 session 5) silently
+    mis-skipped on resume when a NEW shard sorted before existing ones
+    (every index shifts but the manifest matches by id alone) — group
+    ids make an incremental crawl drop resume-safe at the granularity
+    of the grouping: with files_per_partition=1 (the incremental
+    deployment shape) only the new shard runs; with coarser grouping a
+    new shard reshuffles group membership and invalidated groups rerun
+    (run_kg_pipeline garbage-collects their stale outputs). Basenames,
+    not full paths, so a corpus moved between mounts still resumes; a
+    shard REWRITTEN in place under the same name is not detected —
+    crawl drops are append-only by contract."""
     import hashlib
     key = "|".join(os.path.basename(p) for p in part_files)
     return hashlib.sha1(key.encode()).hexdigest()[:12]
@@ -369,6 +376,23 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     # input branches the streaming executor drains mostly serially. Each
     # partition is ONE execution: the docs checkpoint is written through
     # inside the pipeline (no separate write+re-read execution).
+    live = {_partition_id(pf) for pf in partitions}
+    # garbage-collect partitions invalidated by a regrouping (new shard
+    # with files_per_partition > 1) or a removed shard: their manifest
+    # entries and checkpoint dirs would otherwise accumulate unbounded
+    # and feed stale triples into phase 2 on resumed runs
+    for stale in set(manifest) - live:
+        import shutil as _sh
+        _sh.rmtree(os.path.join(out_dir, "docs", f"part={stale}"),
+                   ignore_errors=True)
+        _sh.rmtree(os.path.join(out_dir, "triples", f"part_id={stale}"),
+                   ignore_errors=True)
+        try:
+            os.remove(os.path.join(out_dir, "_manifest",
+                                   f"partition-{stale}.json"))
+        except OSError:
+            pass
+        manifest.pop(stale, None)
     todo = [(_partition_id(pf), pf) for pf in partitions
             if _partition_id(pf) not in manifest]
     stats["partitions_skipped"] = len(partitions) - len(todo)

@@ -168,15 +168,20 @@ def documents_bpe_pair_stats(sf_dir: str, k: int = 50):
     """Top-k adjacent within-word byte pairs across the corpus — one
     merge-candidate scoring pass of BPE tokenizer training. Per batch:
     texts fold into a single NUL-joined uint8 buffer; pair codes are
-    `256*b[:-1] + b[1:]`, masked to drop pairs touching NUL or ASCII
-    whitespace (word boundaries), counted with one bincount. The
+    `256*b[:-1] + b[1:]`, masked to the printable-ASCII alphabet (NUL /
+    whitespace are word boundaries; non-ASCII bytes are excluded so
+    byte pairs == the oracle's character pairs), one bincount. The
     exchange carries per-block (pair, n) partials (≤ 65536 rows, in
     practice ~|alphabet|²) — constant-size in corpus bytes."""
     docs = _read(sf_dir, "documents", ["text"])
-    # ASCII whitespace + NUL separator: pairs crossing these are not
-    # within-word pairs (mirrors the tokenizers' word-boundary rule).
-    _sep = np.zeros(256, dtype=bool)
-    _sep[[0, 9, 10, 12, 13, 32]] = True
+    # pair alphabet = printable ASCII (0x21-0x7E): whitespace/NUL are the
+    # word-boundary rule, and non-ASCII BYTES are excluded so the byte
+    # pairs counted here are exactly the character pairs the SQL oracle
+    # counts ('à' is 2 UTF-8 bytes — intra-character byte pairs would
+    # diverge from substring() semantics on accented corpora).
+    _keep = np.zeros(256, dtype=bool)
+    _keep[0x21:0x7F] = True
+    _sep = ~_keep
 
     def partial(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
@@ -211,9 +216,7 @@ WITH pos AS (
   FROM documents WHERE text IS NOT NULL),
 p AS (SELECT substring(text, g, 2) AS pair FROM pos)
 SELECT pair, count(*) AS n FROM p
-WHERE NOT contains(pair, ' ') AND NOT contains(pair, chr(9))
-  AND NOT contains(pair, chr(10)) AND NOT contains(pair, chr(12))
-  AND NOT contains(pair, chr(13))
+WHERE regexp_matches(pair, '^[!-~]{2}$')
 GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
 """
 

@@ -721,8 +721,10 @@ def build_ivf_sq8_index(sf_dir: str,
         lists = np.argmax((mat / norms[:, None]) @ centroids.T, axis=1)
         scale = np.abs(mat).max(axis=1) / 127.0
         safe = np.where(scale == 0, 1.0, scale)
-        # shared half-away rule (matches embeddings_sq8_error)
-        code = np.clip(np.floor(mat / safe[:, None] + 0.5),
+        # shared half-AWAY rule (matches embeddings_sq8_error exactly;
+        # plain floor(y+0.5) is half-UP and flips negative .5 boundaries)
+        y = mat / safe[:, None]
+        code = np.clip(np.sign(y) * np.floor(np.abs(y) + 0.5),
                        -127, 127).astype(np.int8)
         dim = mat.shape[1]
         return pa.Table.from_pydict({
@@ -785,3 +787,87 @@ def embeddings_ann_ivf_sq8_top10(sf_dir: str, nprobe: int = 4):
     return (candidates.map_batches(sim, batch_format="pyarrow")
             .sort(["sim", "vec_id"], descending=[True, False])
             .limit(10))
+
+
+# -- batched multi-query exact top-k (broadcast query matrix) ----------------
+
+_BATCH_QUERY_IDS = (0, 1, 2, 3)
+
+
+def embeddings_batch_cosine_topk(sf_dir: str,
+                                 query_ids: tuple[int, ...]
+                                 = _BATCH_QUERY_IDS,
+                                 k: int = 5):
+    """Exact top-k neighbors for a BATCH of query vectors in one corpus
+    pass: the query matrix is fetched driver-side (predicate-pushdown
+    read), broadcast once via ray.put, and every block scores all
+    queries with a single matmul. Per-block partial top-k per query
+    (on the 6-dp-rounded sim with vec_id tiebreak — the same total
+    order the final rank uses, so the partial cut is exact) shrinks the
+    exchange to blocks × |queries| × k rows; one tiny groupby ranks.
+    Output: (query_id, vec_id, rank, sim)."""
+    import ray
+    import pyarrow.dataset as pads
+
+    q_tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(filter=pads.field("vec_id").isin(list(query_ids)),
+                  columns=["vec_id", "embedding"])
+    q_ids, q_mat = _emb_matrix(q_tbl)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    ref = ray.put((q_ids.astype(np.int64), q_mat / qn[:, None]))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        qids, qunit = _ray.get(ref)
+        sims = np.round((mat / norms[:, None]) @ qunit.T, 6)  # n × q
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            keep = ids != qid
+            cand_ids, cand = ids[keep], sims[keep, j]
+            order = np.lexsort((cand_ids, -cand))[:k]
+            out_q.append(np.full(len(order), qid))
+            out_v.append(cand_ids[order])
+            out_s.append(cand[order])
+        return pa.Table.from_pydict({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64())})
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        vids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        sims = g.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, -sims))[:k]
+        return pa.Table.from_pydict({
+            "query_id": g.column("query_id").take(order),
+            "vec_id": pa.array(vids[order], type=pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1),
+                             type=pa.int64()),
+            "sim": pa.array(sims[order], type=pa.float64())})
+
+    return (_read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(rank_group, batch_format="pyarrow")
+            .sort(["query_id", "rank"]))
+
+
+SQL_EMBEDDINGS_BATCH_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3)),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, rank, sim FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""

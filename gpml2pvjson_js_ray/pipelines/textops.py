@@ -978,8 +978,7 @@ def documents_dsir_weights(sf_dir: str,
             .explode("ch"))
         return (ex.with_columns(cb=pl.col("ch").shift(-1).over("tid"))
                 .drop_nulls("cb")
-                .select(*cols, ca=pl.col("ch"),
-                        bg=pl.col("ch") + pl.col("cb")))
+                .select(*cols, bg=pl.col("ch") + pl.col("cb")))
 
     def train_partial(b: "pa.Table") -> "pa.Table":
         pl = polars_capped()
@@ -1035,7 +1034,6 @@ chars AS (SELECT doc_id, source,
                  regexp_extract_all(tok, '.') AS cs FROM toks),
 bg AS (
   SELECT doc_id, source,
-         unnest(list_transform(range(1, len(cs)), i -> cs[i])) AS ca,
          unnest(list_transform(range(1, len(cs)),
                                i -> cs[i] || cs[i+1])) AS b
   FROM chars WHERE len(cs) >= 2

@@ -582,8 +582,10 @@ def pages_to_ndjson(parquet_dir: str, out_dir: str) -> str:
         name = os.path.splitext(os.path.basename(shard))[0] + ".ndjson"
         with open(os.path.join(out_dir, name), "w") as f:
             for row in tbl.to_pylist():
-                row["warc_ts"] = row["warc_ts"].strftime(
-                    "%Y-%m-%dT%H:%M:%S")
+                # full ISO-8601 incl. microseconds — whole-second
+                # strftime silently truncated sub-second captures and
+                # flipped latest_pages_dataset winners across formats
+                row["warc_ts"] = row["warc_ts"].isoformat()
                 row["html"] = row["html"].decode("utf-8")
                 f.write(_json.dumps(row) + "\n")
     return out_dir

@@ -921,3 +921,62 @@ def test_triples_writer_idempotent_under_retry(ray_session, tmp_path):
     total = sum(pq.read_table(f).num_rows
                 for f in glob.glob(os.path.join(tdir, "*.parquet")))
     assert total == 300
+
+
+def test_ndjson_fractional_timestamp_roundtrip(ray_session, tmp_path):
+    """Sub-second warc_ts must survive the ndjson round trip exactly
+    (whole-second serialization flipped recrawl-collapse winners)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.kg import read_pages_ndjson
+    from gpml2pvjson_js_ray.sources.pages import pages_to_ndjson
+
+    t0 = 1_600_000_000_000_000 + 500_000  # .5s
+    tbl = pa.table({
+        "url": ["http://a/1"],
+        "warc_ts": pa.array([t0], type=pa.timestamp("us")),
+        "html": [b"<x/>"],
+        "text": ["t"], "lang": ["en"],
+    })
+    src = tmp_path / "p"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "pages-0.parquet"))
+    nd = pages_to_ndjson(str(src), str(tmp_path / "nd"))
+    out = read_pages_ndjson(nd).to_pandas()
+    assert int(out["warc_ts"].astype("int64").iloc[0]) == t0
+
+
+def test_regrouped_partitions_gc_stale_outputs(ray_session, tmp_path):
+    """files_per_partition=2 + a new first-sorting shard reshuffles the
+    groups: invalidated groups rerun, their stale checkpoint dirs and
+    manifest entries are garbage-collected, and totals match a fresh
+    full run."""
+    import glob
+    import shutil
+
+    from gpml2pvjson_js_ray.pipelines.kg import run_kg_pipeline
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+
+    src = str(tmp_path / "gen")
+    write_pages_parquet(src, 96, rows_per_file=32)  # 3 shards
+    shards = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    crawl = str(tmp_path / "crawl")
+    os.makedirs(crawl)
+    for s in shards[:2]:
+        shutil.copy(s, crawl)
+    out = str(tmp_path / "kg")
+    run_kg_pipeline(crawl, out, files_per_partition=2)  # one group (a,b)
+
+    shutil.copy(shards[2], os.path.join(crawl, "a-new.parquet"))
+    stats2 = run_kg_pipeline(crawl, out, files_per_partition=2)
+    # groups now (new,a) + (b): old (a,b) id is stale → nothing skips
+    assert stats2["partitions_total"] == 2
+    assert stats2["partitions_skipped"] == 0
+    # stale dirs + manifest entries are gone: exactly 2 of each remain
+    assert len(os.listdir(os.path.join(out, "docs"))) == 2
+    assert len(glob.glob(os.path.join(out, "_manifest", "*.json"))) == 2
+    full = run_kg_pipeline(crawl, str(tmp_path / "kg_full"),
+                           files_per_partition=2)
+    assert stats2["triples_deduped"] == full["triples_deduped"]
+    assert stats2["entities"] == full["entities"]
