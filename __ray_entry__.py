@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_dedup_survivors":
             _graph_query("documents_dedup_survivors"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
+        "lineitem_cube": _rollup_query("lineitem_cube"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
         "customers_above_nation_avg":
             _rollup_query("customers_above_nation_avg"),
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_dedup_survivors":
             graph.SQL_DOCUMENTS_DEDUP_SURVIVORS,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
+        "lineitem_cube": rollup.SQL_LINEITEM_CUBE,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,
         "customers_above_nation_avg":
             rollup.SQL_CUSTOMERS_ABOVE_NATION_AVG,

@@ -221,3 +221,72 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > avgs.nation_avg
 ORDER BY c_custkey
 """
+
+
+def lineitem_cube(sf_dir: str):
+    """Revenue by CUBE(l_returnflag, l_linestatus): all four grouping
+    sets — finest, per-flag, per-status, grand total — with the 'ALL'
+    sentinel in collapsed dimensions. Same scale shape as the ROLLUP:
+    ONE distributed finest-level groupby (per-batch partial combine);
+    every coarser grouping set is pure Arrow arithmetic on the tiny
+    reduced result, never a second pass over lineitem."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice",
+                "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "l_linestatus": b.column("l_linestatus"),
+                      "sum_revenue": rev})
+        return (pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"])
+                .aggregate([("sum_revenue", "sum")])
+                .rename_columns(["l_returnflag", "l_linestatus",
+                                 "sum_revenue"]))
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_revenue", alias_name="sum_revenue")))
+
+    def add_cube_levels(b: pa.Table) -> pa.Table:
+        def collapse(keep: str, drop: str) -> pa.Table:
+            g = (pa.TableGroupBy(b, keep)
+                 .aggregate([("sum_revenue", "sum")])
+                 .rename_columns([keep, "sum_revenue"]))
+            cols = {keep: g.column(keep),
+                    drop: pa.array(["ALL"] * len(g), pa.string()),
+                    "sum_revenue": g.column("sum_revenue")}
+            return pa.table({n: cols[n] for n in
+                             ("l_returnflag", "l_linestatus",
+                              "sum_revenue")})
+
+        total = pc.sum(b.column("sum_revenue"))
+        grand = pa.table({
+            "l_returnflag": pa.array(["ALL"], pa.string()),
+            "l_linestatus": pa.array(["ALL"], pa.string()),
+            "sum_revenue": pa.array([total.as_py()], pa.float64())})
+        out = pa.concat_tables([
+            b.cast(grand.schema),
+            collapse("l_returnflag", "l_linestatus").cast(grand.schema),
+            collapse("l_linestatus", "l_returnflag").cast(grand.schema),
+            grand])
+        return _round_col(out, "sum_revenue", 2)
+
+    return (fine.repartition(1)
+            .map_batches(add_cube_levels, batch_format="pyarrow",
+                         batch_size=None)
+            .sort(["l_returnflag", "l_linestatus"]))
+
+
+SQL_LINEITEM_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
