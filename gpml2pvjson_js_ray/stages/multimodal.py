@@ -1,10 +1,15 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-Real Ray-side plumbing (schema, actor signature, batch sizing, output
-layout); the decode kernels themselves are STUBBED because this container
-ships no image/audio libraries — they either raise NotImplementedError
-(strict mode) or apply a deterministic fake decode (default), clearly
-marked. Swap `_decode_image_stub` for a PIL/cv2 call in production.
+Decode paths, in priority order per payload:
+- PIL/cv2 when importable (capability check once per actor) — the
+  production path for compressed formats (PNG/JPEG/...); labeled "pil".
+- A REAL pure-numpy PPM (P6) codec that needs no external library —
+  decode, featurize, resize, and (for video-as-concatenated-frames)
+  frame splitting all genuinely run in this container; labeled "ppm" /
+  "ppm-seq". The synthetic media corpus emits PPM payloads so the whole
+  pipeline exercises real decode end-to-end in CI.
+- A clearly-labeled deterministic stub for bytes neither path can
+  decode (labeled "stub"; strict=True raises instead).
 
 Batch-size note: multi-MB binary payloads need SMALL batches so
 batch × concurrency fits worker heaps (ray_guide memory-aware point);
@@ -62,6 +67,59 @@ def _load_real_decoder():
         return None
 
 
+import re
+
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _ppm_encode(arr: np.ndarray) -> bytes:
+    """uint8 H×W×3 → binary PPM (P6) bytes. Pure numpy/stdlib."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _ppm_decode(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) → uint8 H×W×3, or None when not (valid) PPM.
+    Pure numpy — a REAL decoder with no library dependency."""
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        return None
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    body = payload[m.end():m.end() + w * h * 3]
+    if len(body) != w * h * 3:
+        return None
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _ppm_frame_length(payload: bytes, offset: int) -> int | None:
+    """Length (header + body) of the P6 frame starting at offset, or
+    None — lets a concatenated-frames video container be split without
+    decoding every pixel."""
+    m = _PPM_HEADER.match(payload[offset:offset + 64])
+    if not m:
+        return None
+    w, h, _ = (int(g) for g in m.groups())
+    return m.end() + w * h * 3
+
+
+def _nearest_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via two index takes — vectorized numpy."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[yi][:, xi]
+
+
+def _ppm_feature(arr: np.ndarray) -> np.ndarray:
+    """Same feature recipe as the PIL path: grayscale, resize to
+    FEATURE_DIM×FEATURE_DIM, column-mean luminance profile in [0, 1]."""
+    gray = arr.astype(np.float32).mean(axis=2)
+    small = _nearest_resize(gray, FEATURE_DIM, FEATURE_DIM)
+    return small.mean(axis=0) / 255.0
+
+
 def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
     """STUB decode (no imaging library in this container). Deterministic
     fake: a FEATURE_DIM histogram of payload bytes."""
@@ -103,7 +161,11 @@ class MediaFeatureExtractor:
             except Exception:
                 if self.strict:
                     raise
-                # non-image bytes (or corrupt payload) → labeled stub
+                # fall through to the PPM / stub paths
+        if kind == "image":
+            arr = _ppm_decode(payload)
+            if arr is not None:
+                return _ppm_feature(arr), "ppm"  # REAL, library-free
         return _decode_image_stub(payload, False), "stub"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -129,13 +191,29 @@ class MediaFeatureExtractor:
 
 
 def synth_media_dataset(n_rows: int = 64, seed: int = 11):
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic media table for tests/benchmarks. Image payloads
+    are REAL binary PPMs (gradient + seeded noise) and video payloads
+    are concatenated PPM frames, so the decode/resize/frame-sample
+    stages exercise their real kernels in this container; audio stays
+    opaque bytes (→ the labeled stub path)."""
     import ray.data as rd
     rng = np.random.RandomState(seed)
+
+    def frame(w, h, phase):
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :, None]
+        noise = rng.randint(0, 40, size=(h, w, 3)).astype(np.float32)
+        return np.clip(x + noise + phase, 0, 255).astype(np.uint8)
+
     rows = []
     for i in range(n_rows):
         kind = ["image", "audio", "video"][i % 3]
-        payload = zlib.compress(rng.bytes(1024 + 64 * i))
+        if kind == "image":
+            payload = _ppm_encode(frame(64, 64, i))
+        elif kind == "video":
+            payload = b"".join(_ppm_encode(frame(32, 32, 8 * j + i))
+                               for j in range(8))
+        else:
+            payload = zlib.compress(rng.bytes(1024 + 64 * i))
         rows.append({
             "media_id": f"m{i:05d}",
             "url": f"https://pages.synthetic.test/media/{i}",
@@ -206,6 +284,12 @@ class MediaResizer:
             except Exception:
                 if self.strict:
                     raise
+        if kind == "image":
+            arr = _ppm_decode(payload)
+            if arr is not None:
+                # REAL library-free resize: nearest-neighbor + re-encode
+                return _ppm_encode(_nearest_resize(
+                    arr, self.target, self.target)), "ppm"
         # STUB: deterministic size-normalized payload (hash-keyed repeat)
         n = self.target * self.target // 64
         rep = hashlib.sha256(payload).digest()
@@ -228,16 +312,29 @@ class MediaResizer:
 
 
 class FrameSampler:
-    """Actor-pool stage: sample N frames per video payload (flat_map shape:
-    one input row → N frame rows). Video decoding needs codecs absent from
-    this container, so frame extraction is a clearly-labeled deterministic
-    stub (byte-range slices standing in for decoded frames); the Ray-side
-    plumbing — 1→N row fan-out, per-frame timestamps, binary frame
-    payloads, small batches — is real and tested."""
+    """Actor-pool stage: sample N frames per video payload (flat_map
+    shape: one input row → N frame rows). Videos packed as concatenated
+    PPM frames (the synthetic container format) are GENUINELY split —
+    each emitted frame is a standalone decodable P6 image, sampled
+    evenly across the stream (labeled "ppm-seq"). Compressed codecs are
+    absent from this container, so any other byte stream falls back to
+    the clearly-labeled deterministic stub (byte-range slices); the
+    Ray-side plumbing — 1→N fan-out, per-frame timestamps, binary frame
+    payloads, small batches — is identical on both paths."""
 
     def __init__(self, n_frames: int = 4, fps: float = 1.0):
         self.n_frames = n_frames
         self.frame_interval_ms = int(1000 / fps)
+
+    def _split_ppm_seq(self, payload: bytes) -> list[bytes] | None:
+        frames, off = [], 0
+        while off < len(payload):
+            ln = _ppm_frame_length(payload, off)
+            if ln is None or off + ln > len(payload):
+                return None
+            frames.append(payload[off:off + ln])
+            off += ln
+        return frames or None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name in FRAMES_SCHEMA.names}
@@ -248,13 +345,23 @@ class FrameSampler:
             if kind != "video":
                 continue
             payload = payload or b""
-            step = max(1, len(payload) // self.n_frames)
-            for i in range(self.n_frames):
+            frames = self._split_ppm_seq(payload)
+            if frames is not None:
+                # even temporal sampling over the real frame list
+                n = min(self.n_frames, len(frames))
+                picks = [frames[j * len(frames) // n] for j in range(n)]
+                used = "ppm-seq"
+            else:
+                step = max(1, len(payload) // self.n_frames)
+                picks = [payload[i * step:(i + 1) * step]
+                         for i in range(self.n_frames)]
+                used = "stub"
+            for i, fr in enumerate(picks):
                 out["media_id"].append(mid)
                 out["frame_index"].append(i)
                 out["frame_ts_ms"].append(i * self.frame_interval_ms)
-                out["frame"].append(payload[i * step:(i + 1) * step])
-                out["decoder"].append("stub")
+                out["frame"].append(fr)
+                out["decoder"].append(used)
         return pa.Table.from_pydict(out, schema=FRAMES_SCHEMA)
 
 

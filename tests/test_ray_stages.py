@@ -147,9 +147,11 @@ def test_media_features_plumbing(ray_session):
     assert len(df) == 32
     assert df["feature"].map(len).eq(FEATURE_DIM).all()
     assert df["content_sha256"].str.len().eq(64).all()
-    # decoder column reflects the capability check (this container ships
-    # no imaging libs → stub; with PIL installed, image rows say "pil")
-    assert set(df["decoder"]) <= {"pil", "stub"}
+    # image payloads are PPM → the REAL library-free decoder runs in
+    # this container ("pil" when an imaging lib exists); audio/video
+    # bytes take the labeled stub path in the featurizer
+    assert set(df.loc[df["kind"] == "image", "decoder"]) <= {"ppm", "pil"}
+    assert set(df.loc[df["kind"] != "image", "decoder"]) == {"stub"}
 
 
 def test_minhash_finds_near_duplicates(ray_session, tmp_path):
@@ -267,7 +269,15 @@ def test_media_resize_plumbing(ray_session):
     assert len(df) == 24
     assert (df["width"] == 128).all() and (df["height"] == 128).all()
     assert df["payload"].map(len).gt(0).all()
-    assert set(df["decoder"]) <= {"pil", "stub"}
+    # image rows really resize (PPM in, PPM out at target dims)
+    from gpml2pvjson_js_ray.stages.multimodal import _ppm_decode
+    imgs = df[df["kind"] == "image"]
+    assert set(imgs["decoder"]) <= {"ppm", "pil"}
+    if (imgs["decoder"] == "ppm").any():
+        arr = _ppm_decode(imgs[imgs["decoder"] == "ppm"]
+                          ["payload"].iloc[0])
+        assert arr is not None and arr.shape == (128, 128, 3)
+    assert set(df.loc[df["kind"] != "image", "decoder"]) == {"stub"}
 
 
 def test_media_frame_sampling_plumbing(ray_session):
@@ -278,6 +288,11 @@ def test_media_frame_sampling_plumbing(ray_session):
     assert set(df["frame_index"]) == {0, 1, 2, 3}
     assert (df.groupby("media_id")["frame_ts_ms"].max() == 3000).all()
     assert df["frame"].map(len).gt(0).all()
+    # videos are concatenated PPMs → frames are REAL standalone images
+    from gpml2pvjson_js_ray.stages.multimodal import _ppm_decode
+    assert set(df["decoder"]) == {"ppm-seq"}
+    arr = _ppm_decode(df["frame"].iloc[0])
+    assert arr is not None and arr.shape == (32, 32, 3)
 
 
 def test_linker_memo_cap_does_not_drop_batch_keys():
@@ -980,3 +995,24 @@ def test_regrouped_partitions_gc_stale_outputs(ray_session, tmp_path):
                            files_per_partition=2)
     assert stats2["triples_deduped"] == full["triples_deduped"]
     assert stats2["entities"] == full["entities"]
+
+
+def test_ppm_codec_roundtrip_and_rejects():
+    """Pure-numpy PPM codec: exact round trip; malformed inputs decode
+    to None (never crash the actor)."""
+    import numpy as np
+
+    from gpml2pvjson_js_ray.stages.multimodal import (_nearest_resize,
+                                                      _ppm_decode,
+                                                      _ppm_encode)
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    out = _ppm_decode(_ppm_encode(arr))
+    assert out is not None and (out == arr).all()
+    for bad in (b"", b"P6", b"P6\n4 4\n255\nshort", b"P5\n2 2\n255\n" +
+                b"\x00" * 12, b"P6\n2 2\n65535\n" + b"\x00" * 12):
+        assert _ppm_decode(bad) is None
+    small = _nearest_resize(arr, 8, 5)
+    assert small.shape == (5, 8, 3)
+    assert set(np.unique(small)) <= set(np.unique(arr))
