@@ -19,7 +19,7 @@ default batch_size=32 here vs thousands for text stages.
 from __future__ import annotations
 
 import hashlib
-import zlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -66,8 +66,6 @@ def _load_real_decoder():
     except ImportError:
         return None
 
-
-import re
 
 _PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
 
@@ -120,6 +118,53 @@ def _ppm_feature(arr: np.ndarray) -> np.ndarray:
     return small.mean(axis=0) / 255.0
 
 
+def _wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE bytes. stdlib `wave` + numpy — real."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """RIFF/WAVE PCM → (float32 mono samples in [-1, 1], sample_rate),
+    or None when not decodable WAV. stdlib `wave` + numpy — a REAL
+    audio decoder with no external dependency."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnframes() == 0:
+                return None
+            raw = w.readframes(w.getnframes())
+            rate = w.getframerate()
+            ch = w.getnchannels()
+    except (wave.Error, EOFError):
+        return None
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return samples / 32768.0, rate
+
+
+def _wav_feature(samples: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM per-window RMS energy profile — the audio analogue
+    of the image column-luminance feature."""
+    n = len(samples)
+    edges = (np.arange(FEATURE_DIM + 1) * n // FEATURE_DIM).clip(0, n)
+    sq = np.concatenate(([0.0], np.cumsum(samples.astype(np.float64) ** 2)))
+    widths = np.maximum(1, edges[1:] - edges[:-1])
+    return np.sqrt((sq[edges[1:]] - sq[edges[:-1]]) / widths) \
+        .astype(np.float32)
+
+
 def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
     """STUB decode (no imaging library in this container). Deterministic
     fake: a FEATURE_DIM histogram of payload bytes."""
@@ -166,6 +211,10 @@ class MediaFeatureExtractor:
             arr = _ppm_decode(payload)
             if arr is not None:
                 return _ppm_feature(arr), "ppm"  # REAL, library-free
+        if kind == "audio":
+            dec = _wav_decode(payload)
+            if dec is not None:
+                return _wav_feature(dec[0]), "wav"  # REAL, stdlib-only
         return _decode_image_stub(payload, False), "stub"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -213,7 +262,11 @@ def synth_media_dataset(n_rows: int = 64, seed: int = 11):
             payload = b"".join(_ppm_encode(frame(32, 32, 8 * j + i))
                                for j in range(8))
         else:
-            payload = zlib.compress(rng.bytes(1024 + 64 * i))
+            t = np.arange(4000, dtype=np.float64) / 16000.0
+            tone = np.sin(2 * np.pi * (200 + 10 * i) * t)
+            noise = rng.normal(scale=0.05, size=t.shape)
+            payload = _wav_encode(
+                ((tone + noise) * 12000).clip(-32768, 32767))
         rows.append({
             "media_id": f"m{i:05d}",
             "url": f"https://pages.synthetic.test/media/{i}",

@@ -147,11 +147,12 @@ def test_media_features_plumbing(ray_session):
     assert len(df) == 32
     assert df["feature"].map(len).eq(FEATURE_DIM).all()
     assert df["content_sha256"].str.len().eq(64).all()
-    # image payloads are PPM → the REAL library-free decoder runs in
-    # this container ("pil" when an imaging lib exists); audio/video
-    # bytes take the labeled stub path in the featurizer
+    # REAL decoders run in this container: PPM images ("pil" when an
+    # imaging lib exists) and WAV audio; video bytes take the labeled
+    # stub path in the FEATURIZER (FrameSampler splits them for real)
     assert set(df.loc[df["kind"] == "image", "decoder"]) <= {"ppm", "pil"}
-    assert set(df.loc[df["kind"] != "image", "decoder"]) == {"stub"}
+    assert set(df.loc[df["kind"] == "audio", "decoder"]) == {"wav"}
+    assert set(df.loc[df["kind"] == "video", "decoder"]) == {"stub"}
 
 
 def test_minhash_finds_near_duplicates(ray_session, tmp_path):
@@ -1016,3 +1017,27 @@ def test_ppm_codec_roundtrip_and_rejects():
     small = _nearest_resize(arr, 8, 5)
     assert small.shape == (5, 8, 3)
     assert set(np.unique(small)) <= set(np.unique(arr))
+
+
+def test_wav_codec_roundtrip_and_rejects():
+    """stdlib-wave audio codec: int16 round trip; malformed bytes
+    decode to None; band-energy feature reflects signal amplitude."""
+    import numpy as np
+
+    from gpml2pvjson_js_ray.stages.multimodal import (FEATURE_DIM,
+                                                      _wav_decode,
+                                                      _wav_encode,
+                                                      _wav_feature)
+
+    samples = (np.sin(np.linspace(0, 40, 2000)) * 10000).astype(np.int16)
+    dec = _wav_decode(_wav_encode(samples, 8000))
+    assert dec is not None
+    got, rate = dec
+    assert rate == 8000 and len(got) == 2000
+    assert np.allclose(got * 32768.0, samples, atol=1.0)
+    for bad in (b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 64):
+        assert _wav_decode(bad) is None
+    feat = _wav_feature(got)
+    assert feat.shape == (FEATURE_DIM,)
+    loud = _wav_feature(got * 2)
+    assert (loud >= feat).all() and loud.sum() > feat.sum()
