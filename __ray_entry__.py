@@ -332,6 +332,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_frames"]).media_frames(64),
+        "media_audio_resample": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_audio_resample"]).media_audio_resample(64),
+        "media_frame_features": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_frame_features"]).media_frame_features(64),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_pages_latest": _kg_pages_latest,

@@ -432,3 +432,101 @@ def media_frames(n_rows: int = 64, n_frames: int = 4):
                           fn_constructor_kwargs={"n_frames": n_frames},
                           batch_format="pyarrow", batch_size=32,
                           concurrency=2, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# audio resample + frame featurize (composed real-kernel stages)
+# ---------------------------------------------------------------------------
+
+RESAMPLED_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload", pa.large_binary()),   # resampled WAV bytes
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("decoder", pa.string()),
+])
+
+
+class AudioResampler:
+    """Actor-pool stage: resample WAV audio to a target rate by linear
+    interpolation (numpy + stdlib wave — REAL, library-free). The
+    training-data preprocessing step that normalizes heterogeneous
+    crawl audio to one model rate. Non-WAV bytes pass through with a
+    labeled stub payload."""
+
+    def __init__(self, target_rate: int = 8000, strict: bool = False):
+        self.target_rate = target_rate
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in RESAMPLED_SCHEMA.names}
+        for mid, kind, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "audio":
+                continue
+            payload = payload or b""
+            dec = _wav_decode(payload)
+            if dec is not None:
+                samples, rate = dec
+                n_out = max(1, int(round(len(samples)
+                                         * self.target_rate / rate)))
+                xp = np.arange(len(samples), dtype=np.float64)
+                xq = np.linspace(0, len(samples) - 1, n_out)
+                res = np.interp(xq, xp, samples)
+                wav = _wav_encode(
+                    np.clip(res * 32768.0, -32768, 32767),
+                    self.target_rate)
+                out["payload"].append(wav)
+                out["n_samples"].append(n_out)
+                out["decoder"].append("wav")
+            else:
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio needs a codec library")
+                out["payload"].append(payload)
+                out["n_samples"].append(-1)
+                out["decoder"].append("stub")
+            out["media_id"].append(mid)
+            out["sample_rate"].append(self.target_rate)
+        return pa.Table.from_pydict(out, schema=RESAMPLED_SCHEMA)
+
+
+def media_audio_resample(n_rows: int = 64, target_rate: int = 8000):
+    ds = synth_media_dataset(n_rows)
+    return ds.map_batches(AudioResampler,
+                          fn_constructor_kwargs={
+                              "target_rate": target_rate},
+                          batch_format="pyarrow", batch_size=32,
+                          concurrency=2, num_cpus=1)
+
+
+def media_frame_features(n_rows: int = 64, n_frames: int = 4):
+    """Composed two-stage media pipeline: sample frames from each video
+    (real PPM-sequence split), then featurize every frame as an image
+    (real PPM decode) — the video-understanding preprocessing shape
+    (frame sampling → per-frame vision features), both stages actor
+    pools over small binary batches."""
+    frames = media_frames(n_rows, n_frames)
+
+    def as_media(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = [f"{m}#f{i}" for m, i in zip(
+            b.column("media_id").to_pylist(),
+            b.column("frame_index").to_pylist())]
+        return pa.Table.from_pydict({
+            "media_id": ids,
+            "url": [""] * n,
+            "kind": ["image"] * n,
+            "payload": b.column("frame"),
+            "width": pa.array([-1] * n, type=pa.int32()),
+            "height": pa.array([-1] * n, type=pa.int32()),
+            "sample_rate": pa.array([-1] * n, type=pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+
+    return frames.map_batches(as_media, batch_format="pyarrow") \
+        .map_batches(MediaFeatureExtractor,
+                     fn_constructor_kwargs={"strict": False},
+                     batch_format="pyarrow", batch_size=32,
+                     concurrency=2, num_cpus=1)

@@ -1041,3 +1041,40 @@ def test_wav_codec_roundtrip_and_rejects():
     assert feat.shape == (FEATURE_DIM,)
     loud = _wav_feature(got * 2)
     assert (loud >= feat).all() and loud.sum() > feat.sum()
+
+
+def test_media_audio_resample_real(ray_session):
+    """Audio resample: output is decodable WAV at the target rate with
+    the proportionally-scaled sample count; the sine content survives
+    (band energies stay close to the original profile)."""
+    import numpy as np
+
+    from gpml2pvjson_js_ray.stages.multimodal import (_wav_decode,
+                                                      _wav_feature,
+                                                      media_audio_resample)
+    df = media_audio_resample(24, target_rate=8000).to_pandas()
+    assert len(df) == 24 // 3              # the audio third
+    assert set(df["decoder"]) == {"wav"}
+    assert (df["sample_rate"] == 8000).all()
+    dec = _wav_decode(df["payload"].iloc[0])
+    assert dec is not None
+    samples, rate = dec
+    assert rate == 8000
+    # 4000 samples @16k → ~2000 @8k
+    assert abs(len(samples) - 2000) <= 2
+    assert int(df["n_samples"].iloc[0]) == len(samples)
+    # energy profile preserved within resampling tolerance
+    feat = _wav_feature(samples)
+    assert feat.mean() > 0.1
+
+
+def test_media_frame_features_composed(ray_session):
+    """Frames → image featurizer composition: every sampled frame
+    yields a real-decoded ('ppm') feature vector."""
+    from gpml2pvjson_js_ray.stages.multimodal import (FEATURE_DIM,
+                                                      media_frame_features)
+    df = media_frame_features(24, n_frames=4).to_pandas()
+    assert len(df) == (24 // 3) * 4
+    assert set(df["decoder"]) == {"ppm"}
+    assert df["feature"].map(len).eq(FEATURE_DIM).all()
+    assert df["media_id"].str.contains("#f").all()
