@@ -32,15 +32,14 @@ import pyarrow.compute as pc
 from .relational import _broadcast_kv, _make_attach, _read, _round_col
 
 
-# -- ROLLUP(l_returnflag, l_linestatus) revenue -----------------------------
+# -- ROLLUP / CUBE over (l_returnflag, l_linestatus) revenue ----------------
 
-def lineitem_rollup(sf_dir: str):
-    """Revenue by ROLLUP(l_returnflag, l_linestatus): finest level plus
-    per-flag subtotals plus grand total, NULL-filled like SQL ROLLUP.
-
-    Scale shape: one distributed Sum groupby at the finest granularity
-    (partial-combined inside each batch first); subtotal levels are
-    pure Arrow arithmetic on the ≤ dozens-row reduced result."""
+def _revenue_fine(sf_dir: str):
+    """Shared finest-granularity revenue aggregate for ROLLUP and CUBE:
+    per-batch partial combine, then ONE distributed Sum groupby over
+    (l_returnflag, l_linestatus). Every coarser grouping set in either
+    query is derived from this tiny result, never a second lineitem
+    pass."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
@@ -58,9 +57,18 @@ def lineitem_rollup(sf_dir: str):
                 .rename_columns(["l_returnflag", "l_linestatus",
                                  "sum_revenue"]))
 
-    fine = (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
             .aggregate(Sum("sum_revenue", alias_name="sum_revenue")))
+
+
+def lineitem_rollup(sf_dir: str):
+    """Revenue by ROLLUP(l_returnflag, l_linestatus): finest level plus
+    per-flag subtotals plus grand total, NULL-filled like SQL ROLLUP.
+
+    Scale shape: see _revenue_fine — subtotal levels are pure Arrow
+    arithmetic on the ≤ dozens-row reduced result."""
+    fine = _revenue_fine(sf_dir)
 
     def add_rollup_levels(b: pa.Table) -> pa.Table:
         # b is the full (tiny) finest-level table: derive the coarser
@@ -227,30 +235,10 @@ def lineitem_cube(sf_dir: str):
     """Revenue by CUBE(l_returnflag, l_linestatus): all four grouping
     sets — finest, per-flag, per-status, grand total — with the 'ALL'
     sentinel in collapsed dimensions. Same scale shape as the ROLLUP:
-    ONE distributed finest-level groupby (per-batch partial combine);
-    every coarser grouping set is pure Arrow arithmetic on the tiny
-    reduced result, never a second pass over lineitem."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "lineitem",
-               ["l_returnflag", "l_linestatus", "l_extendedprice",
-                "l_discount"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(b.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0),
-                                      b.column("l_discount")))
-        t = pa.table({"l_returnflag": b.column("l_returnflag"),
-                      "l_linestatus": b.column("l_linestatus"),
-                      "sum_revenue": rev})
-        return (pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"])
-                .aggregate([("sum_revenue", "sum")])
-                .rename_columns(["l_returnflag", "l_linestatus",
-                                 "sum_revenue"]))
-
-    fine = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("sum_revenue", alias_name="sum_revenue")))
+    ONE distributed finest-level groupby (shared _revenue_fine); every
+    coarser grouping set is pure Arrow arithmetic on the tiny reduced
+    result, never a second pass over lineitem."""
+    fine = _revenue_fine(sf_dir)
 
     def add_cube_levels(b: pa.Table) -> pa.Table:
         def collapse(keep: str, drop: str) -> pa.Table:

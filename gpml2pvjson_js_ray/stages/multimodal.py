@@ -40,7 +40,7 @@ FEATURES_SCHEMA = pa.schema([
     ("n_bytes", pa.int64()),
     ("content_sha256", pa.string()),
     ("feature", pa.list_(pa.float32())),   # fixed-dim feature vector
-    ("decoder", pa.string()),              # pil | stub (capability-gated)
+    ("decoder", pa.string()),     # pil | ppm | wav | stub (capability-gated)
 ])
 
 FEATURE_DIM = 64
@@ -98,7 +98,11 @@ def _ppm_frame_length(payload: bytes, offset: int) -> int | None:
     m = _PPM_HEADER.match(payload[offset:offset + 64])
     if not m:
         return None
-    w, h, _ = (int(g) for g in m.groups())
+    w, h, maxval = (int(g) for g in m.groups())
+    # same validity rules as _ppm_decode, so every frame this splitter
+    # accepts is genuinely decodable downstream
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
     return m.end() + w * h * 3
 
 
@@ -146,11 +150,13 @@ def _wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
             raw = w.readframes(w.getnframes())
             rate = w.getframerate()
             ch = w.getnchannels()
-    except (wave.Error, EOFError):
+        # a truncated data chunk yields a non-frame-aligned buffer;
+        # frombuffer/reshape then raise ValueError — treat as not-WAV
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+        if ch > 1:
+            samples = samples.reshape(-1, ch).mean(axis=1)
+    except (wave.Error, EOFError, ValueError):
         return None
-    samples = np.frombuffer(raw, dtype="<i2").astype(np.float32)
-    if ch > 1:
-        samples = samples.reshape(-1, ch).mean(axis=1)
     return samples / 32768.0, rate
 
 
@@ -215,7 +221,9 @@ class MediaFeatureExtractor:
             dec = _wav_decode(payload)
             if dec is not None:
                 return _wav_feature(dec[0]), "wav"  # REAL, stdlib-only
-        return _decode_image_stub(payload, False), "stub"
+        # strict must raise here too (undecodable audio / any video),
+        # matching AudioResampler's strict semantics
+        return _decode_image_stub(payload, self.strict), "stub"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         media_ids = batch.column("media_id").to_pylist()
@@ -241,10 +249,10 @@ class MediaFeatureExtractor:
 
 def synth_media_dataset(n_rows: int = 64, seed: int = 11):
     """Deterministic media table for tests/benchmarks. Image payloads
-    are REAL binary PPMs (gradient + seeded noise) and video payloads
-    are concatenated PPM frames, so the decode/resize/frame-sample
-    stages exercise their real kernels in this container; audio stays
-    opaque bytes (→ the labeled stub path)."""
+    are REAL binary PPMs (gradient + seeded noise), video payloads are
+    concatenated PPM frames, and audio payloads are REAL RIFF/PCM WAV
+    (seeded tone + noise), so the decode/resize/frame-sample/resample
+    stages all exercise their real kernels in this container."""
     import ray.data as rd
     rng = np.random.RandomState(seed)
 
@@ -480,16 +488,19 @@ class AudioResampler:
                     self.target_rate)
                 out["payload"].append(wav)
                 out["n_samples"].append(n_out)
+                out["sample_rate"].append(self.target_rate)
                 out["decoder"].append("wav")
             else:
                 if self.strict:
                     raise NotImplementedError(
                         "non-WAV audio needs a codec library")
+                # passed through UN-resampled: report the rate as
+                # unknown (-1, matching n_samples), not target_rate
                 out["payload"].append(payload)
                 out["n_samples"].append(-1)
+                out["sample_rate"].append(-1)
                 out["decoder"].append("stub")
             out["media_id"].append(mid)
-            out["sample_rate"].append(self.target_rate)
         return pa.Table.from_pydict(out, schema=RESAMPLED_SCHEMA)
 
 

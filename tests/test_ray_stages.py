@@ -1014,6 +1014,12 @@ def test_ppm_codec_roundtrip_and_rejects():
     for bad in (b"", b"P6", b"P6\n4 4\n255\nshort", b"P5\n2 2\n255\n" +
                 b"\x00" * 12, b"P6\n2 2\n65535\n" + b"\x00" * 12):
         assert _ppm_decode(bad) is None
+    # the frame splitter applies the same validity rules, so every
+    # frame it accepts is decodable downstream
+    from gpml2pvjson_js_ray.stages.multimodal import _ppm_frame_length
+    assert _ppm_frame_length(_ppm_encode(arr), 0) == len(_ppm_encode(arr))
+    for bad in (b"P6\n2 2\n1\n" + b"\x00" * 12, b"P6\n0 0\n255\n"):
+        assert _ppm_frame_length(bad, 0) is None
     small = _nearest_resize(arr, 8, 5)
     assert small.shape == (5, 8, 3)
     assert set(np.unique(small)) <= set(np.unique(arr))
@@ -1035,7 +1041,10 @@ def test_wav_codec_roundtrip_and_rejects():
     got, rate = dec
     assert rate == 8000 and len(got) == 2000
     assert np.allclose(got * 32768.0, samples, atol=1.0)
-    for bad in (b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 64):
+    for bad in (b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 64,
+                # truncated data chunk: non-frame-aligned buffer must
+                # decode to None, not raise out of the actor
+                _wav_encode(samples, 8000)[:-3]):
         assert _wav_decode(bad) is None
     feat = _wav_feature(got)
     assert feat.shape == (FEATURE_DIM,)
@@ -1075,6 +1084,9 @@ def test_media_frame_features_composed(ray_session):
                                                       media_frame_features)
     df = media_frame_features(24, n_frames=4).to_pandas()
     assert len(df) == (24 // 3) * 4
-    assert set(df["decoder"]) == {"ppm"}
+    # PIL decodes PPM natively, so environments with PIL label these
+    # frames "pil" — both are the real-decode path
+    assert set(df["decoder"]) <= {"ppm", "pil"}
+    assert "stub" not in set(df["decoder"])
     assert df["feature"].map(len).eq(FEATURE_DIM).all()
     assert df["media_id"].str.contains("#f").all()
