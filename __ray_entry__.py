@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_shipping_priority": _join_query("order_shipping_priority"),
         "revenue_by_nation_bloom": _join_query("revenue_by_nation_bloom"),
         "nation_pair_volume": _join_query("nation_pair_volume"),
+        "customers_order_count_histogram":
+            _join_query("customers_order_count_histogram"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -258,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_pii_redact": _mlprep_query("documents_pii_redact"),
         "events_value_band_join": _mlprep_query("events_value_band_join"),
         "events_value_ntile": _mlprep_query("events_value_ntile"),
+        "orders_price_median_by_priority":
+            _mlprep_query("orders_price_median_by_priority"),
         "events_value_zscore": _mlprep_query("events_value_zscore"),
         "documents_normalize": _mlprep_query("documents_normalize"),
         "documents_term_postings": _mlprep_query("documents_term_postings"),
@@ -383,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
         "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
         "revenue_by_nation_bloom": joins.SQL_REVENUE_BY_NATION,
         "nation_pair_volume": joins.SQL_NATION_PAIR_VOLUME,
+        "customers_order_count_histogram":
+            joins.SQL_CUSTOMERS_ORDER_COUNT_HISTOGRAM,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":
@@ -420,6 +426,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_pii_redact": mlprep.SQL_DOCUMENTS_PII_REDACT,
         "events_value_band_join": mlprep.SQL_EVENTS_VALUE_BAND_JOIN,
         "events_value_ntile": mlprep.SQL_EVENTS_VALUE_NTILE,
+        "orders_price_median_by_priority":
+            mlprep.SQL_ORDERS_PRICE_MEDIAN_BY_PRIORITY,
         "events_value_zscore": mlprep.SQL_EVENTS_VALUE_ZSCORE,
         "documents_normalize": mlprep.SQL_DOCUMENTS_NORMALIZE,
         "documents_term_postings": mlprep.SQL_DOCUMENTS_TERM_POSTINGS,

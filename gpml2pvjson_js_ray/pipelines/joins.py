@@ -512,3 +512,78 @@ WHERE l_orderkey = o_orderkey
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """
+
+
+# -- Q13 shape: per-customer order-count distribution ------------------------
+
+def customers_order_count_histogram(sf_dir: str):
+    """Distribution of per-customer order counts INCLUDING customers
+    with zero orders (the TPC-H Q13 left-outer-join shape).
+
+    Scale plan — the left outer join is ALGEBRAICALLY ELIMINATED: only
+    orders is shuffled, and only as (custkey, partial_count) rows.
+      1. per-batch partial count per o_custkey → groupby Sum — one
+         exchange carrying ≤ one row per (custkey, block);
+      2. per-batch histogram of the counts → tiny groupby (bounded by
+         max orders per customer, dozens of rows);
+      3. the zero bucket is derived, not joined: customers with zero
+         orders = count(customer) − Σ histogram (every customer WITH
+         orders appears in exactly one count row). At 100 TB this
+         replaces a customer ⋈ orders outer shuffle with a cheap count
+         aggregate over the customer table.
+    Returns a pyarrow Table (the histogram is inherently tiny)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            b.column("o_custkey").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"o_custkey": pa.array(k),
+                         "c_count": pa.array(n.astype(np.int64))})
+
+    per_cust = (orders.map_batches(partial_counts, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("c_count", alias_name="c_count")))
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        v, n = np.unique(
+            b.column("c_count").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"c_count": pa.array(v.astype(np.int64)),
+                         "n_custs": pa.array(n.astype(np.int64))})
+
+    hist_parts = [t for t in ray.get(
+        per_cust.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("c_count").aggregate(Sum("n_custs", alias_name="n_custs"))
+        .to_arrow_refs()) if len(t)]
+    hist = pa.concat_tables(hist_parts) if hist_parts else pa.table(
+        {"c_count": pa.array([], pa.int64()),
+         "n_custs": pa.array([], pa.int64())})
+
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with_orders = int(pc.sum(hist.column("n_custs")).as_py() or 0)
+    n_zero = n_customers - n_with_orders
+    out = hist.cast(pa.schema([("c_count", pa.int64()),
+                               ("n_custs", pa.int64())]))
+    if n_zero > 0:  # emit the 0 bucket only when it exists (SQL parity)
+        out = pa.concat_tables([out, pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "n_custs": pa.array([n_zero], pa.int64())})])
+    order = pc.sort_indices(out, sort_keys=[("n_custs", "descending"),
+                                            ("c_count", "descending")])
+    return out.take(order)
+
+
+SQL_CUSTOMERS_ORDER_COUNT_HISTOGRAM = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY n_custs DESC, c_count DESC
+"""

@@ -1080,3 +1080,106 @@ SELECT event_id,
             AS BIGINT) AS zkey
 FROM d ORDER BY zkey, event_id
 """
+
+
+# -- exact per-group median (distributed selection) ---------------------------
+
+def orders_price_median_by_priority(sf_dir: str, n_ranges: int = 64):
+    """Exact interpolated median of o_totalprice per o_orderpriority —
+    the percentile_cont(0.5) shape, computed by DISTRIBUTED SELECTION
+    rather than per-group sort:
+
+      1. one pass of per-(group, value-range-bucket) counts (per-batch
+         partials → a |groups|×n_ranges-row groupby);
+      2. the driver locates, per group, the bucket(s) that straddle the
+         two middle ranks — pure arithmetic on the tiny count table;
+      3. a second filtered pass ships ONLY rows falling in those bracket
+         buckets (≈ n/n_ranges per group, never the group), and the
+         exact order statistics come from sorting that sliver.
+
+    At 100 TB no task ever materializes a whole group (the trap of
+    groupby().map_groups(median)); the full table is read twice and
+    shuffled never. Returns a pyarrow Table (|groups| rows)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["o_orderpriority", "o_totalprice"]
+    ds = _read(sf_dir, "orders", cols)
+    stats = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = stats["min(o_totalprice)"], stats["max(o_totalprice)"]
+    edges = (np.linspace(lo, hi, n_ranges + 1)[1:-1]
+             if hi > lo else np.array([]))
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.searchsorted(edges, v, side="right")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        bk = bucket_of(b.column("o_totalprice")
+                       .to_numpy(zero_copy_only=False))
+        t = pa.table({"g": b.column("o_orderpriority"),
+                      "bucket": pa.array(bk),
+                      "n": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["g", "bucket"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["g", "bucket", "n"]))
+
+    counts = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["g", "bucket"]).aggregate(Sum("n", alias_name="n"))
+        .to_arrow_refs()) if len(t)])
+
+    # per group: ranks of the two middle elements (equal when n is odd)
+    # and the bucket window [first, last] that contains them.
+    brackets: dict[str, tuple[int, int, int, int]] = {}
+    cdf = counts.to_pandas().sort_values(["g", "bucket"])
+    for g, gdf in cdf.groupby("g", sort=False):
+        n = int(gdf["n"].sum())
+        k1, k2 = (n - 1) // 2, n // 2          # 0-based middle ranks
+        cum = gdf["n"].cumsum().to_numpy()
+        before = cum - gdf["n"].to_numpy()
+        mask = (before <= k2) & (cum > k1)      # buckets overlapping ranks
+        bks = gdf["bucket"].to_numpy()[mask]
+        brackets[g] = (int(bks.min()), int(bks.max()),
+                       int(before[mask][0]), n)
+    bracket_ref = ray.put(brackets)
+
+    def in_bracket(b: pa.Table) -> pa.Table:
+        br = ray.get(bracket_ref)
+        gs = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        bk = bucket_of(b.column("o_totalprice")
+                       .to_numpy(zero_copy_only=False))
+        lo_b = np.array([br[g][0] for g in gs])
+        hi_b = np.array([br[g][1] for g in gs])
+        keep = (bk >= lo_b) & (bk <= hi_b)
+        return b.filter(pa.array(keep))
+
+    sliver = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(in_bracket, batch_format="pyarrow")
+        .to_arrow_refs()) if len(t)]).to_pandas()
+
+    rows = {"o_orderpriority": [], "median_price": []}
+    for g in sorted(brackets):
+        _, _, before, n = brackets[g]
+        k1, k2 = (n - 1) // 2, n // 2
+        vals = np.sort(sliver.loc[sliver["o_orderpriority"] == g,
+                                  "o_totalprice"].to_numpy())
+        med = (vals[k1 - before] + vals[k2 - before]) / 2.0
+        # SQL round() is half-away-from-zero; pc.round defaults to
+        # half-to-even and flips exact .5-cent ties (even-n medians of
+        # cent-valued prices land there constantly).
+        rows["o_orderpriority"].append(g)
+        rows["median_price"].append(math.floor(med * 100 + 0.5) / 100
+                                    if med >= 0
+                                    else math.ceil(med * 100 - 0.5) / 100)
+    return pa.table({"o_orderpriority": pa.array(rows["o_orderpriority"]),
+                     "median_price": pa.array(rows["median_price"],
+                                              pa.float64())})
+
+
+SQL_ORDERS_PRICE_MEDIAN_BY_PRIORITY = """
+SELECT o_orderpriority,
+       round(median(o_totalprice), 2) AS median_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

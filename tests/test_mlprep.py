@@ -139,3 +139,85 @@ def test_token_stats_parity_on_unicode_whitespace(ray_session, tmp_path):
     assert m.equals(t), (mine, theirs)
     # NBSP doc: 'foo\xa0bar' + 'baz' → 2 tokens, not 3
     assert mine.loc[0, "n_tokens"] == 2
+
+
+def test_median_by_priority_exact_selection(ray_session, tmp_path):
+    """Per-group exact median via distributed selection: odd group
+    (exact middle), even group (interpolated), and a group whose values
+    all collapse into one range bucket (bracket pass must still find
+    the order statistics inside it)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.mlprep import (
+        orders_price_median_by_priority)
+
+    prios, prices = [], []
+    # odd-sized group: median is the exact middle element
+    prios += ["1-ODD"] * 5
+    prices += [10.0, 50.0, 30.0, 20.0, 40.0]        # median 30
+    # even-sized group: interpolation between the two middles
+    prios += ["2-EVEN"] * 4
+    prices += [1.0, 2.0, 100.0, 200.0]               # median 51
+    # one-bucket group: tight cluster far from the global range edges
+    prios += ["3-TIGHT"] * 3
+    prices += [500.0, 500.5, 501.0]                  # median 500.5
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(len(prios), dtype=np.int64)),
+        "o_custkey": pa.array(np.zeros(len(prios), dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * len(prios)),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([0] * len(prios),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(prios),
+    })
+    d = tmp_path / "ord"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+    out = orders_price_median_by_priority(str(d)).to_pandas() \
+        .set_index("o_orderpriority")["median_price"]
+    assert out["1-ODD"] == 30.0
+    assert out["2-EVEN"] == 51.0
+    assert out["3-TIGHT"] == 500.5
+
+
+def test_order_count_histogram_includes_zero_bucket(ray_session, tmp_path):
+    """Q13 shape: customers with no orders land in the derived
+    c_count=0 row (no outer join anywhere)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.joins import (
+        customers_order_count_histogram)
+
+    d = tmp_path / "q13"
+    d.mkdir()
+    # 6 customers; orders only for 1 (x3), 2 (x1), 3 (x1)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, 7, dtype=np.int64)),
+        "c_name": pa.array([f"c{i}" for i in range(1, 7)]),
+        "c_nationkey": pa.array(np.zeros(6, dtype=np.int64)),
+        "c_acctbal": pa.array(np.zeros(6)),
+        "c_mktsegment": pa.array(["B"] * 6),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(5, dtype=np.int64)),
+        "o_custkey": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array(np.ones(5)),
+        "o_orderdate": pa.array([0] * 5, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 5),
+    }), str(d / "orders.parquet"))
+    df = customers_order_count_histogram(str(d)).to_pandas() \
+        .set_index("c_count")["n_custs"]
+    assert df[0] == 3      # customers 4, 5, 6
+    assert df[1] == 2      # customers 2, 3
+    assert df[3] == 1      # customer 1
+    # sorted n_custs DESC, c_count DESC
+    out = customers_order_count_histogram(str(d)).to_pandas()
+    assert list(out["n_custs"]) == sorted(out["n_custs"], reverse=True) or \
+        all(out["n_custs"].iloc[i] > out["n_custs"].iloc[i + 1] or
+            out["c_count"].iloc[i] > out["c_count"].iloc[i + 1]
+            for i in range(len(out) - 1))
