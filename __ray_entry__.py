@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_volume": _join_query("nation_pair_volume"),
         "customers_order_count_histogram":
             _join_query("customers_order_count_histogram"),
+        "top_large_quantity_orders":
+            _join_query("top_large_quantity_orders"),
+        "rich_churned_by_segment": _join_query("rich_churned_by_segment"),
+        "late_orders_by_priority": _join_query("late_orders_by_priority"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -389,6 +393,10 @@ def oracle_sql() -> dict[str, str]:
         "nation_pair_volume": joins.SQL_NATION_PAIR_VOLUME,
         "customers_order_count_histogram":
             joins.SQL_CUSTOMERS_ORDER_COUNT_HISTOGRAM,
+        "top_large_quantity_orders":
+            joins.SQL_TOP_LARGE_QUANTITY_ORDERS,
+        "rich_churned_by_segment": joins.SQL_RICH_CHURNED_BY_SEGMENT,
+        "late_orders_by_priority": joins.SQL_LATE_ORDERS_BY_PRIORITY,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

@@ -587,3 +587,219 @@ FROM (
 GROUP BY c_count
 ORDER BY n_custs DESC, c_count DESC
 """
+
+
+# -- Q18 shape: large-quantity orders (HAVING semi-join) ----------------------
+
+def top_large_quantity_orders(sf_dir: str, qty_threshold: float = 300.0,
+                              k: int = 100):
+    """Orders whose lineitems sum to more than `qty_threshold` units,
+    with customer name, largest totalprice first — the TPC-H Q18
+    GROUP-BY-HAVING-IN shape.
+
+    Scale plan: the only all-to-all is the per-orderkey quantity rollup,
+    and it ships per-batch PARTIALS (one row per orderkey per block, via
+    pa.TableGroupBy) rather than raw lineitems. The HAVING filter makes
+    the surviving key set tiny BY CONSTRUCTION (p99.9 of per-order
+    quantity sits well under the threshold), so the orders side is
+    semi-joined by broadcast is_in — no second shuffle — and customer
+    names attach via the standard broadcast probe. The final sort runs
+    on the filtered sliver only."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(b, ["l_orderkey"])
+                .aggregate([("l_quantity", "sum")])
+                .rename_columns(["l_orderkey", "total_qty"]))
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("total_qty", alias_name="total_qty"))
+                 .map_batches(lambda b: b.filter(pc.greater(
+                     b.column("total_qty"),
+                     pa.scalar(float(qty_threshold)))),
+                     batch_format="pyarrow"))
+    surv = pa.concat_tables(
+        [t for t in ray.get(per_order.to_arrow_refs()) if len(t)])
+    qty_ref = ray.put((surv.column("l_orderkey").combine_chunks(),
+                       surv.column("total_qty").combine_chunks()))
+
+    cust = _broadcast_kv(_read(sf_dir, "customer", ["c_custkey", "c_name"]),
+                         "c_custkey", "c_name")
+    attach_qty = _make_attach(qty_ref, "o_orderkey", "total_qty")
+    attach_name = _make_attach(cust, "o_custkey", "c_name")
+
+    def pick(b: pa.Table) -> pa.Table:
+        keys, _ = _seg_cache(qty_ref)
+        b = b.filter(pc.is_in(b.column("o_orderkey"), value_set=keys))
+        return attach_name(attach_qty(b))
+
+    out = (_read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+           .map_batches(pick, batch_format="pyarrow")
+           .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+           .limit(k))
+    return out.select_columns(["c_name", "o_custkey", "o_orderkey",
+                               "o_orderdate", "o_totalprice", "total_qty"])
+
+
+SQL_TOP_LARGE_QUANTITY_ORDERS = """
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# -- Q22 shape: churned high-balance customers (hash anti-join) ---------------
+
+def rich_churned_by_segment(sf_dir: str, cutoff: str = "2000-01-01",
+                            num_partitions: int = 16):
+    """Per market segment: customers whose balance exceeds the global
+    average but who placed NO order since `cutoff` — the TPC-H Q22
+    scalar-subquery + NOT-IN shape, churn-analysis flavored.
+
+    Scale plan: unlike customers_without_large_orders (broadcast
+    anti-join, valid when the qualifying key set is small), here the
+    recently-active customer set is a large fraction of all customers,
+    so broadcasting it would ship ~the customer table to every task.
+    Instead both sides meet in a hash-partitioned LEFT OUTER
+    `Dataset.join` on custkey and the anti-join is `filter(marker is
+    null)` — the 100-TB-safe LARGE ⋈ LARGE anti form. The active set is
+    pre-deduped per batch, so the shuffle carries ≤ one row per
+    (custkey, block). The scalar subquery (global avg balance) is one
+    streaming aggregate, never a join."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+    avg_bal = cust.aggregate(Mean("c_acctbal"))["mean(c_acctbal)"]
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"),
+                                      pa.scalar(float(avg_bal)))),
+        batch_format="pyarrow")
+
+    cut = _ts(cutoff)
+
+    def active_partial(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater_equal(b.column("o_orderdate"), cut))
+        return pa.table({"o_custkey":
+                         pc.unique(keep.column("o_custkey"))})
+
+    # dedup to one row per active custkey; repartition merges away the
+    # aggregate's empty zero-column blocks, which break Dataset.join
+    # (same pitfall as pipelines/graph.py:56)
+    active = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(active_partial, batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Count(alias_name="marker"))
+              .repartition(num_partitions))
+
+    joined = rich.join(active, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def churned_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_null(b.column("marker")))
+        t = pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                      "c_acctbal": b.column("c_acctbal"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["c_mktsegment"])
+                .aggregate([("one", "sum"), ("c_acctbal", "sum")])
+                .rename_columns(["c_mktsegment", "n_custs", "total_bal"]))
+
+    out = (joined.map_batches(churned_partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_custs", alias_name="n_custs"),
+                      Sum("total_bal", alias_name="total_bal")))
+    return (out.map_batches(lambda b: _round_col(b, "total_bal", 2),
+                            batch_format="pyarrow")
+            .sort("c_mktsegment"))
+
+
+SQL_RICH_CHURNED_BY_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# -- Q4 shape: EXISTS decorrelated to an associative aggregate ----------------
+
+def late_orders_by_priority(sf_dir: str, late_days: int = 200,
+                            num_partitions: int = 16):
+    """Orders per priority having at least one lineitem shipped more
+    than `late_days` after the order date — the TPC-H Q4
+    correlated-EXISTS shape.
+
+    Scale plan: the EXISTS is DECORRELATED before any join —
+    `EXISTS(l_shipdate > o_orderdate + d)` ⇔ `max(l_shipdate) >
+    o_orderdate + d`, and max is associative, so lineitem folds to one
+    (orderkey, max_ship) row per block locally, then one groupby. The
+    join with orders is then hash-partitioned 1-row-per-key ⋈ orders
+    (Dataset.join), and the verdict is a vectorized timestamp compare +
+    per-batch priority count partials → a ≤5-row final groupby. No task
+    ever sees a whole order's lineitem list."""
+    from ray.data.aggregate import Max, Sum
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(b, ["l_orderkey"])
+                .aggregate([("l_shipdate", "max")])
+                .rename_columns(["l_orderkey", "max_ship"]))
+
+    per_order = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+                 .map_batches(max_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Max("max_ship", alias_name="max_ship"))
+                 .repartition(num_partitions))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = orders.join(per_order, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    lag = pa.scalar(np.timedelta64(int(late_days), "D")
+                    .astype("timedelta64[us]"))
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        late = b.filter(pc.greater(
+            b.column("max_ship"),
+            pc.add(b.column("o_orderdate"), lag)))
+        t = pa.table({"o_orderpriority": late.column("o_orderpriority"),
+                      "one": pa.array(np.ones(len(late), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["o_orderpriority"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["o_orderpriority", "n_late"]))
+
+    return (joined.map_batches(late_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n_late", alias_name="n_late"))
+            .sort("o_orderpriority"))
+
+
+SQL_LATE_ORDERS_BY_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders o
+JOIN (SELECT l_orderkey, max(l_shipdate) AS max_ship
+      FROM lineitem GROUP BY l_orderkey) l
+  ON o.o_orderkey = l.l_orderkey
+WHERE max_ship > o_orderdate + INTERVAL 200 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
