@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _join_query("customers_without_large_orders"),
         "events_last_purchase_asof":
             _window_query("events_last_purchase_asof"),
+        "events_first_last_touch":
+            _window_query("events_first_last_touch"),
+        "events_user_sequences": _window_query("events_user_sequences"),
         "documents_top_per_lang": _window_query("documents_top_per_lang"),
         "events_cumulative_value":
             _window_query("events_cumulative_value"),
@@ -285,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_gopher_filter":
             _spans_query("documents_gopher_filter"),
         "documents_char_lm_score": textops.documents_char_lm_score,
+        "documents_ccnet_buckets": textops.documents_ccnet_buckets,
         "documents_dsir_weights": textops.documents_dsir_weights,
         "events_profile": _profiler_query("events_profile"),
         "documents_source_divergence":
@@ -403,6 +407,8 @@ def oracle_sql() -> dict[str, str]:
             joins.SQL_CUSTOMERS_WITHOUT_LARGE_ORDERS,
         "events_last_purchase_asof":
             windows.SQL_EVENTS_LAST_PURCHASE_ASOF,
+        "events_first_last_touch": windows.SQL_EVENTS_FIRST_LAST_TOUCH,
+        "events_user_sequences": windows.SQL_EVENTS_USER_SEQUENCES,
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
@@ -453,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_gopher_filter": spans.SQL_DOCUMENTS_GOPHER_FILTER,
         "embeddings_sq8_error": simops.SQL_EMBEDDINGS_SQ8_ERROR,
         "documents_char_lm_score": textops.SQL_DOCUMENTS_CHAR_LM_SCORE,
+        "documents_ccnet_buckets": textops.SQL_DOCUMENTS_CCNET_BUCKETS,
         "documents_dsir_weights": textops.SQL_DOCUMENTS_DSIR_WEIGHTS,
         "events_profile": profiler.SQL_EVENTS_PROFILE,
         "documents_source_divergence":

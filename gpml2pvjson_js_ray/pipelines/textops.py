@@ -1054,3 +1054,156 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(sum(lw) / count(*), 6) AS log_weight
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# -- CCNet-style per-language quality buckets ---------------------------------
+
+def documents_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail split: score every document with the
+    corpus-trained char-bigram LM (documents_char_lm_score's model),
+    then bucket WITHIN EACH LANGUAGE by score quantile — head = top
+    quarter, tail = bottom quarter (thresholds at p25/p75; CCNet buckets
+    by per-language perplexity cutoffs exactly like this, tertile vs
+    quartile being a config knob). Output: (lang, bucket, n_docs).
+
+    Scale plan, stage by stage:
+      1. train = one vocabulary-sized exchange (alphabet² rows);
+      2. score = map-only, the (doc_id, lang, avg_logp) projection is
+         MATERIALIZED — ~20 bytes/row vs multi-KB text, the standard
+         CCNet two-phase layout — so the text is read once, not twice;
+      3. thresholds = exact discrete quantiles per lang
+         (quantile_disc semantics: element at ceil(q·n)−1, q exact in
+         binary so the index arithmetic cannot drift); partitioning
+         assumption: one lang's SCORE COLUMN fits a task (floats, not
+         texts — the t-digest in pipelines/quantiles.py is the
+         constant-state fallback when even that breaks);
+      4. assignment = map-only against the broadcast (tiny) threshold
+         table, per-batch count partials → a |langs|×3-row groupby.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def _bigrams(b, pl, carry):
+        ex = (pl.from_arrow(b.select(list(carry) + ["text"])).select(
+            *carry,
+            tok=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all("[a-zA-ZÀ-ÿ]+"))
+            .explode("tok").drop_nulls("tok")
+            .with_row_index("tid")
+            .with_columns(ch=pl.col("tok").str.extract_all("."))
+            .explode("ch"))
+        return (ex.with_columns(cb=pl.col("ch").shift(-1).over("tid"))
+                .drop_nulls("cb")
+                .select(*carry, ca=pl.col("ch"),
+                        bg=pl.col("ch") + pl.col("cb")))
+
+    def train_partial(b) -> pa.Table:
+        pl = polars_capped()
+        out = (_bigrams(b, pl, ("doc_id",)).group_by("ca", "bg")
+               .agg(c=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("ca", pa.string()), ("bg", pa.string()), ("c", pa.int64())]))
+
+    model = (docs.map_batches(train_partial, batch_format="pyarrow")
+             .groupby(["ca", "bg"]).aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    prefix_tot = model.groupby("ca")["c"].transform("sum")
+    logp = np.log(model["c"].to_numpy(dtype=np.float64)
+                  / prefix_tot.to_numpy(dtype=np.float64))
+    order = np.argsort(model["bg"].to_numpy())
+    vocab, logp = model["bg"].to_numpy()[order], logp[order]
+
+    def score(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        bgf = _bigrams(b, pl, ("doc_id", "lang"))
+        idx = np.searchsorted(vocab, bgf["bg"].to_numpy())
+        scored = bgf.with_columns(
+            lp=pl.Series("lp", logp[idx], dtype=pl.Float64))
+        out = (scored.group_by("doc_id", "lang").agg(
+            avg_logp=(pl.col("lp").sum()
+                      / pl.len().cast(pl.Float64)).round(6)))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("lang", pa.string()),
+            ("avg_logp", pa.float64())]))
+
+    scored = (docs.map_batches(score, batch_format="pyarrow")
+              .materialize())
+
+    def th_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["avg_logp"].to_numpy())
+        n = len(v)
+        i25 = max(0, int(np.ceil(0.25 * n)) - 1)
+        i75 = max(0, int(np.ceil(0.75 * n)) - 1)
+        return pd.DataFrame({"lang": [df["lang"].iloc[0]],
+                             "t_lo": [v[i25]], "t_hi": [v[i75]]})
+
+    th = (scored.select_columns(["lang", "avg_logp"])
+          .groupby("lang").map_groups(th_group, batch_format="pandas")
+          .to_pandas().sort_values("lang"))
+    lang_keys = th["lang"].to_numpy()
+    t_lo, t_hi = th["t_lo"].to_numpy(), th["t_hi"].to_numpy()
+
+    def assign(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        s = b.column("avg_logp").to_numpy()
+        li = np.searchsorted(lang_keys, langs)
+        bucket = np.where(s <= t_lo[li], "tail",
+                          np.where(s <= t_hi[li], "middle", "head"))
+        t = pa.table({"lang": b.column("lang"),
+                      "bucket": pa.array(bucket),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["lang", "bucket"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["lang", "bucket", "n_docs"]))
+
+    return (scored.map_batches(assign, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort(["lang", "bucket"]))
+
+
+SQL_DOCUMENTS_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-zA-ZÀ-ÿ]+')) AS tok
+  FROM documents
+),
+chars AS (SELECT doc_id, lang, regexp_extract_all(tok, '.') AS cs
+          FROM toks),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(cs)), i -> cs[i])) AS ca,
+         unnest(list_transform(range(1, len(cs)),
+                               i -> cs[i] || cs[i+1])) AS b
+  FROM chars WHERE len(cs) >= 2
+),
+model AS (SELECT b, any_value(ca) AS ca, count(*) AS c FROM bg GROUP BY b),
+prefix AS (SELECT ca, sum(c) AS ctot FROM model GROUP BY ca),
+scored AS (
+  SELECT g.doc_id, any_value(g.lang) AS lang,
+         round(sum(ln((m.c * 1.0) / p.ctot)) / count(*), 6) AS avg_logp
+  FROM bg g JOIN model m USING (b) JOIN prefix p ON m.ca = p.ca
+  GROUP BY g.doc_id
+),
+th AS (
+  SELECT lang,
+         quantile_disc(avg_logp, 0.25) AS t_lo,
+         quantile_disc(avg_logp, 0.75) AS t_hi
+  FROM scored GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN s.avg_logp <= t.t_lo THEN 'tail'
+            WHEN s.avg_logp <= t.t_hi THEN 'middle'
+            ELSE 'head' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored s JOIN th t USING (lang)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

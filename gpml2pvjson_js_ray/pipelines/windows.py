@@ -403,3 +403,110 @@ FROM events
 WHERE event_type = 'purchase'
 ORDER BY event_id
 """
+
+
+# -- first/last-touch attribution: associative argmin/argmax ------------------
+
+def events_first_last_touch(sf_dir: str):
+    """Per user: the type and timestamp of their FIRST and LAST event
+    (ties broken by event_id) — the marketing first/last-touch
+    attribution shape, and the catalog's argmin/argmax combiner: unlike
+    min/max of a single column, the reduced value (event_type) rides
+    along with the ordering key, so the fold must carry (key, payload)
+    pairs.
+
+    Scale plan: argmin/argmax IS associative, so each block folds to one
+    row per user locally (pandas sort + groupby first/last — vectorized,
+    no Python loop), and the hash shuffle carries ≤ one row per (user,
+    block). The final `map_groups` reduce sees only those partials
+    (group size ≤ #blocks, never #events). event_id tiebreaks travel
+    with the partials so cross-block timestamp ties resolve exactly as
+    the oracle's row_number ORDER BY ts, event_id."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        return g.agg(
+            first_ts=("ts", "first"), first_id=("event_id", "first"),
+            first_type=("event_type", "first"),
+            last_ts=("ts", "last"), last_id=("event_id", "last"),
+            last_type=("event_type", "last")).reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        fi = df.sort_values(["first_ts", "first_id"],
+                            kind="mergesort").iloc[0]
+        la = df.sort_values(["last_ts", "last_id"],
+                            kind="mergesort").iloc[-1]
+        return pd.DataFrame({
+            "user_id": [df["user_id"].iloc[0]],
+            "first_type": [fi["first_type"]], "first_ts": [fi["first_ts"]],
+            "last_type": [la["last_type"]], "last_ts": [la["last_ts"]]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("user_id")
+            .map_groups(final, batch_format="pandas")
+            .sort("user_id"))
+
+
+SQL_EVENTS_FIRST_LAST_TOUCH = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn_a = 1 THEN ts END)         AS first_ts,
+       max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type,
+       max(CASE WHEN rn_d = 1 THEN ts END)         AS last_ts
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# -- ordered sequence export: the training-sequence builder ------------------
+
+def events_user_sequences(sf_dir: str, sep: str = "->"):
+    """Each user's full event-type sequence in time order (event_id
+    tiebreak) — the build-training-sequences shape (behavioral LM
+    pretraining, next-event prediction).
+
+    Partitioning assumption (per the module's custom-operator rule):
+    ONE USER'S EVENTS must fit a task — `groupby(user_id).map_groups`
+    co-locates them and the in-group sort is the only ordered step.
+    User-keyed event streams are naturally fine-grained; a key hot
+    enough to break this (a bot account at 100 TB) needs upstream
+    capping, not a different operator. Unlike first/last touch there is
+    NO associative fold for ordered concatenation — the shuffle
+    necessarily carries every row, which is why this operator exists
+    separately from the partial-reducing ones."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def seq_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame({
+            "user_id": [df["user_id"].iloc[0]],
+            "n_events": np.array([len(df)], dtype=np.int64),
+            "seq": [sep.join(df["event_type"])]})
+
+    return (ds.groupby("user_id")
+            .map_groups(seq_group, batch_format="pandas")
+            .sort("user_id"))
+
+
+SQL_EVENTS_USER_SEQUENCES = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS seq
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

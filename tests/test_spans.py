@@ -216,3 +216,33 @@ def test_gopher_filter_planted_cases(ray_session, tmp_path):
     assert not bool(out.loc[1, "keep"])   # word-count floor
     assert not bool(out.loc[2, "keep"])   # dup_word_frac cap
     assert not bool(out.loc[3, "keep"])   # top_word_frac cap
+
+
+def test_ccnet_buckets_planted(ray_session, tmp_path):
+    """Three engineered score levels in 'en' (2 low / 4 mid / 2 high →
+    tail/middle/head at p25/p75) plus a 'de' lang whose docs all tie
+    (everything <= t_lo → all tail). Verifies per-lang independence and
+    the discrete-quantile threshold semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = (["ad"] * 2 + ["ab ad"] * 4 + ["ab ab"] * 2   # en
+             + ["xy"] * 2 + ["xz"] * 2)                   # de (all tie)
+    langs = ["en"] * 8 + ["de"] * 4
+    d = tmp_path / "ccnet"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": langs,
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }), str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.textops import documents_ccnet_buckets
+    out = (documents_ccnet_buckets(str(d)).to_pandas()
+           .set_index(["lang", "bucket"])["n_docs"])
+    assert out[("en", "tail")] == 2      # the two pure-'ad' docs
+    assert out[("en", "middle")] == 4    # the mixed docs
+    assert out[("en", "head")] == 2      # the two pure-'ab' docs
+    assert out[("de", "tail")] == 4      # identical scores collapse to tail
+    assert ("de", "head") not in out.index

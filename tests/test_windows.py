@@ -178,3 +178,55 @@ def test_customers_without_large_orders(ray_session, mini_sf):
     out = joins.customers_without_large_orders(mini_sf).to_pandas()
     assert list(out["c_custkey"]) == [2]
     assert list(out["c_name"]) == ["b"]
+
+
+def test_first_last_touch_mini(ray_session, mini_sf):
+    """Hand-verified first/last per user, incl. a single-event user
+    (first == last) and a user whose row order differs from ts order."""
+    out = (windows.events_first_last_touch(mini_sf).to_pandas()
+           .set_index("user_id"))
+    # u1: purchase@00:00 ... purchase@00:10
+    assert out.loc[1, "first_type"] == "purchase"
+    assert str(out.loc[1, "first_ts"]) == "2024-01-01 00:00:00"
+    assert out.loc[1, "last_type"] == "purchase"
+    assert str(out.loc[1, "last_ts"]) == "2024-01-01 00:10:00"
+    # u2: one event — first and last coincide
+    assert out.loc[2, "first_type"] == "click"
+    assert out.loc[2, "last_type"] == "click"
+    assert out.loc[2, "first_ts"] == out.loc[2, "last_ts"]
+    # u3: event_id 7 (purchase, 00:04) precedes event_id 5 (view, 00:09)
+    # even though it appears later in the file
+    assert out.loc[3, "first_type"] == "purchase"
+    assert out.loc[3, "last_type"] == "view"
+
+
+def test_first_last_touch_ts_tie_breaks_by_event_id(ray_session, tmp_path):
+    """Two events at the identical timestamp: first/last resolve by
+    event_id, matching the oracle's ORDER BY ts, event_id."""
+    d = tmp_path / "tie"
+    d.mkdir()
+    t0 = np.datetime64("2024-06-01T12:00", "us")
+    pd.DataFrame({
+        "event_id": [11, 10],          # file order ≠ id order
+        "ts": [t0, t0],
+        "user_id": [7, 7],
+        "event_type": ["late", "early"],
+        "value": [0.0, 0.0],
+        "props": ["{}"] * 2,
+    }).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    out = (windows.events_first_last_touch(str(d)).to_pandas()
+           .set_index("user_id"))
+    assert out.loc[7, "first_type"] == "early"   # event_id 10 wins first
+    assert out.loc[7, "last_type"] == "late"     # event_id 11 wins last
+
+
+def test_user_sequences_mini(ray_session, mini_sf):
+    """Full ordered sequences per user (ts order, event_id tiebreak)."""
+    out = (windows.events_user_sequences(mini_sf).to_pandas()
+           .set_index("user_id"))
+    assert out.loc[1, "seq"] == \
+        "purchase->click->purchase->click->purchase"
+    assert out.loc[1, "n_events"] == 5
+    assert out.loc[2, "seq"] == "click"
+    assert out.loc[3, "seq"] == "purchase->view"
+    assert out.loc[3, "n_events"] == 2
