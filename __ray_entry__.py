@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_corpus_prep": _corpus_query("documents_corpus_prep"),
         "events_value_quantiles":
             _quantile_query("events_value_quantiles"),
+        "events_mad_outliers": _quantile_query("events_mad_outliers"),
         "events_value_quantiles_tdigest":
             _quantile_query("events_value_quantiles_tdigest"),
         "events_weekly_retention":
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sampling_query("documents_uniform_k_sample"),
         "documents_similarity_components": _graph_query(
             "documents_similarity_components"),
+        "embeddings_knn_triangles": _graph_query("embeddings_knn_triangles"),
         "documents_mixture_interleave":
             _sampling_query("documents_mixture_interleave"),
         "documents_dedup_survivors":
@@ -413,12 +415,14 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
         "events_value_quantiles": quantiles.SQL_EVENTS_VALUE_QUANTILES,
+        "events_mad_outliers": quantiles.SQL_EVENTS_MAD_OUTLIERS,
         "events_weekly_retention": windows.SQL_EVENTS_WEEKLY_RETENTION,
         "events_signup_conversion":
             windows.SQL_EVENTS_SIGNUP_CONVERSION,
         "events_user_features": windows.SQL_EVENTS_USER_FEATURES,
         "documents_uniform_k_sample":
             sampling.SQL_DOCUMENTS_UNIFORM_K_SAMPLE,
+        "embeddings_knn_triangles": graph.SQL_EMBEDDINGS_KNN_TRIANGLES,
         "documents_similarity_components":
             graph.SQL_DOCUMENTS_SIMILARITY_COMPONENTS,
         "documents_mixture_interleave":

@@ -133,3 +133,64 @@ def events_value_quantiles_tdigest(sf_dir: str, delta: float = 100.0):
             .groupby("event_type")
             .map_groups(merge, batch_format="pandas")
             .sort("event_type"))
+
+
+# -- robust outlier screen: median / MAD -------------------------------------
+
+def events_mad_outliers(sf_dir: str, c: float = 3.0):
+    """Per event type: median, median-absolute-deviation, and how many
+    values sit beyond c·MAD — the robust (breakdown-point-0.5) outlier
+    screen a quality pipeline runs where mean/std would be dragged by
+    the very outliers it hunts.
+
+    Partitioning assumption: same as events_value_quantiles — one
+    type's VALUE COLUMN fits a task (`groupby.map_groups`
+    co-location); the t-digest variant above is the constant-state
+    fallback. Medians interpolate exactly like SQL median() — the mean
+    of the two middle elements — and every comparison (|v−med| >
+    c·MAD) is the identical IEEE-double expression in both engines, so
+    the counts cannot drift. The displayed med/mad are exact at 6dp
+    (values are 2-decimal, medians ≤ 3-decimal)."""
+    def grp(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df["value"].to_numpy()
+        v = np.sort(raw)
+        n = len(v)
+        med = (v[(n - 1) // 2] + v[n // 2]) / 2.0
+        ad = np.abs(raw - med)
+        sad = np.sort(ad)
+        mad = (sad[(n - 1) // 2] + sad[n // 2]) / 2.0
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "med": [round(med, 6)], "mad": [round(mad, 6)],
+            "n_outliers": np.array([(ad > c * mad).sum()],
+                                   dtype=np.int64),
+            "n_events": np.array([n], dtype=np.int64)})
+
+    return (_read_events(sf_dir)
+            .groupby("event_type")
+            .map_groups(grp, batch_format="pandas")
+            .sort("event_type"))
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, median(value) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - med.m) AS ad, med.m
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(ad) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(any_value(d.m), 6)  AS med,
+       round(any_value(a.md), 6) AS mad,
+       CAST(count(*) FILTER (d.ad > 3.0 * a.md) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""

@@ -178,3 +178,46 @@ def test_entity_degree_hist_matches_duckdb(ray_session, tmp_path):
     ).df()
     assert got["degree"].tolist() == want["degree"].tolist()
     assert got["n_entities"].tolist() == want["n_entities"].tolist()
+
+
+def test_knn_triangles_planted(ray_session, tmp_path):
+    """Two tight clusters whose cross links are engineered so exactly
+    ONE triangle exists; the expected count is recomputed serially from
+    the same edge rule (round-6 cosine, rank-then-id order, k=2,
+    symmetrize) as an independent oracle."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = np.array([[1.0, 0.0], [0.99, 0.14], [0.98, 0.20],   # cluster A
+                     [-1.0, 0.05], [-0.99, -0.14]],            # cluster B
+                    dtype=np.float64)
+    d = tmp_path / "tri"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(["x"] * 5),
+    }), str(d / "embeddings.parquet"))
+
+    # serial recompute of the same kNN-edge rule
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    unit = f32 / np.linalg.norm(f32, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    edges = set()
+    k = 2
+    for v in range(5):
+        cand = sorted((-(sims[v, j]), j) for j in range(5) if j != v)[:k]
+        for _, j in cand:
+            edges.add((min(v, j), max(v, j)))
+    expect = sum(1 for a, b, c in itertools.combinations(range(5), 3)
+                 if (a, b) in edges and (a, c) in edges
+                 and (b, c) in edges)
+    assert expect >= 1  # the planted geometry must actually close one
+
+    from gpml2pvjson_js_ray.pipelines.graph import embeddings_knn_triangles
+    out = embeddings_knn_triangles(str(d), k=2).to_pandas()
+    assert out.loc[0, "n_triangles"] == expect

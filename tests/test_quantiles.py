@@ -71,3 +71,34 @@ def test_sketch_agrees_with_exact_on_sf(ray_session):
             e, s = exact.loc[t, col], sketch.loc[t, col]
             scale = max(abs(e), 1e-9)
             assert abs(e - s) / scale < 0.05, (t, col, e, s)
+
+
+def test_mad_outliers_planted(ray_session, tmp_path):
+    """Hand-checked median/MAD: a constant group where MAD collapses to
+    0 (any deviation is an outlier) and an even group exercising both
+    interpolated medians."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path / "mad"
+    d.mkdir()
+    vals = [1.0, 1.0, 1.0, 1.0, 100.0,   # type a: med 1, mad 0 → 1 outlier
+            1.0, 2.0, 3.0, 4.0]          # type b: med 2.5, mad 1 → 0
+    types = ["a"] * 5 + ["b"] * 4
+    pd.DataFrame({
+        "event_id": np.arange(len(vals), dtype=np.int64),
+        "ts": np.array([np.datetime64("2024-01-01T00:00", "us")] * len(vals)),
+        "user_id": np.zeros(len(vals), dtype=np.int64),
+        "event_type": types,
+        "value": vals,
+        "props": ["{}"] * len(vals),
+    }).to_parquet(str(d / "events.parquet"), index=False)
+
+    from gpml2pvjson_js_ray.pipelines.quantiles import events_mad_outliers
+    out = (events_mad_outliers(str(d)).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["a", "med"] == 1.0 and out.loc["a", "mad"] == 0.0
+    assert out.loc["a", "n_outliers"] == 1
+    assert out.loc["b", "med"] == 2.5 and out.loc["b", "mad"] == 1.0
+    assert out.loc["b", "n_outliers"] == 0
+    assert out["n_events"].tolist() == [5, 4]
