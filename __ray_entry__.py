@@ -93,6 +93,20 @@ def _kg_degrees(sf_dir: str):
     return graph.entity_degree_hist(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_two_hop(sf_dir: str):
+    """Bucket-pruned 2-hop ego net of a deterministic seed entity —
+    reads only |frontier|×salt_factor adjacency buckets per hop (the
+    point-lookup dividend of the subject-hash layout); full-scan BFS
+    cross-check in tests/test_graph.py."""
+    import os
+
+    from gpml2pvjson_js_ray.pipelines import graph, kg
+    path = kg.pages_path_for_sf(sf_dir)
+    out = f"/tmp/gpml2pvjson_kgq_{os.path.basename(path)}"
+    kg.run_kg_pipeline(path, out)
+    return graph.two_hop_from_adjacency(os.path.join(out, "adjacency"))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance by interaction in-links (PageRank over the
     same entity graph)."""
@@ -204,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_token_stats": rel.documents_token_stats,
         "documents_token_stats_bpe": rel.documents_token_stats_bpe,
         "documents_lang_counts": rel.documents_lang_counts,
+        "documents_source_report": rel.documents_source_report,
         "documents_top_terms": rel.documents_top_terms,
         "embeddings_cosine_top10": rel.embeddings_cosine_top10,
         "revenue_by_nation": _join_query("revenue_by_nation"),
@@ -362,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_components": _kg_components,
         "kg_entity_degrees": _kg_degrees,
         "kg_entity_pagerank": _kg_pagerank,
+        "kg_two_hop_neighborhood": _kg_two_hop,
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }
@@ -391,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_token_stats": rel.SQL_DOCUMENTS_TOKEN_STATS,
         "documents_token_stats_bpe": rel.SQL_DOCUMENTS_TOKEN_STATS_BPE,
         "documents_lang_counts": rel.SQL_DOCUMENTS_LANG_COUNTS,
+        "documents_source_report": rel.SQL_DOCUMENTS_SOURCE_REPORT,
         "documents_top_terms": rel.SQL_DOCUMENTS_TOP_TERMS,
         "embeddings_cosine_top10": rel.SQL_EMBEDDINGS_COSINE_TOP10,
         "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,

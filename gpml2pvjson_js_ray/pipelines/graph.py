@@ -539,3 +539,99 @@ FROM edges e1
 JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
 """
+
+
+# -- bucket-pruned graph traversal over the adjacency layout ------------------
+
+def two_hop_from_adjacency(adj_dir: str, seed: str | None = None,
+                           hops: int = 2):
+    """BFS neighborhood of one entity over the subject-bucketed
+    adjacency layout, reading ONLY the buckets that can contain the
+    frontier — the point-lookup dividend of the O4 layout: per hop the
+    I/O is |frontier| × salt_factor buckets, not the table.
+
+    Bucket probing: the layout sidecar (_layout.json, written by
+    adjacency_exchange_spec) fixes num_buckets + salt_factor; a
+    subject's rows live at (hash(subj) + s) % N for s ∈ [0,
+    salt_factor) (s = 0 when the subject wasn't salted), so probing
+    that superset is exact regardless of which subjects were hot at
+    write time. Frontier expansion follows obj_is_node edges (the same
+    entity-graph rule as entity_components).
+
+    The frontier itself is driver-resident — sound for the seeded
+    neighborhood queries this serves (a 2-hop ego net is ≪ the graph);
+    an unbounded multi-source BFS belongs to connected_components
+    above. Returns (entity, hop) for hop 1..`hops`, seed excluded,
+    sorted."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ..stages.exchange import hash_rows_mod
+
+    with open(os.path.join(adj_dir, "_layout.json")) as fh:
+        layout = json.load(fh)
+    n_buckets = int(layout["num_buckets"])
+    salt_factor = int(layout["salt_factor"])
+
+    if seed is None:
+        # deterministic default: smallest entity-edged subject in the
+        # first non-empty bucket (one file's metadata-cheap read)
+        import pyarrow.parquet as pq
+        for k in range(n_buckets):
+            f = os.path.join(adj_dir, f"subj_bucket={k}", "part-0.parquet")
+            if not os.path.exists(f):
+                continue
+            t = pq.read_table(f, columns=["canonical_subj", "obj_is_node"])
+            t = t.filter(t.column("obj_is_node"))
+            if t.num_rows:
+                seed = pc.min(t.column("canonical_subj")).as_py()
+                break
+        if seed is None:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "hop": pa.array([], pa.int64())})
+
+    seen = {seed}
+    frontier = [seed]
+    out_entities: list[str] = []
+    out_hops: list[int] = []
+    for hop in range(1, hops + 1):
+        if not frontier:
+            break
+        ft = pa.table({"canonical_subj": pa.array(sorted(frontier))})
+        base = hash_rows_mod(ft, ["canonical_subj"], n_buckets)
+        probe = sorted({(int(b) + s) % n_buckets
+                        for b in base for s in range(salt_factor)})
+        files = [os.path.join(adj_dir, f"subj_bucket={k}", "part-0.parquet")
+                 for k in probe]
+        files = [f for f in files if os.path.exists(f)]
+        if not files:
+            break
+        fset = pa.array(sorted(frontier))
+
+        def expand(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.is_in(b.column("canonical_subj"), value_set=fset),
+                pc.and_(b.column("obj_is_node"),
+                        pc.not_equal(b.column("canonical_subj"),
+                                     b.column("canonical_obj"))))
+            t = b.filter(keep)
+            return pa.table({"o": pc.unique(t.column("canonical_obj"))})
+
+        import ray as _ray
+        nbrs = set()
+        ds = (rd.read_parquet(files, columns=["canonical_subj",
+                                              "canonical_obj",
+                                              "obj_is_node"])
+              .map_batches(expand, batch_format="pyarrow"))
+        for t in _ray.get(ds.to_arrow_refs()):
+            if len(t):
+                nbrs.update(t.column("o").to_pylist())
+        new = sorted(nbrs - seen)
+        out_entities += new
+        out_hops += [hop] * len(new)
+        seen.update(new)
+        frontier = new
+    return pa.table({"entity": pa.array(out_entities, pa.string()),
+                     "hop": pa.array(out_hops, pa.int64())})

@@ -683,10 +683,13 @@ def rich_churned_by_segment(sf_dir: str, cutoff: str = "2000-01-01",
                  ["c_custkey", "c_acctbal", "c_mktsegment"])
     avg_bal = cust.aggregate(Mean("c_acctbal"))["mean(c_acctbal)"]
 
+    # the repartition ALSO merges away zero-column empty blocks (block
+    # splitting emits them on small inputs), which break Dataset.join —
+    # same pitfall as pipelines/graph.py:56, here on the LEFT side
     rich = cust.map_batches(
         lambda b: b.filter(pc.greater(b.column("c_acctbal"),
                                       pa.scalar(float(avg_bal)))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").repartition(num_partitions)
 
     cut = _ts(cutoff)
 

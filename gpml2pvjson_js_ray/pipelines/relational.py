@@ -670,3 +670,82 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM sess GROUP BY user_id, session_idx
 ORDER BY user_id, session_idx
 """
+
+
+# -- per-source corpus report card -------------------------------------------
+
+def documents_source_report(sf_dir: str):
+    """Per source: document count, mean length, and language entropy
+    (nats) — the one-pass "corpus report card" a curation run prints
+    before mixing sources (a source whose lang entropy collapses to 0
+    is monolingual; a suspiciously high one is likely mislabeled).
+
+    Scale plan: per-batch (source, lang) partials carry count +
+    char-sum, so the single exchange is bounded by |sources|×|langs|
+    per block, never by rows. The entropy fold happens on the reduced
+    table (tiny) with terms summed in sorted-lang order — a
+    deterministic summation order, so the 6-dp round is stable.
+    Returns (source, n_docs, avg_chars, lang_entropy), sorted."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "lang": b.column("lang"),
+                      "n": pa.array(np.ones(len(b), dtype=np.int64)),
+                      "chars": pc.cast(b.column("n_chars"), pa.int64())})
+        return (pa.TableGroupBy(t, ["source", "lang"])
+                .aggregate([("n", "sum"), ("chars", "sum")])
+                .rename_columns(["source", "lang", "n", "chars"]))
+
+    reduced = (docs.map_batches(partial, batch_format="pyarrow")
+               .groupby(["source", "lang"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("chars", alias_name="chars"))
+               .to_pandas())
+
+    rows = {"source": [], "n_docs": [], "avg_chars": [],
+            "lang_entropy": []}
+    for src, g in reduced.sort_values(["source", "lang"]) \
+                         .groupby("source", sort=True):
+        nd = int(g["n"].sum())
+        p = g["n"].to_numpy(dtype=np.float64) / float(nd)
+        rows["source"].append(src)
+        rows["n_docs"].append(nd)
+        # explicit floor(x·1e4 + 0.5): chars/nd hits exact 4-dp
+        # midpoints (e.g. nd=32 → …3125), where round() is half-even
+        # but SQL is half-away — same fix as the quality-score ratios
+        import math
+        rows["avg_chars"].append(
+            math.floor(float(g["chars"].sum()) / float(nd) * 1e4 + 0.5)
+            * 1e-4)
+        rows["lang_entropy"].append(round(float(-(p * np.log(p)).sum()), 6))
+    return pa.table({"source": pa.array(rows["source"]),
+                     "n_docs": pa.array(rows["n_docs"], pa.int64()),
+                     "avg_chars": pa.array(rows["avg_chars"], pa.float64()),
+                     "lang_entropy": pa.array(rows["lang_entropy"],
+                                              pa.float64())})
+
+
+SQL_DOCUMENTS_SOURCE_REPORT = """
+WITH lc AS (
+  SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT source, sum(n) AS nd, sum(chars) AS chars_tot FROM lc
+  GROUP BY source
+)
+SELECT l.source,
+       CAST(any_value(t.nd) AS BIGINT) AS n_docs,
+       floor(any_value(t.chars_tot) * 1.0 / any_value(t.nd) * 1e4
+             + 0.5) * 1e-4 AS avg_chars,
+       round(-sum((l.n * 1.0 / t.nd) * ln(l.n * 1.0 / t.nd)), 6)
+           AS lang_entropy
+FROM lc l JOIN tot t USING (source)
+GROUP BY l.source
+ORDER BY l.source
+"""

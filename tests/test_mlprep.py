@@ -221,3 +221,74 @@ def test_order_count_histogram_includes_zero_bucket(ray_session, tmp_path):
         all(out["n_custs"].iloc[i] > out["n_custs"].iloc[i + 1] or
             out["c_count"].iloc[i] > out["c_count"].iloc[i + 1]
             for i in range(len(out) - 1))
+
+
+def test_source_report_entropy_and_midpoint_rounding(ray_session, tmp_path):
+    """Source A: 50/50 en/de → entropy ln 2; source B: monolingual →
+    entropy 0; B's avg length 5/3 exercises the floor-form rounding."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.relational import (
+        documents_source_report)
+
+    langs = ["en", "en", "de", "de", "en", "en", "en"]
+    srcs = ["A"] * 4 + ["B"] * 3
+    chars = [10, 20, 30, 40, 1, 2, 2]
+    d = tmp_path / "rep"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(7, dtype=np.int64)),
+        "text": pa.array(["x"] * 7),
+        "lang": pa.array(langs),
+        "source": pa.array(srcs),
+        "n_chars": pa.array(chars, pa.int64()),
+    }), str(d / "documents.parquet"))
+    out = (documents_source_report(str(d)).to_pandas()
+           .set_index("source"))
+    assert out.loc["A", "n_docs"] == 4
+    assert out.loc["A", "avg_chars"] == 25.0
+    assert abs(out.loc["A", "lang_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert out.loc["B", "n_docs"] == 3
+    assert out.loc["B", "avg_chars"] == 1.6667   # floor(5/3·1e4 + .5)/1e4
+    assert out.loc["B", "lang_entropy"] == 0.0
+
+
+def test_rich_churned_anti_join_planted(ray_session, tmp_path):
+    """4 customers, avg balance 2.5 → rich = {c3 (bal 3), c4 (bal 4)}.
+    c3 ordered after the cutoff (active, excluded); c4's only order is
+    ancient (churned, kept). c1/c2 fail the balance bar regardless."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.joins import rich_churned_by_segment
+
+    d = tmp_path / "churn"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"]),
+        "c_nationkey": pa.array([0] * 4, pa.int64()),
+        "c_acctbal": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "c_mktsegment": pa.array(["S1", "S1", "S2", "S2"]),
+    }), str(d / "customer.parquet"))
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([3, 4, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0, 1.0, 1.0]),
+        "o_orderdate": pa.array([ts("2000-06-01"),   # c3: recent → active
+                                 ts("1996-01-01"),   # c4: ancient → churned
+                                 ts("2000-06-01")]),
+        "o_orderpriority": pa.array(["1"] * 3),
+    }), str(d / "orders.parquet"))
+    out = (rich_churned_by_segment(str(d), cutoff="2000-01-01")
+           .to_pandas().set_index("c_mktsegment"))
+    assert list(out.index) == ["S2"]
+    assert out.loc["S2", "n_custs"] == 1          # only c4
+    assert out.loc["S2", "total_bal"] == 4.0
