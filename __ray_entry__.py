@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _rollup_query("customers_above_nation_avg"),
         # deterministic sampling / split / packing (training-data prep)
         "documents_split_assign": _sampling_query("documents_split_assign"),
+        "documents_epoch_shuffle":
+            _sampling_query("documents_epoch_shuffle"),
         "documents_stratified_sample":
             _sampling_query("documents_stratified_sample"),
         "documents_concat_chunks":
@@ -329,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_search_and": _lexical_query("documents_search_and"),
         "documents_bpe_pair_stats":
             _lexical_query("documents_bpe_pair_stats"),
+        "documents_bpe_train": _lexical_query("documents_bpe_train"),
         "embeddings_knn_graph": _lexical_query("embeddings_knn_graph"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
@@ -452,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_above_nation_avg":
             rollup.SQL_CUSTOMERS_ABOVE_NATION_AVG,
         "documents_split_assign": sampling.SQL_DOCUMENTS_SPLIT_ASSIGN,
+        "documents_epoch_shuffle": sampling.SQL_DOCUMENTS_EPOCH_SHUFFLE,
         "documents_stratified_sample":
             sampling.SQL_DOCUMENTS_STRATIFIED_SAMPLE,
         "documents_concat_chunks": sampling.SQL_DOCUMENTS_CONCAT_CHUNKS,

@@ -278,3 +278,73 @@ ranked AS (
 SELECT vec_id, neighbor_id, rank, cosine FROM ranked
 WHERE rank <= 3 ORDER BY vec_id, rank
 """
+
+
+# -- full BPE tokenizer training ----------------------------------------------
+
+def documents_bpe_train(sf_dir: str, n_merges: int = 20):
+    """BPE tokenizer TRAINING (Sennrich et al.) — the iterative merge
+    loop, not just one candidate-scoring pass (documents_bpe_pair_stats
+    is that single pass).
+
+    Scale shape: merge selection never needs the corpus — only the
+    word-frequency table. So the distributed part is ONE pass reducing
+    the corpus to (word, count) via per-batch polars count partials +
+    one groupby (this is how GPT-2's tokenizer was trained: on word
+    counts, not raw text). The n_merges argmax rounds then run on that
+    REDUCED table driver-side — bounded by |distinct words|, not corpus
+    bytes, and inherently sequential (merge k+1's counts depend on
+    merge k). Ties break (count desc, (left, right) lex asc) so the
+    merge table is deterministic.
+
+    Output: (rank, left, right, pair_count) — the merge table a
+    tokenizer ships. Rows-only oracle (an iterative argmax chain is not
+    SQL-expressible); the planted pytest hand-verifies the classic
+    low/lower/newest merge sequence."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b.select(["text"]))
+               .select(w=pl.col("text").fill_null("").str.to_lowercase()
+                       .str.extract_all("[a-z]+"))
+               .explode("w").drop_nulls("w")
+               .group_by("w").agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([("w", pa.string()),
+                                              ("n", pa.int64())]))
+
+    vocab = (docs.map_batches(word_partial, batch_format="pyarrow")
+             .groupby("w").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+
+    words = [list(w) for w in vocab["w"]]
+    counts = vocab["n"].to_numpy()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in zip(words, counts):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + int(n)
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lft, rgt), cnt = best
+        merges.append((lft, rgt, cnt))
+        tok = lft + rgt
+        for syms in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == lft and syms[i + 1] == rgt:
+                    syms[i:i + 2] = [tok]
+                else:
+                    i += 1
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64())})

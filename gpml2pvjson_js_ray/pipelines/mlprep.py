@@ -1143,16 +1143,22 @@ def orders_price_median_by_priority(sf_dir: str, n_ranges: int = 64):
         bks = gdf["bucket"].to_numpy()[mask]
         brackets[g] = (int(bks.min()), int(bks.max()),
                        int(before[mask][0]), n)
-    bracket_ref = ray.put(brackets)
+    # vectorized per-row bracket lookup: groups sorted once, rows map to
+    # bracket bounds via searchsorted (no Python loop over rows)
+    g_keys = np.array(sorted(brackets))
+    g_lo = np.array([brackets[g][0] for g in g_keys])
+    g_hi = np.array([brackets[g][1] for g in g_keys])
+    bracket_ref = ray.put((g_keys, g_lo, g_hi))
 
     def in_bracket(b: pa.Table) -> pa.Table:
-        br = ray.get(bracket_ref)
-        gs = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        keys, lo_a, hi_a = ray.get(bracket_ref)
+        gs = np.asarray(
+            b.column("o_orderpriority").to_numpy(zero_copy_only=False),
+            dtype=np.str_)  # unicode dtype → C-speed searchsorted
         bk = bucket_of(b.column("o_totalprice")
                        .to_numpy(zero_copy_only=False))
-        lo_b = np.array([br[g][0] for g in gs])
-        hi_b = np.array([br[g][1] for g in gs])
-        keep = (bk >= lo_b) & (bk <= hi_b)
+        gi = np.searchsorted(keys, gs)
+        keep = (bk >= lo_a[gi]) & (bk <= hi_a[gi])
         return b.filter(pa.array(keep))
 
     sliver = pa.concat_tables([t for t in ray.get(

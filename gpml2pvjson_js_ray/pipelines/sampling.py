@@ -318,3 +318,85 @@ ORDER BY pow((((doc_id * 2246822519) % 4294967296) + 1.0) / 4294967297.0,
              1.0 / greatest(n_chars, 1)) DESC, doc_id
 LIMIT 50
 """
+
+
+# -- deterministic epoch shuffle ----------------------------------------------
+
+def documents_epoch_shuffle(sf_dir: str, epoch: int = 1,
+                            n_buckets: int = 4096):
+    """Assign every document its position in a DETERMINISTIC epoch-`epoch`
+    training order — the reshuffle-each-epoch a trainer needs, computed
+    as data (reproducible, resumable, auditable) instead of an opaque
+    `random_shuffle()`: position = rank of the Knuth multiplicative
+    hash of (doc_id + epoch), doc_id tiebreak.
+
+    Global rank without a global sort-then-number: hash-value buckets
+    are CONTIGUOUS ranges of the shuffled order, so the two-pass prefix
+    scan of documents_concat_chunks applies verbatim — per-bucket
+    counts + exclusive scan give each bucket its global offset, then
+    `groupby(bucket).map_groups` ranks locally (sort by (h, doc_id) +
+    arange). At 100 TB size n_buckets so one bucket fits a worker;
+    the hash is uniform, so buckets are balanced by construction.
+    BIGINT caveat shared with the SQL oracle: (doc_id+epoch)·2654435761
+    must stay under 2^63 (doc_id < ~3.5e9); wrap to a uint64 hash
+    before that scale."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    mult = np.uint64(2654435761)
+    mod = np.uint64(2 ** 32)
+    width = (2 ** 32) // n_buckets
+
+    def h_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) + np.uint64(epoch)) * mult) % mod
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        bk = (h_of(b.column("doc_id").to_numpy()) // width) \
+            .astype(np.int64)
+        v, n = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(v),
+                         "n": pa.array(n.astype(np.int64))})
+
+    totals = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+    tt = pa.concat_tables(
+        [t for t in ray.get(totals.to_arrow_refs()) if len(t)])
+    order = pc.sort_indices(tt.column("bucket"))
+    buckets = tt.column("bucket").take(order).to_numpy()
+    counts = tt.column("n").take(order).to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offset_ref = ray.put((buckets, offsets))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        h = h_of(ids)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "h": pa.array(h.astype(np.int64)),
+                         "bucket": pa.array((h // width)
+                                            .astype(np.int64))})
+
+    def local_rank(df) -> "pa.Table":
+        bk, off = __import__("ray").get(offset_ref)
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        base = off[np.searchsorted(bk, df["bucket"].iloc[0])]
+        import pandas as pd
+        return pd.DataFrame({
+            "pos": base + np.arange(len(df), dtype=np.int64),
+            "doc_id": df["doc_id"].to_numpy()})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(local_rank, batch_format="pandas")
+            .sort("pos"))
+
+
+SQL_DOCUMENTS_EPOCH_SHUFFLE = """
+SELECT CAST(row_number() OVER (
+           ORDER BY ((doc_id + 1) * 2654435761) % 4294967296, doc_id)
+       - 1 AS BIGINT) AS pos,
+       doc_id
+FROM documents
+ORDER BY pos
+"""

@@ -1146,11 +1146,13 @@ def documents_ccnet_buckets(sf_dir: str):
     th = (scored.select_columns(["lang", "avg_logp"])
           .groupby("lang").map_groups(th_group, batch_format="pandas")
           .to_pandas().sort_values("lang"))
-    lang_keys = th["lang"].to_numpy()
+    lang_keys = np.asarray(th["lang"].to_numpy(), dtype=np.str_)
     t_lo, t_hi = th["t_lo"].to_numpy(), th["t_hi"].to_numpy()
 
     def assign(b: pa.Table) -> pa.Table:
-        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        langs = np.asarray(
+            b.column("lang").to_numpy(zero_copy_only=False),
+            dtype=np.str_)  # unicode dtype → C-speed searchsorted
         s = b.column("avg_logp").to_numpy()
         li = np.searchsorted(lang_keys, langs)
         bucket = np.where(s <= t_lo[li], "tail",

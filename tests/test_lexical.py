@@ -127,3 +127,61 @@ def test_dsir_weights_prefer_target_domain(ray_session, tmp_path):
            .set_index("doc_id")["log_weight"])
     assert min(out[0], out[1]) > max(out[2], out[3])
     assert out[0] > 0 and out[2] < 0
+
+
+def test_bpe_train_classic_merge_sequence(ray_session, tmp_path):
+    """Sennrich's low/lower/newest corpus: first merges must be
+    ('l','o') [count 5, lex tiebreak over ('o','w')], then
+    ('lo','w') [5], then ('e','r') [2, lex tiebreak over ('low','e')]."""
+    table = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["low low low", "lower lower", "newest"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [11, 11, 6],
+    })
+    d = tmp_path / "bpe"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from gpml2pvjson_js_ray.pipelines.lexical import documents_bpe_train
+    out = documents_bpe_train(str(d), n_merges=3).to_pandas()
+    assert list(zip(out["left"], out["right"], out["pair_count"])) == [
+        ("l", "o", 5), ("lo", "w", 5), ("e", "r", 2)]
+    assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_read_documents_three_formats_identical(ray_session, tmp_path):
+    """parquet, ndjson and csv inputs of the same corpus normalize to
+    byte-identical Datasets (n_chars derived where the format lacks
+    it), so every documents_* pipeline is format-agnostic."""
+    import json
+
+    import pandas as pd
+
+    from gpml2pvjson_js_ray.sources.formats import read_documents
+
+    rows = [
+        {"doc_id": 1, "text": "héllo world", "lang": "en", "source": "s1"},
+        {"doc_id": 2, "text": "zwei wörter", "lang": "de", "source": "s2"},
+    ]
+    base = pd.DataFrame(rows)
+    base["n_chars"] = base["text"].str.len()
+
+    pdir = tmp_path / "p"; pdir.mkdir()
+    base.to_parquet(str(pdir / "docs.parquet"), index=False)
+    jdir = tmp_path / "j"; jdir.mkdir()
+    with open(jdir / "docs.ndjson", "w") as fh:
+        for r in rows:  # no n_chars on purpose — must be derived
+            fh.write(json.dumps(r) + "\n")
+    cdir = tmp_path / "c"; cdir.mkdir()
+    base.drop(columns=["n_chars"]).to_csv(str(cdir / "docs.csv"),
+                                          index=False)
+
+    frames = {}
+    for name, d in [("parquet", pdir), ("ndjson", jdir), ("csv", cdir)]:
+        df = (read_documents(str(d)).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        frames[name] = df
+        assert df["n_chars"].tolist() == [11, 11], name  # unicode len
+    assert frames["parquet"].equals(frames["ndjson"])
+    assert frames["parquet"].equals(frames["csv"])
