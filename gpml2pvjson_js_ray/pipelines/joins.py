@@ -622,8 +622,19 @@ def top_large_quantity_orders(sf_dir: str, qty_threshold: float = 300.0,
                      b.column("total_qty"),
                      pa.scalar(float(qty_threshold)))),
                      batch_format="pyarrow"))
-    surv = pa.concat_tables(
-        [t for t in ray.get(per_order.to_arrow_refs()) if len(t)])
+    parts = [t for t in ray.get(per_order.to_arrow_refs()) if len(t)]
+    if not parts:
+        # no order clears the threshold: skip the orders/customer scan
+        # entirely and return a typed empty result (sort/limit over
+        # all-empty blocks would otherwise lose the schema)
+        return ray.data.from_arrow(pa.table(
+            {"c_name": pa.array([], pa.string()),
+             "o_custkey": pa.array([], pa.int64()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_totalprice": pa.array([], pa.float64()),
+             "total_qty": pa.array([], pa.float64())}))
+    surv = pa.concat_tables(parts)
     qty_ref = ray.put((surv.column("l_orderkey").combine_chunks(),
                        surv.column("total_qty").combine_chunks()))
 

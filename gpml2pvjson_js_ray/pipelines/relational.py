@@ -707,6 +707,8 @@ def documents_source_report(sf_dir: str):
                           Sum("chars", alias_name="chars"))
                .to_pandas())
 
+    import math
+
     rows = {"source": [], "n_docs": [], "avg_chars": [],
             "lang_entropy": []}
     for src, g in reduced.sort_values(["source", "lang"]) \
@@ -718,7 +720,6 @@ def documents_source_report(sf_dir: str):
         # explicit floor(x·1e4 + 0.5): chars/nd hits exact 4-dp
         # midpoints (e.g. nd=32 → …3125), where round() is half-even
         # but SQL is half-away — same fix as the quality-score ratios
-        import math
         rows["avg_chars"].append(
             math.floor(float(g["chars"].sum()) / float(nd) * 1e4 + 0.5)
             * 1e-4)

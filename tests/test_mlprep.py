@@ -292,3 +292,18 @@ def test_rich_churned_anti_join_planted(ray_session, tmp_path):
     assert list(out.index) == ["S2"]
     assert out.loc["S2", "n_custs"] == 1          # only c4
     assert out.loc["S2", "total_bal"] == 4.0
+
+
+def test_top_large_quantity_orders_empty_threshold(ray_session):
+    """An unreachable HAVING threshold yields an empty result with the
+    full output schema (the empty-concat path must not crash)."""
+    from gpml2pvjson_js_ray.pipelines.joins import top_large_quantity_orders
+
+    out = top_large_quantity_orders("/root/testdata/sf0.001",
+                                    qty_threshold=1e9)
+    assert out.count() == 0
+    # NB: Ray's to_pandas() drops columns on zero-row datasets, so the
+    # schema check must read the Dataset schema, not the DataFrame
+    assert sorted(out.schema().names) == sorted([
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty"])
