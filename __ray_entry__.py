@@ -231,6 +231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _join_query("top_large_quantity_orders"),
         "rich_churned_by_segment": _join_query("rich_churned_by_segment"),
         "late_orders_by_priority": _join_query("late_orders_by_priority"),
+        "promo_revenue_share": _join_query("promo_revenue_share"),
+        "top_revenue_suppliers": _join_query("top_revenue_suppliers"),
+        "small_quantity_revenue": _join_query("small_quantity_revenue"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -423,6 +426,9 @@ def oracle_sql() -> dict[str, str]:
             joins.SQL_TOP_LARGE_QUANTITY_ORDERS,
         "rich_churned_by_segment": joins.SQL_RICH_CHURNED_BY_SEGMENT,
         "late_orders_by_priority": joins.SQL_LATE_ORDERS_BY_PRIORITY,
+        "promo_revenue_share": joins.SQL_PROMO_REVENUE_SHARE,
+        "top_revenue_suppliers": joins.SQL_TOP_REVENUE_SUPPLIERS,
+        "small_quantity_revenue": joins.SQL_SMALL_QUANTITY_REVENUE,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

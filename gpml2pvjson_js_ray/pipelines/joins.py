@@ -817,3 +817,216 @@ WHERE max_ship > o_orderdate + INTERVAL 200 DAY
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# -- Q14 shape: promo revenue share (conditional-aggregate ratio) ------------
+
+def promo_revenue_share(sf_dir: str, promo_type: str = "PROMO",
+                        ship_lo: str = "1996-01-01T00:00:00",
+                        ship_hi: str = "1996-04-01T00:00:00"):
+    """Share of window revenue coming from promo-typed parts — the
+    TPC-H Q14 CASE-WHEN-ratio shape.
+
+    Scale plan: part is the dimension side, broadcast ONCE as a
+    partkey→p_type probe (ray.put, zero-copy read in every task); the
+    lineitem scan folds each block to a single (promo_rev, total_rev)
+    partial row, so the only exchange is a ≤#blocks-row aggregate. The
+    ratio is computed on the driver from two scalars. No shuffle of
+    lineitem ever happens."""
+    from ray.data.aggregate import Sum
+
+    ptype = _broadcast_kv(_read(sf_dir, "part", ["p_partkey", "p_type"]),
+                          "p_partkey", "p_type")
+    attach_type = _make_attach(ptype, "l_partkey", "p_type")
+    lo, hi = _ts(ship_lo), _ts(ship_hi)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        b = attach_type(b)
+        # inner-join semantics: drop lineitems whose partkey is absent
+        b = b.filter(pc.is_valid(b.column("p_type")))
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        is_promo = pc.equal(b.column("p_type"), pa.scalar(promo_type))
+        promo = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0.0)))
+        total = pc.sum(rev)
+        return pa.table({
+            "promo": pa.array([promo.as_py() or 0.0], pa.float64()),
+            "total": pa.array([total.as_py() or 0.0], pa.float64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("promo", alias_name="promo"),
+                      Sum("total", alias_name="total")))
+    pct = 100.0 * float(agg["promo"]) / float(agg["total"])
+    return pa.table({"promo_revenue_pct":
+                     pa.array([round(pct, 4)], pa.float64())})
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT ROUND(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+# -- Q15 shape: top revenue supplier (global-max semi-filter) -----------------
+
+def top_revenue_suppliers(sf_dir: str,
+                          ship_lo: str = "1996-01-01T00:00:00",
+                          ship_hi: str = "1996-07-01T00:00:00"):
+    """Supplier(s) with the maximum window revenue — the TPC-H Q15
+    view + scalar-max shape (ties all surface, like the SQL).
+
+    Scale plan: lineitem folds per block to (suppkey, revenue) partials
+    before the only exchange, a supplier-cardinality groupby (dimension
+    -sized, tiny next to lineitem). Revenue is rounded to 2dp BEFORE the
+    max compare on both engines so summation order can't flip the
+    argmax. The global max is one scalar aggregate; the winner filter
+    and s_name attach run as broadcast probes."""
+    from ray.data.aggregate import Max, Sum
+
+    lo, hi = _ts(ship_lo), _ts(ship_hi)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        t = pa.table({
+            "l_suppkey": b.column("l_suppkey"),
+            "rev": pc.multiply(b.column("l_extendedprice"),
+                               pc.subtract(pa.scalar(1.0),
+                                           b.column("l_discount")))})
+        return (pa.TableGroupBy(t, ["l_suppkey"])
+                .aggregate([("rev", "sum")])
+                .rename_columns(["l_suppkey", "total_revenue"]))
+
+    rev = (_read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("l_suppkey")
+           .aggregate(Sum("total_revenue", alias_name="total_revenue"))
+           .map_batches(lambda b: _round_col(b, "total_revenue", 2),
+                        batch_format="pyarrow"))
+
+    best = float(rev.aggregate(Max("total_revenue"))["max(total_revenue)"])
+    sname = _broadcast_kv(_read(sf_dir, "supplier",
+                                ["s_suppkey", "s_name"]),
+                          "s_suppkey", "s_name")
+    attach_name = _make_attach(sname, "l_suppkey", "s_name")
+
+    def winners(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("total_revenue"),
+                              pa.scalar(best)))
+        b = attach_name(b)
+        return pa.table({"s_suppkey": b.column("l_suppkey"),
+                         "s_name": b.column("s_name"),
+                         "total_revenue": b.column("total_revenue")})
+
+    return (rev.map_batches(winners, batch_format="pyarrow")
+            .sort("s_suppkey"))
+
+
+SQL_TOP_REVENUE_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-07-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# -- Q17 shape: small-quantity revenue (per-key scalar subquery) --------------
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#13",
+                           qty_frac: float = 0.2):
+    """Weekly-averaged revenue that would be lost by dropping orders of
+    less than `qty_frac` × the part's average quantity, for one brand —
+    the TPC-H Q17 correlated-scalar-subquery shape, decorrelated.
+
+    Scale plan: the correlated `avg(l_quantity) WHERE l_partkey = p`
+    decorrelates into one per-partkey (sum, count) rollup. The brand
+    filter makes the part set dimension-small BY CONSTRUCTION, so the
+    per-part thresholds broadcast via ray.put and the second lineitem
+    pass is a pure map: probe threshold, compare, fold to one partial
+    per block. Both lineitem passes are brand-prefiltered by the same
+    broadcast key set — neither ever shuffles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    bkeys = pa.array(
+        sorted(part.loc[part["p_brand"] == brand, "p_partkey"]),
+        pa.int64())
+    bkeys_ref = ray.put(bkeys)
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(bkeys_ref)
+        b = b.filter(pc.is_in(b.column("l_partkey"), value_set=keys))
+        t = pa.table({"l_partkey": b.column("l_partkey"),
+                      "qty": b.column("l_quantity"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["l_partkey"])
+                .aggregate([("qty", "sum"), ("one", "sum")])
+                .rename_columns(["l_partkey", "sum_qty", "n"]))
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    per_part = (_read(sf_dir, "lineitem", li_cols)
+                .map_batches(qty_partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                           Sum("n", alias_name="n")))
+    pp = pa.concat_tables(
+        [t for t in ray.get(per_part.to_arrow_refs()) if len(t)])
+    thr = pc.multiply(pc.divide(pp.column("sum_qty").cast(pa.float64()),
+                                pp.column("n").cast(pa.float64())),
+                      pa.scalar(float(qty_frac)))
+    thr_ref = ray.put((pp.column("l_partkey").combine_chunks(),
+                       thr.combine_chunks()))
+
+    def loss_partial(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(thr_ref)
+        col = b.column("l_partkey").combine_chunks()
+        if col.type != keys.type:
+            col = col.cast(keys.type)
+        idx = pc.index_in(col, value_set=keys)
+        limit = vals.take(idx)
+        keep = pc.and_(pc.is_valid(limit),
+                       pc.less(b.column("l_quantity").cast(pa.float64()),
+                               limit))
+        s = pc.sum(pc.if_else(keep, b.column("l_extendedprice"),
+                              pa.scalar(0.0)))
+        return pa.table({"loss":
+                         pa.array([s.as_py() or 0.0], pa.float64())})
+
+    agg = (_read(sf_dir, "lineitem", li_cols)
+           .map_batches(loss_partial, batch_format="pyarrow")
+           .aggregate(Sum("loss", alias_name="loss")))
+    return pa.table({"avg_yearly": pa.array(
+        [round(float(agg["loss"]) / 7.0, 2)], pa.float64())})
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT ROUND(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
