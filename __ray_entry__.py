@@ -114,6 +114,38 @@ def _kg_pagerank(sf_dir: str):
     return graph.entity_pagerank(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_predicate_counts(sf_dir: str):
+    """Relation-type profile: per-predicate triple counts over the
+    adjacency rows (predicate-sized groupby after per-block partials);
+    DuckDB-cross-checked on identical rows in tests/test_graph.py."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.predicate_counts(_kg_pipeline_output("adjacency")(sf_dir))
+
+
+def _kg_pso_dir(sf_dir: str) -> str:
+    """Run the pipeline (manifest-cached) and build the PSO secondary
+    index next to its adjacency output (built once, sidecar-gated)."""
+    import os
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.stages.adjacency import write_predicate_layout
+    path = kg.pages_path_for_sf(sf_dir)
+    out = f"/tmp/gpml2pvjson_kgq_{os.path.basename(path)}"
+    kg.run_kg_pipeline(path, out)
+    pso = os.path.join(out, "pso")
+    if not os.path.exists(os.path.join(pso, "_pso_layout.json")):
+        write_predicate_layout(os.path.join(out, "adjacency"), pso)
+    return pso
+
+
+def _kg_predicate_edges(sf_dir: str):
+    """Predicate point lookup over the PSO secondary layout — reads
+    ONLY the pred-hash bucket the sidecar points at; full-scan equality
+    pinned in tests/test_graph.py."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.predicate_edges_from_layout(_kg_pso_dir(sf_dir))
+
+
 def _join_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import joins
@@ -384,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degrees": _kg_degrees,
         "kg_entity_pagerank": _kg_pagerank,
         "kg_two_hop_neighborhood": _kg_two_hop,
+        "kg_predicate_counts": _kg_predicate_counts,
+        "kg_predicate_edges": _kg_predicate_edges,
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }

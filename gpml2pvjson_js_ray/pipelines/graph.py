@@ -635,3 +635,84 @@ def two_hop_from_adjacency(adj_dir: str, seed: str | None = None,
         frontier = new
     return pa.table({"entity": pa.array(out_entities, pa.string()),
                      "hop": pa.array(out_hops, pa.int64())})
+
+
+def predicate_counts(adjacency):
+    """Per-predicate triple counts over the adjacency rows — the KG's
+    relation-type profile (what a schema/ontology report reads first,
+    and the skew signal that sizes the PSO index's hot buckets).
+
+    Scale shape: predicate cardinality is tiny (dozens-hundreds) next
+    to triples, so each block folds to ≤|preds| partial rows and the
+    only exchange is a predicate-sized groupby. DuckDB cross-check on
+    identical rows in tests/test_graph.py."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"pred": b.column("pred"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, "pred").aggregate([("one", "sum")])
+                .rename_columns(["pred", "n_triples"]))
+
+    return (adjacency.map_batches(partial, batch_format="pyarrow")
+            .groupby("pred")
+            .aggregate(Sum("n_triples", alias_name="n_triples"))
+            .sort("n_triples", descending=True))
+
+
+def predicate_edges_from_layout(pso_dir: str, predicate: str | None = None):
+    """All (subj, obj) edges of ONE predicate, reading ONLY the
+    pred-hash partition the PSO layout sidecar points at — the
+    predicate-driven point lookup the secondary index exists for
+    (write_predicate_layout). I/O = one bucket ≈ that predicate's edge
+    share, never the table. Full-scan equality pinned in
+    tests/test_graph.py."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from ..stages.exchange import hash_rows_mod
+
+    with open(os.path.join(pso_dir, "_pso_layout.json")) as fh:
+        layout = json.load(fh)
+    n_buckets = int(layout["num_buckets"])
+
+    if predicate is None:
+        # deterministic default: min predicate in the first non-empty
+        # bucket (one partition's single-column metadata-cheap read)
+        import pyarrow.parquet as pq
+        for k in range(n_buckets):
+            d = os.path.join(pso_dir, f"pred_bucket={k}")
+            if not os.path.isdir(d):
+                continue
+            parts = [os.path.join(d, n) for n in sorted(os.listdir(d))
+                     if n.endswith(".parquet")]
+            cols = [pq.read_table(f, columns=["pred"]) for f in parts]
+            t = pa.concat_tables(cols) if cols else None
+            if t is not None and t.num_rows:
+                predicate = pc.min(t.column("pred")).as_py()
+                break
+        if predicate is None:
+            return rd.from_arrow(pa.table(
+                {"canonical_subj": pa.array([], pa.string()),
+                 "pred": pa.array([], pa.string()),
+                 "canonical_obj": pa.array([], pa.string())}))
+
+    probe = int(hash_rows_mod(
+        pa.table({"pred": pa.array([predicate])}), ["pred"], n_buckets)[0])
+    d = os.path.join(pso_dir, f"pred_bucket={probe}")
+    files = [os.path.join(d, n) for n in sorted(os.listdir(d))
+             if n.endswith(".parquet")] if os.path.isdir(d) else []
+    if not files:
+        return rd.from_arrow(pa.table(
+            {"canonical_subj": pa.array([], pa.string()),
+             "pred": pa.array([], pa.string()),
+             "canonical_obj": pa.array([], pa.string())}))
+    want = pa.scalar(predicate)
+    return (rd.read_parquet(files, columns=["canonical_subj", "pred",
+                                            "canonical_obj"])
+            .map_batches(lambda b: b.filter(
+                pc.equal(b.column("pred"), want)),
+                batch_format="pyarrow")
+            .sort(["canonical_subj", "canonical_obj"]))

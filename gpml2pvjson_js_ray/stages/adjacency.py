@@ -196,3 +196,55 @@ def write_adjacency_deduped(linked_ds, out_dir: str,
     traversal instead)."""
     spec = adjacency_exchange_spec(out_dir, num_buckets, hot_subjects)
     return sum(shuffle_reduce(linked_ds, **spec))
+
+
+def write_predicate_layout(adj_dir: str, out_dir: str,
+                           num_buckets: int | None = None) -> int:
+    """Secondary PSO index: re-partition the (already deduped) adjacency
+    rows by predicate-hash bucket so predicate-driven queries ("all
+    edges with pred P") read ONE partition instead of scanning the
+    subject-clustered primary layout.
+
+    Layout choice: partitioning by predicate VALUE would hive-encode
+    arbitrary IRIs into paths and make one unbounded directory per hot
+    predicate; hashing to `num_buckets` with a `_pso_layout.json`
+    sidecar keeps the probe computable without scanning (mirror of the
+    subject layout's sidecar contract). Predicate skew is inherent to a
+    PSO index — a hot predicate's bucket is simply that predicate's
+    edge set, which any consumer of it must read anyway; Ray's
+    write_parquet emits one file per producing block into each
+    partition dir, so the hot bucket stays readable in parallel.
+
+    Returns the number of rows written. Streaming end-to-end: read →
+    one map_batches (vectorized bucket hash) → partitioned write."""
+    import json
+
+    import ray.data as rd
+
+    files = []
+    for root, _dirs, names in os.walk(adj_dir):
+        files += [os.path.join(root, n) for n in names
+                  if n.endswith(".parquet")]
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(multiple=2)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_pso_layout.json"), "w") as fh:
+        json.dump({"num_buckets": num_buckets, "key": "pred"}, fh)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["pred"], num_buckets)
+        return b.append_column("pred_bucket",
+                               pa.array(ids, type=pa.int32()))
+
+    ds = rd.read_parquet(sorted(files)).map_batches(
+        add_bucket, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["pred_bucket"])
+    total = 0
+    for root, _dirs, names in os.walk(out_dir):
+        if "pred_bucket=" not in root:
+            continue
+        import pyarrow.parquet as pq
+        for n in names:
+            if n.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, n)).num_rows
+    return total

