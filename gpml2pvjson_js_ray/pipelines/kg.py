@@ -37,7 +37,12 @@ _xref_ref_cache = None
 
 def pages_path_for_sf(sf_dir: str, seed: int = SEED) -> str:
     """Deterministic synthetic pages corpus sized to match the driver's
-    sf directory naming; cached under /tmp."""
+    sf directory naming; cached under /tmp. GRAFT_N_PAGES overrides the
+    size for corpus-scaling probes (e.g. the 2× amortization runs in
+    BASELINE.md) without touching the sf naming contract."""
+    override = os.environ.get("GRAFT_N_PAGES")
+    if override:
+        return pages_path(int(override), seed)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_pages = SF_TO_N_PAGES.get(sf_name, 2400)
     return pages_path(n_pages, seed)

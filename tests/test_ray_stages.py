@@ -1090,3 +1090,19 @@ def test_media_frame_features_composed(ray_session):
     assert "stub" not in set(df["decoder"])
     assert df["feature"].map(len).eq(FEATURE_DIM).all()
     assert df["media_id"].str.contains("#f").all()
+
+
+def test_pages_path_n_pages_override(monkeypatch):
+    """GRAFT_N_PAGES redirects the corpus size for scaling probes
+    without touching the sf-name mapping (both sizes here are tiny
+    and already cached, so the call is cheap)."""
+    import os
+
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    monkeypatch.delenv("GRAFT_N_PAGES", raising=False)
+    default = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    assert "n240_" in os.path.basename(default)
+    monkeypatch.setenv("GRAFT_N_PAGES", "120")
+    override = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    assert "n120_" in os.path.basename(override)
