@@ -114,6 +114,40 @@ def _kg_pagerank(sf_dir: str):
     return graph.entity_pagerank(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_jsonld(sf_dir: str):
+    """JSON-LD materialization as data (north-star: 'materialize the
+    graph as JSON-LD with the reference's @context'): per converted doc,
+    the serialized size and whether the reference @context IRI is
+    present — computed vectorized (polars str kernels) over the pvjson
+    column, never parsing JSON per row. The byte stream itself is the
+    CLI `jsonld` sink (tests/test_cli.py); this entry makes the
+    materialization driver-checkable."""
+    import pyarrow as pa
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.stages.exchange import polars_capped
+
+    path = kg.pages_path_for_sf(sf_dir)
+    docs = kg.docs_dataset(kg.read_pages(path))
+
+    def stats(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = pl.from_arrow(b.select(["doc_id", "pvjson", "error"]))
+        df = df.filter((pl.col("error") == "") & (pl.col("pvjson") != ""))
+        out = df.select(
+            pl.col("doc_id"),
+            jsonld_bytes=pl.col("pvjson").str.len_bytes().cast(pl.Int64),
+            has_context=pl.col("pvjson").str.contains(
+                "wikipathways/WpVocabularies", literal=True),
+        )
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.string()),
+            ("jsonld_bytes", pa.int64()),
+            ("has_context", pa.bool_())]))
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def _kg_predicate_counts(sf_dir: str):
     """Relation-type profile: per-predicate triple counts over the
     adjacency rows (predicate-sized groupby after per-block partials);
@@ -418,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop_neighborhood": _kg_two_hop,
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_predicate_edges": _kg_predicate_edges,
+        "kg_jsonld_stats": _kg_jsonld,
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }

@@ -1106,3 +1106,19 @@ def test_pages_path_n_pages_override(monkeypatch):
     monkeypatch.setenv("GRAFT_N_PAGES", "120")
     override = kg.pages_path_for_sf("/root/testdata/sf0.001")
     assert "n120_" in os.path.basename(override)
+
+
+def test_kg_jsonld_stats_all_have_context(ray_session):
+    """Every successfully converted doc's JSON-LD carries the reference
+    @context IRI, and the stats view covers all of them (north-star
+    materialization check, driver-visible as kg_jsonld_stats)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    df = m.queries()["kg_jsonld_stats"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    assert len(df) > 0
+    assert bool(df["has_context"].all())
+    assert int(df["jsonld_bytes"].min()) > 2
