@@ -12,6 +12,11 @@ ONE JSON line:
 --scaling: runs the headline pipeline twice in fresh processes
 (num_cpus=8 then 32) on the SAME input and reports both throughputs plus
 scaling efficiency (N vs 4N stand-in for cluster sizes, BASELINE.md).
+
+--amortization: per CPU level, runs the headline at TWO corpus sizes in
+one process and differences the walls — per-job fixed costs cancel, so
+the reported marginal scaling efficiency is the asymptotic (long-run /
+100 TB) quantity the criterion models, separated from job overhead.
 """
 
 from __future__ import annotations
@@ -222,6 +227,101 @@ def run_scaling() -> dict:
     }
 
 
+def run_amort_child() -> dict:
+    """Child body for --amortization: run the headline pipeline at TWO
+    corpus sizes inside ONE Ray session (same process, same host
+    window), best-of-2 each, so the parent can difference the walls and
+    cancel every per-job fixed cost (driver/executor startup, warmup,
+    barriers) that a single-size run conflates with per-byte work."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    sizes = [int(x) for x in
+             os.environ["BENCH_AMORT_SIZES"].split(",")]
+    kg.get_xref_ref()
+    warm_dir = f"/tmp/bench_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    kg.run_kg_pipeline(kg.pages_path(240), warm_dir)
+
+    out_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    per_size = {}
+    for n in sizes:
+        pages_dir = kg.pages_path(n)  # cached; generation untimed
+        kg.read_pages(pages_dir).count()  # page-cache warm
+        out_dir = f"{out_root}/bench_amort_{n}_{NUM_CPUS}"
+        trials, stats = [], None
+        for _ in range(TRIALS):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            stats = kg.run_kg_pipeline(pages_dir, out_dir)
+            trials.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        per_size[n] = {"sec": min(trials), "trials": trials,
+                       "triples": stats.get("triples", 0)}
+    ray.shutdown()
+    return {"num_cpus": NUM_CPUS, "sizes": per_size}
+
+
+def run_amortization() -> dict:
+    """Marginal (per-byte) scaling efficiency: the criterion's
+    asymptotic quantity, measured by differencing two corpus sizes
+    inside the same process per CPU level.
+
+    eff_raw at one size = (thr_hi/thr_lo)/(hi/lo) includes each job's
+    FIXED latency share, which shrinks with corpus size (BASELINE.md
+    corpus-amortization series). Differencing the walls of a 1× and 2×
+    corpus measured back-to-back in the SAME Ray session cancels that
+    share exactly:  eff_marginal = (ΔT_lo / ΔT_hi) / (hi/lo)  — the
+    efficiency an arbitrarily long run converges to on this host, still
+    bracketed by the same pure-CPU ladder."""
+    lo, hi = (int(x) for x in
+              os.environ.get("BENCH_LADDER", "6,24").split(","))
+    sizes = os.environ.get("BENCH_AMORT_SIZES", "384000,768000")
+    n1, n2 = (int(x) for x in sizes.split(","))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_AMORT_SIZES=sizes, BENCH_TRIALS=str(TRIALS))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--amort-child"],
+            env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"amort child (num_cpus={ncpu}) failed:\n"
+                + proc.stderr[-4000:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    ceil_before = _cpu_ladder(lo, hi)
+    r_lo = run(lo)
+    r_hi = run(hi)
+    ceil_after = _cpu_ladder(lo, hi)
+    d_lo = r_lo["sizes"][str(n2)]["sec"] - r_lo["sizes"][str(n1)]["sec"]
+    d_hi = r_hi["sizes"][str(n2)]["sec"] - r_hi["sizes"][str(n1)]["sec"]
+    eff = (d_lo / d_hi) / (hi / lo) if d_hi > 0 else 0.0
+    ceiling = (ceil_before + ceil_after) / 2.0
+    return {
+        "metric": "marginal_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "host_ceiling": round(ceiling, 3),
+        "host_ceiling_before": round(ceil_before, 3),
+        "host_ceiling_after": round(ceil_after, 3),
+        "value_normalized": round(eff / ceiling, 3) if ceiling else None,
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sizes": [n1, n2],
+        f"walls_{lo}": r_lo["sizes"],
+        f"walls_{hi}": r_hi["sizes"],
+        "delta_sec_lo": round(d_lo, 3),
+        "delta_sec_hi": round(d_hi, 3),
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+    }
+
+
 def run_stats() -> None:
     """Print ds.stats() for the linked-triples pipeline — per-stage
     wall/cpu breakdown used to confirm wall time is dominated by useful
@@ -243,5 +343,9 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--amortization" in sys.argv:
+        print(json.dumps(run_amortization()))
+    elif "--amort-child" in sys.argv:
+        print(json.dumps(run_amort_child()))
     else:
         print(json.dumps(run_bench()))
