@@ -249,20 +249,26 @@ def run_amort_child() -> dict:
     kg.run_kg_pipeline(kg.pages_path(240), warm_dir)
 
     out_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    per_size = {}
-    for n in sizes:
-        pages_dir = kg.pages_path(n)  # cached; generation untimed
-        kg.read_pages(pages_dir).count()  # page-cache warm
-        out_dir = f"{out_root}/bench_amort_{n}_{NUM_CPUS}"
-        trials, stats = [], None
-        for _ in range(TRIALS):
+    per_size = {n: {"trials": [], "triples": 0} for n in sizes}
+    for n in sizes:  # warm page cache for BOTH corpora up front
+        kg.read_pages(kg.pages_path(n)).count()
+    # trials INTERLEAVE across sizes (1×,2×,1×,2×): a window drifting
+    # mid-child then hits both sizes, not whichever ran second — the
+    # differenced ΔT is far more drift-sensitive than a single wall
+    # (observed ±35% swings when the sizes ran as adjacent blocks)
+    for _trial in range(TRIALS):
+        for n in sizes:
+            pages_dir = kg.pages_path(n)
+            out_dir = f"{out_root}/bench_amort_{n}_{NUM_CPUS}"
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
             stats = kg.run_kg_pipeline(pages_dir, out_dir)
-            trials.append(round(time.perf_counter() - t0, 3))
-        shutil.rmtree(out_dir, ignore_errors=True)
-        per_size[n] = {"sec": min(trials), "trials": trials,
-                       "triples": stats.get("triples", 0)}
+            per_size[n]["trials"].append(
+                round(time.perf_counter() - t0, 3))
+            per_size[n]["triples"] = stats.get("triples", 0)
+            shutil.rmtree(out_dir, ignore_errors=True)
+    for n in sizes:
+        per_size[n]["sec"] = min(per_size[n]["trials"])
     ray.shutdown()
     return {"num_cpus": NUM_CPUS, "sizes": per_size}
 
