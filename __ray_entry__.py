@@ -264,6 +264,13 @@ def _lexical_query(fn_name):
     return q
 
 
+def _maintenance_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import maintenance
+        return getattr(maintenance, fn_name)(sf_dir)
+    return q
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from gpml2pvjson_js_ray.pipelines import relational as rel
     from gpml2pvjson_js_ray.pipelines import textops, simops
@@ -423,6 +430,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_batch_cosine_topk":
             simops.embeddings_batch_cosine_topk,
         "documents_related_topk": simops.documents_related_topk,
+        "embeddings_mmr_top10": simops.embeddings_mmr_top10,
+        # table maintenance (compaction lossless by SQL oracle; diff oracled)
+        "documents_compact": _maintenance_query("documents_compact"),
+        "documents_snapshot_diff":
+            _maintenance_query("documents_snapshot_diff"),
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
@@ -466,7 +478,11 @@ def oracle_sql() -> dict[str, str]:
                                               windows)
     from gpml2pvjson_js_ray.pipelines import relational as rel
 
+    from gpml2pvjson_js_ray.pipelines import maintenance
+
     return {
+        "documents_compact": maintenance.SQL_DOCUMENTS_COMPACT,
+        "documents_snapshot_diff": maintenance.SQL_DOCUMENTS_SNAPSHOT_DIFF,
         "documents_langid": textops.SQL_DOCUMENTS_LANGID,
         "documents_ngram_jaccard": textops.SQL_DOCUMENTS_NGRAM_JACCARD,
         "lineitem_pricing_summary": rel.SQL_LINEITEM_PRICING_SUMMARY,

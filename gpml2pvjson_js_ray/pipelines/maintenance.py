@@ -1,0 +1,201 @@
+"""Table-maintenance operators: small-file compaction and snapshot diff.
+
+Beyond-reference extensions (SURVEY.md §2): the two jobs every long-lived
+100-TB parquet lake needs between processing runs.
+
+`compact_parquet` is the small-file coalescing pass: a crawl that
+checkpoints write-through (stages/convert.py) or resumes often leaves
+thousands of KB-scale files; readers then pay per-file open/stat costs
+that dwarf the scan. Compaction re-blocks the table to a byte-size
+target computed from file METADATA only (no data read on the driver),
+streams the rows through a shuffle-free `repartition`, and publishes
+atomically (tmp dir + rename — same contract as the ANN index builders
+in pipelines/simops.py), so a crashed compaction never corrupts the
+live table and a concurrent reader sees old or new, never half.
+
+`documents_snapshot_diff` is the snapshot-to-snapshot change report
+(added / deleted / changed row keys) that incremental pipelines use to
+scope work. The second snapshot is DERIVED deterministically from the
+first (modular arithmetic on doc_id — no external data, same rule the
+DuckDB oracle applies), and the diff itself is the scale shape that
+matters: tag each side, union, hash-bucket by key so ONE exchange
+co-locates both versions of every key, classify vectorized per bucket.
+Never a driver-side anti-join, never a full sort.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+_COMPACT_ROOT = "/tmp/gpml2pvjson_compact"
+
+# documents_snapshot_diff's deterministic second snapshot, shared with
+# the SQL oracle: delete doc_id%17==3, rewrite text of doc_id%13==1,
+# add a fresh doc (key offset +1000000) for doc_id%29==0.
+_DIFF_DEL_MOD, _DIFF_DEL_REM = 17, 3
+_DIFF_CHG_MOD, _DIFF_CHG_REM = 13, 1
+_DIFF_ADD_MOD, _DIFF_ADD_REM = 29, 0
+_DIFF_ADD_OFFSET = 1_000_000
+
+
+def compact_parquet(input_path: str, out_dir: str,
+                    target_bytes: int = 128 << 20) -> dict:
+    """Coalesce a parquet table into ~target_bytes files; returns a
+    manifest dict. Output block count is computed from input file sizes
+    (driver reads METADATA only), so the plan is fixed before any data
+    moves; `repartition(n)` without shuffle is a streaming split/merge,
+    not an all-to-all. Publish is atomic (write to `<out>.tmp`, rename);
+    if `out_dir` already exists it is reused as-is (content-addressed
+    caching is the caller's concern — key the dir by input + target)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    d = pads.dataset(input_path)
+    infos = d.filesystem.get_file_info(list(d.files))
+    input_bytes = sum(i.size for i in infos)
+    n_out = max(1, math.ceil(input_bytes / target_bytes))
+
+    if not os.path.isdir(out_dir):
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        rd.read_parquet(input_path).repartition(n_out).write_parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent winner
+
+    out_files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    return {
+        "out_dir": out_dir,
+        "n_input_files": len(infos),
+        "n_output_files": len(out_files),
+        "input_bytes": input_bytes,
+        "target_bytes": target_bytes,
+        "planned_output_files": n_out,
+    }
+
+
+def documents_compact(sf_dir: str, target_bytes: int = 256 << 10):
+    """Compact the documents table, then read the COMPACTED copy back and
+    return its full contents ordered by doc_id — the oracle equality
+    against a plain `SELECT … ORDER BY doc_id` over the ORIGINAL table is
+    the losslessness proof (every row, every column, bit-identical
+    through the rewrite)."""
+    import hashlib
+
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{target_bytes}".encode()).hexdigest()[:16]
+    out_dir = os.path.join(_COMPACT_ROOT, key)
+    os.makedirs(_COMPACT_ROOT, exist_ok=True)
+    compact_parquet(src, out_dir, target_bytes=target_bytes)
+    return (rd.read_parquet(out_dir)
+            .select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_COMPACT = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def documents_snapshot_diff(sf_dir: str, num_buckets: int = 32):
+    """Diff two table snapshots by key: (doc_id, change) with change in
+    {'added','deleted','changed'}; unchanged keys emit nothing.
+
+    Scale shape: each side is tagged with a version column; the union is
+    hash-bucketed on doc_id (vectorized `hash_rows_mod`) so a single
+    groupby exchange co-locates both versions of every key, and each
+    bucket classifies ALL its keys in one vectorized polars pass (counts
+    per version + text equality) — cost is one exchange over (key, text)
+    pairs regardless of corpus size, and the usual regime (tiny diff)
+    returns a tiny table. The second snapshot is derived from the first
+    by the deterministic rule in the module docstring."""
+    from ..stages.exchange import hash_rows_mod, polars_capped
+
+    import ray.data as rd
+
+    base = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def derive_v2(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        f = pl.from_arrow(b)
+        kept = (f.filter(pl.col("doc_id") % _DIFF_DEL_MOD != _DIFF_DEL_REM)
+                .with_columns(
+                    text=pl.when(pl.col("doc_id") % _DIFF_CHG_MOD
+                                 == _DIFF_CHG_REM)
+                    .then(pl.col("text") + pl.lit(" v2"))
+                    .otherwise(pl.col("text"))))
+        added = (f.filter(pl.col("doc_id") % _DIFF_ADD_MOD == _DIFF_ADD_REM)
+                 .with_columns(
+                     doc_id=pl.col("doc_id") + _DIFF_ADD_OFFSET,
+                     text=pl.lit("new ") + pl.col("text")))
+        return pl.concat([kept, added]).to_arrow().cast(b.schema)
+
+    def tag(version: int):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.append_column(
+                "version", pa.array(np.full(b.num_rows, version,
+                                            dtype=np.int8)))
+            return b.append_column(
+                "bucket",
+                pa.array(hash_rows_mod(b, ["doc_id"], num_buckets)))
+        return fn
+
+    v0 = base.map_batches(tag(0), batch_format="pyarrow")
+    v1 = (base.map_batches(derive_v2, batch_format="pyarrow")
+          .map_batches(tag(1), batch_format="pyarrow"))
+
+    def classify(g: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        f = pl.from_arrow(g.select(["doc_id", "text", "version"]))
+        agg = (f.group_by("doc_id").agg(
+            t0=pl.col("text").filter(pl.col("version") == 0).first(),
+            n0=(pl.col("version") == 0).sum(),
+            t1=pl.col("text").filter(pl.col("version") == 1).first(),
+            n1=(pl.col("version") == 1).sum()))
+        out = (agg.with_columns(
+            change=pl.when(pl.col("n0") == 0).then(pl.lit("added"))
+            .when(pl.col("n1") == 0).then(pl.lit("deleted"))
+            .when(pl.col("t0") != pl.col("t1")).then(pl.lit("changed"))
+            .otherwise(pl.lit(None)))
+            .drop_nulls("change").select("doc_id", "change"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("change", pa.string())]))
+
+    return (v0.union(v1)
+            .groupby("bucket")
+            .map_groups(classify, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_SNAPSHOT_DIFF = f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_DIFF_CHG_MOD} = {_DIFF_CHG_REM}
+              THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % {_DIFF_DEL_MOD} <> {_DIFF_DEL_REM}
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET} AS doc_id, 'new ' || text AS text
+  FROM documents WHERE doc_id % {_DIFF_ADD_MOD} = {_DIFF_ADD_REM}
+),
+j AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, b.text AS t0, v.text AS t1
+  FROM documents b FULL OUTER JOIN v2 v ON b.doc_id = v.doc_id
+)
+SELECT doc_id,
+       CASE WHEN t0 IS NULL THEN 'added'
+            WHEN t1 IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change
+FROM j WHERE t0 IS NULL OR t1 IS NULL OR t0 <> t1
+ORDER BY doc_id
+"""

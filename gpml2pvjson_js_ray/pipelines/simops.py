@@ -871,3 +871,82 @@ ranked AS (
 SELECT query_id, vec_id, rank, sim FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+
+def embeddings_mmr_top10(sf_dir: str, query_id: int = 0, k: int = 10,
+                         lam: float = 0.7, m: int = 50):
+    """Maximal-marginal-relevance diversified top-k retrieval
+    (Carbonell & Goldstein 1998): rerank the exact cosine top-m
+    candidate pool so each pick maximizes
+    lam*sim(q,d) - (1-lam)*max_{s in selected} sim(d,s).
+
+    Scale shape: the corpus pass is the SAME exact partial-top-k scan
+    as embeddings_batch_cosine_topk (broadcast query, per-block matmul,
+    per-block top-m cut on the 6-dp-rounded sim with vec_id tiebreak),
+    carrying candidate EMBEDDINGS along so the rerank needs no second
+    corpus read; the greedy selection is inherently sequential in k but
+    runs over only m rows (constant, independent of corpus size) inside
+    one final map_groups. Output: (rank, vec_id, sim, mmr_score).
+    No SQL oracle (iterative greedy selection); planted-corpus pytest
+    pins the diversity behavior and the sim ordering."""
+    import ray
+    import pyarrow.dataset as pads
+
+    q_tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(filter=pads.field("vec_id") == query_id,
+                  columns=["embedding"])
+    _, q_mat = _emb_matrix(q_tbl.add_column(
+        0, "vec_id", pa.array([query_id], type=pa.int64())))
+    q_unit = q_mat[0] / (np.linalg.norm(q_mat[0]) or 1.0)
+    ref = ray.put(q_unit)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ _ray.get(ref), 6)
+        keep = np.flatnonzero(ids != query_id)
+        order = keep[np.lexsort((ids[keep], -sims[keep]))[:m]]
+        out = b.select(["vec_id", "embedding"]).take(pa.array(order))
+        out = out.append_column("sim", pa.array(sims[order],
+                                                type=pa.float64()))
+        return out.append_column(
+            "g", pa.array(np.zeros(len(order), dtype=np.int8)))
+
+    def mmr_group(g: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(g)
+        sims = g.column("sim").to_numpy(zero_copy_only=False)
+        cut = np.lexsort((ids, -sims))[:m]  # global top-m from block partials
+        ids, mat, sims = ids[cut], mat[cut], sims[cut]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        pair = unit @ unit.T
+        n = len(ids)
+        picked = np.zeros(n, dtype=bool)
+        max_to_sel = np.zeros(n)
+        sel, scores = [], []
+        for _ in range(min(k, n)):
+            score = lam * sims - (1.0 - lam) * max_to_sel
+            score[picked] = -np.inf
+            # argmax with vec_id tiebreak: smallest id among maxima
+            best_score = score.max()
+            cand = np.flatnonzero(score == best_score)
+            best = cand[np.argmin(ids[cand])]
+            sel.append(best)
+            scores.append(best_score)
+            picked[best] = True
+            max_to_sel = np.maximum(max_to_sel, pair[:, best])
+        sel = np.asarray(sel)
+        return pa.Table.from_pydict({
+            "rank": pa.array(np.arange(1, len(sel) + 1), type=pa.int64()),
+            "vec_id": pa.array(ids[sel], type=pa.int64()),
+            "sim": pa.array(sims[sel], type=pa.float64()),
+            "mmr_score": pa.array(np.asarray(scores), type=pa.float64())})
+
+    return (_read_emb(sf_dir, ["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(mmr_group, batch_format="pyarrow")
+            .sort("rank"))

@@ -1,0 +1,120 @@
+"""Table maintenance: small-file compaction + snapshot diff + MMR rerank.
+
+The oracle equality of documents_compact / documents_snapshot_diff vs
+DuckDB runs in tests/test_oracles.py; these tests pin the parts SQL
+can't see — file-count coalescing, atomic publish, manifest contents,
+and the MMR diversity behavior on a planted corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gpml2pvjson_js_ray.pipelines import maintenance
+
+
+def test_compact_coalesces_small_files(ray_session, tmp_path):
+    src = tmp_path / "shards"
+    src.mkdir()
+    rows_per = 200
+    for i in range(20):  # 20 small files
+        t = pa.table({
+            "doc_id": pa.array(
+                np.arange(i * rows_per, (i + 1) * rows_per), pa.int64()),
+            "text": pa.array([f"doc {j} " + "x" * 50
+                              for j in range(i * rows_per,
+                                             (i + 1) * rows_per)])})
+        pq.write_table(t, src / f"part-{i:03d}.parquet")
+
+    sizes = [os.path.getsize(src / f) for f in os.listdir(src)]
+    target = sum(sizes) // 3  # aim for ~3 output files
+    out = str(tmp_path / "compacted")
+    manifest = maintenance.compact_parquet(str(src), out,
+                                           target_bytes=target)
+
+    assert manifest["n_input_files"] == 20
+    assert manifest["planned_output_files"] in (3, 4)
+    assert 1 <= manifest["n_output_files"] <= manifest[
+        "planned_output_files"] + 1
+    assert manifest["n_output_files"] < 20
+    # lossless: same rows, same content
+    before = pq.read_table(str(src)).sort_by("doc_id")
+    after = pq.read_table(out).select(
+        ["doc_id", "text"]).sort_by("doc_id")
+    assert after.equals(before.select(["doc_id", "text"]))
+    # no leftover tmp dir from the atomic publish
+    assert not os.path.exists(out + ".tmp")
+
+
+def test_compact_reuses_existing_output(ray_session, tmp_path):
+    src = tmp_path / "one"
+    src.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}),
+                   src / "a.parquet")
+    out = str(tmp_path / "c")
+    m1 = maintenance.compact_parquet(str(src), out)
+    marker = os.path.join(out, "marker")
+    open(marker, "w").close()
+    m2 = maintenance.compact_parquet(str(src), out)  # no rebuild
+    assert os.path.exists(marker)
+    assert m1["n_output_files"] == m2["n_output_files"]
+
+
+def _write_embeddings(path, vecs):
+    ids = pa.array(np.arange(len(vecs)), pa.int64())
+    emb = pa.array([list(map(float, v)) for v in vecs],
+                   type=pa.list_(pa.float32()))
+    pq.write_table(pa.table({"vec_id": ids, "embedding": emb}), path)
+
+
+def test_mmr_prefers_diverse_over_redundant(ray_session, tmp_path):
+    """Corpus: query q=e0; A and A' nearly identical and closest to q;
+    B moderately similar to q but orthogonal to A. Plain top-2 is
+    {A, A'}; MMR with lam=0.5 must pick A then B."""
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_mmr_top10
+
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    a = np.array([0.98, 0.17, 0.0, 0.0])   # sim ~0.985
+    a2 = np.array([0.97, 0.18, 0.0, 0.0])  # near-duplicate of a
+    b = np.array([0.55, 0.0, 0.83, 0.0])   # sim ~0.55, diverse
+    far = np.array([0.0, 0.0, 0.0, 1.0])
+    _write_embeddings(str(tmp_path / "embeddings.parquet"),
+                      [q, a, a2, b, far])
+
+    out = embeddings_mmr_top10(str(tmp_path), query_id=0, k=3,
+                               lam=0.5).to_pandas()
+    assert list(out["rank"]) == [1, 2, 3]
+    # A first (relevance argmax), then diverse B; the near-duplicate A'
+    # is pushed BELOW even the orthogonal doc (its redundancy penalty
+    # ~1.0 exceeds its relevance) — relevance-only top-3 would be
+    # A, A', B.
+    assert list(out["vec_id"]) == [1, 3, 4]
+    assert out["sim"].iloc[0] == pytest.approx(
+        float(np.dot(q, a) / np.linalg.norm(a)), abs=1e-5)
+    # mmr_score is non-increasing
+    assert (np.diff(out["mmr_score"]) <= 1e-12).all()
+
+    # relevance-dominant weighting restores the similarity ordering
+    out_hi = embeddings_mmr_top10(str(tmp_path), query_id=0, k=3,
+                                  lam=0.9).to_pandas()
+    assert list(out_hi["vec_id"]) == [1, 2, 3]  # A, A', then B
+
+
+def test_mmr_first_pick_is_relevance_argmax(ray_session, tmp_path):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(30, 8))
+    _write_embeddings(str(tmp_path / "embeddings.parquet"), vecs)
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_mmr_top10
+    out = embeddings_mmr_top10(str(tmp_path), query_id=0, k=5,
+                               lam=0.7).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = np.round(unit[1:] @ unit[0], 6)
+    assert out["vec_id"].iloc[0] == 1 + int(
+        np.lexsort((np.arange(1, 30), -sims))[0])
+    assert len(out) == 5
+    assert out["vec_id"].is_unique
