@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_compact": _maintenance_query("documents_compact"),
         "documents_snapshot_diff":
             _maintenance_query("documents_snapshot_diff"),
+        "documents_source_report_incremental":
+            _maintenance_query("documents_source_report_incremental"),
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
@@ -483,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "documents_compact": maintenance.SQL_DOCUMENTS_COMPACT,
         "documents_snapshot_diff": maintenance.SQL_DOCUMENTS_SNAPSHOT_DIFF,
+        # merged incremental state must equal the full one-shot report
+        "documents_source_report_incremental": rel.SQL_DOCUMENTS_SOURCE_REPORT,
         "documents_langid": textops.SQL_DOCUMENTS_LANGID,
         "documents_ngram_jaccard": textops.SQL_DOCUMENTS_NGRAM_JACCARD,
         "lineitem_pricing_summary": rel.SQL_LINEITEM_PRICING_SUMMARY,

@@ -199,3 +199,79 @@ SELECT doc_id,
 FROM j WHERE t0 IS NULL OR t1 IS NULL OR t0 <> t1
 ORDER BY doc_id
 """
+
+
+# documents_source_report_incremental's deterministic base/increment
+# split, shared with the reasoning in its docstring: the "previous
+# crawl" is doc_id % 5 != INC_REM, the "new batch" is the rest.
+_INC_MOD, _INC_REM = 5, 0
+_VIEW_ROOT = "/tmp/gpml2pvjson_matview"
+
+
+def documents_source_report_incremental(sf_dir: str):
+    """Incremental materialized-view maintenance for the per-source
+    report card: the base crawl's (source, lang) SUFFICIENT STATISTICS
+    (count + char-sum — associative, mergeable) are materialized once
+    to parquet; the new batch computes ONLY its own partials and one
+    tiny groupby merges state + delta before the driver-side finalize.
+    The base corpus is never re-read on update — the cost of refresh
+    is O(increment) plus an exchange bounded by |sources|×|langs|.
+
+    The DuckDB oracle is the PLAIN full-table source report
+    (SQL_DOCUMENTS_SOURCE_REPORT_INCREMENTAL == same query as
+    documents_source_report): merged-state == full-recompute is
+    exactly the correctness claim of incremental view maintenance.
+    Base/increment split is deterministic (doc_id % 5)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from .relational import source_report_finalize, source_report_partial
+    from ray.data.aggregate import Sum
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src_path)}|src_report|{_INC_MOD}|{_INC_REM}"
+        .encode()).hexdigest()[:16]
+    state_dir = os.path.join(_VIEW_ROOT, key)
+    os.makedirs(_VIEW_ROOT, exist_ok=True)
+
+    def read_side(increment: bool):
+        def pick(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % _INC_MOD) == _INC_REM
+            return b.filter(pa.array(m if increment else ~m))
+        return (rd.read_parquet(src_path,
+                                columns=["doc_id", "source", "lang",
+                                         "n_chars"])
+                .map_batches(pick, batch_format="pyarrow")
+                .map_batches(source_report_partial,
+                             batch_format="pyarrow"))
+
+    if not os.path.isdir(state_dir):
+        tmp_dir = state_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        (read_side(increment=False)
+         .groupby(["source", "lang"])
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("chars", alias_name="chars"))
+         .write_parquet(tmp_dir))
+        try:
+            os.rename(tmp_dir, state_dir)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    merged = (rd.read_parquet(state_dir)
+              .union(read_side(increment=True))
+              .groupby(["source", "lang"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("chars", alias_name="chars"))
+              .to_pandas())
+    return source_report_finalize(merged)
+
+
+# merged-state == full-recompute IS the incremental-maintenance claim,
+# so the oracle is literally the one-shot report's SQL.
+def _sql_source_report():
+    from .relational import SQL_DOCUMENTS_SOURCE_REPORT
+    return SQL_DOCUMENTS_SOURCE_REPORT

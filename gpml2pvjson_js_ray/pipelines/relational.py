@@ -686,28 +686,42 @@ def documents_source_report(sf_dir: str):
     table (tiny) with terms summed in sorted-lang order — a
     deterministic summation order, so the 6-dp round is stable.
     Returns (source, n_docs, avg_chars, lang_entropy), sorted."""
-    import numpy as np
-
     from ray.data.aggregate import Sum
 
     docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"source": b.column("source"),
-                      "lang": b.column("lang"),
-                      "n": pa.array(np.ones(len(b), dtype=np.int64)),
-                      "chars": pc.cast(b.column("n_chars"), pa.int64())})
-        return (pa.TableGroupBy(t, ["source", "lang"])
-                .aggregate([("n", "sum"), ("chars", "sum")])
-                .rename_columns(["source", "lang", "n", "chars"]))
-
-    reduced = (docs.map_batches(partial, batch_format="pyarrow")
+    reduced = (docs.map_batches(source_report_partial,
+                                batch_format="pyarrow")
                .groupby(["source", "lang"])
                .aggregate(Sum("n", alias_name="n"),
                           Sum("chars", alias_name="chars"))
                .to_pandas())
+    return source_report_finalize(reduced)
 
+
+def source_report_partial(b: pa.Table) -> pa.Table:
+    """Per-batch (source, lang) sufficient statistics for the source
+    report: count + char-sum. ASSOCIATIVE AND MERGEABLE — the same
+    partials serve the one-shot report and the incremental
+    materialized-view update (pipelines/maintenance.py)."""
+    import numpy as np
+
+    t = pa.table({"source": b.column("source"),
+                  "lang": b.column("lang"),
+                  "n": pa.array(np.ones(len(b), dtype=np.int64)),
+                  "chars": pc.cast(b.column("n_chars"), pa.int64())})
+    return (pa.TableGroupBy(t, ["source", "lang"])
+            .aggregate([("n", "sum"), ("chars", "sum")])
+            .rename_columns(["source", "lang", "n", "chars"]))
+
+
+def source_report_finalize(reduced) -> pa.Table:
+    """Fold fully-merged (source, lang, n, chars) partials into the
+    report rows. Deterministic: per-source terms summed in sorted-lang
+    order so the 6-dp entropy round is stable."""
     import math
+
+    import numpy as np
 
     rows = {"source": [], "n_docs": [], "avg_chars": [],
             "lang_entropy": []}

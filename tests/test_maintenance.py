@@ -118,3 +118,27 @@ def test_mmr_first_pick_is_relevance_argmax(ray_session, tmp_path):
         np.lexsort((np.arange(1, 30), -sims))[0])
     assert len(out) == 5
     assert out["vec_id"].is_unique
+
+
+def test_incremental_source_report_reuses_state(ray_session):
+    """Second refresh must reuse the materialized base partials (state
+    files untouched) and still equal the one-shot full report."""
+    from gpml2pvjson_js_ray.pipelines import maintenance
+    from gpml2pvjson_js_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out1 = maintenance.documents_source_report_incremental(sf)
+    import hashlib
+    key = hashlib.sha1(
+        (os.path.abspath(os.path.join(sf, "documents.parquet"))
+         + "|src_report|5|0").encode()).hexdigest()[:16]
+    state_dir = os.path.join(maintenance._VIEW_ROOT, key)
+    assert os.path.isdir(state_dir)
+    stamps = sorted((f, os.path.getmtime(os.path.join(state_dir, f)))
+                    for f in os.listdir(state_dir))
+    out2 = maintenance.documents_source_report_incremental(sf)
+    assert sorted((f, os.path.getmtime(os.path.join(state_dir, f)))
+                  for f in os.listdir(state_dir)) == stamps
+    assert out1.equals(out2)
+    full = relational.documents_source_report(sf)
+    assert out1.equals(full)
