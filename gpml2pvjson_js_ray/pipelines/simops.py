@@ -950,3 +950,138 @@ def embeddings_mmr_top10(sf_dir: str, query_id: int = 0, k: int = 10,
             .groupby("g")
             .map_groups(mmr_group, batch_format="pyarrow")
             .sort("rank"))
+
+
+# -- incremental IVF ingest: append new vectors without retraining --
+
+def ivf_append(idx_dir: str, centroids: np.ndarray, new_emb) -> None:
+    """Append new vectors to an EXISTING IVF layout with the quantizer
+    FROZEN: assign each vector to its nearest coarse centroid and write
+    additional parquet files into the same hive partitions (Ray's
+    default APPEND save mode generates fresh unique file names, so old
+    files are never touched and probe-readers see old+new). This is the
+    incremental-ingest path of a vector store — O(new vectors), no
+    index rebuild, recall on existing vectors untouched. A production
+    deployment would stage the new files and flip a manifest for
+    exactly-once visibility (the write-audit-publish pattern the
+    exchange and compaction use); the layout itself is already
+    append-structured."""
+    def assign(b: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        lists = np.argmax((mat / norms[:, None]) @ centroids.T, axis=1)
+        return b.append_column("ivf_list",
+                               pa.array(lists, type=pa.int64()))
+
+    new_emb.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(idx_dir, partition_cols=["ivf_list"])
+
+
+def _ivf_append_demo_index(sf_dir: str) -> tuple[str, np.ndarray]:
+    """Base-plus-increment IVF demo index (content-addressed cache):
+    the base index is built over embeddings with vec_id % 10 != 7; the
+    held-out slice is then ivf_append()ed. Deterministic, so the cache
+    key needs only the source identity."""
+    import hashlib
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"ivfapp|{os.path.abspath(src)}|{os.path.getmtime(src)}|{_SEED}"
+        .encode()).hexdigest()[:16]
+    root = os.path.join(_ANN_INDEX_ROOT, tag)
+    base_path = os.path.join(root, "base.parquet")
+    idx_dir = os.path.join(root, "index")
+
+    if not os.path.isdir(idx_dir):
+        os.makedirs(root, exist_ok=True)
+        if not os.path.exists(base_path):
+            full = pads.dataset(src).to_table(
+                columns=["vec_id", "embedding"])
+            ids = full.column("vec_id").to_numpy(zero_copy_only=False)
+            pq.write_table(full.filter(pa.array(ids % 10 != 7)),
+                           base_path + ".tmp")
+            os.replace(base_path + ".tmp", base_path)
+        k, centroids = _train_coarse_quantizer(base_path)
+        tmp_dir = idx_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        base_ds = rd.read_parquet(base_path)
+
+        def assign(b: pa.Table) -> pa.Table:
+            _, mat = _emb_matrix(b)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            lists = np.argmax((mat / norms[:, None]) @ centroids.T,
+                              axis=1)
+            return b.append_column("ivf_list",
+                                   pa.array(lists, type=pa.int64()))
+
+        base_ds.map_batches(assign, batch_format="pyarrow") \
+            .write_parquet(tmp_dir, partition_cols=["ivf_list"])
+
+        # increment: the held-out slice, appended with quantizer frozen.
+        # (Appending BEFORE the publish rename keeps the demo cache
+        # all-or-nothing; a live deployment appends to the published dir
+        # and flips a manifest — see ivf_append's docstring.)
+        def held_out(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 10 == 7))
+        inc = (rd.read_parquet(src, columns=["vec_id", "embedding"])
+               .map_batches(held_out, batch_format="pyarrow"))
+        ivf_append(tmp_dir, centroids, inc)
+        try:
+            os.rename(tmp_dir, idx_dir)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    else:
+        _, centroids = _train_coarse_quantizer(base_path)
+    return idx_dir, centroids
+
+
+def embeddings_ann_ivf_appended_top10(sf_dir: str, nprobe: int = 4):
+    """Top-10 for vec_id 0 via the base+appended IVF index — proves
+    incrementally-ingested vectors are first-class citizens of the
+    probe path (same partition layout, same sublinear reads). Held-out
+    vec_id % 10 == 7 vectors are only reachable through the appended
+    files. Rows-only for the driver; pytest pins appended-vector
+    visibility and recall vs brute force."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    idx_dir, centroids = _ivf_append_demo_index(sf_dir)
+    q_tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(filter=pads.field("vec_id") == 0, columns=["embedding"])
+    q = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ qn))[:nprobe]
+
+    files = [f for c in probe
+             for f in sorted(glob.glob(
+                 os.path.join(idx_dir, f"ivf_list={int(c)}", "*.parquet")))]
+    if not files:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}))
+
+    def sim(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ qn) / norms
+        keep = ids != 0
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep], type=pa.int64()),
+            "sim": pa.array(np.round(sims[keep], 6), type=pa.float64())})
+
+    return (rd.read_parquet(files)
+            .map_batches(sim, batch_format="pyarrow")
+            .sort(["sim", "vec_id"], descending=[True, False])
+            .limit(10))

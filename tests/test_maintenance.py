@@ -142,3 +142,40 @@ def test_incremental_source_report_reuses_state(ray_session):
     assert out1.equals(out2)
     full = relational.documents_source_report(sf)
     assert out1.equals(full)
+
+
+def test_ivf_append_visibility_and_recall(ray_session):
+    """Vectors ingested through ivf_append (the held-out vec_id%10==7
+    slice) must be reachable by the probe path exactly like base
+    vectors, with exact sims for whatever the probes return."""
+    from gpml2pvjson_js_ray.pipelines.relational import \
+        embeddings_cosine_top10
+    from gpml2pvjson_js_ray.pipelines.simops import (
+        _ivf_append_demo_index, embeddings_ann_ivf_appended_top10)
+
+    sf = "/root/testdata/sf0.001"
+    ann = embeddings_ann_ivf_appended_top10(sf, nprobe=6).to_pandas()
+    assert len(ann) == 10
+    brute = embeddings_cosine_top10(sf).to_pandas()
+    overlap = set(brute["vec_id"]) & set(ann["vec_id"])
+    assert len(overlap) >= 3, f"recall too low: {len(overlap)}/10"
+    b = brute.set_index("vec_id")["sim"]
+    a = ann.set_index("vec_id")["sim"]
+    for vid in overlap:
+        assert abs(a[vid] - b[vid]) < 1e-9
+
+    # appended vectors live in the SAME hive layout and are readable:
+    # every held-out id assigned somewhere, none lost
+    import glob
+    import pyarrow.parquet as _pq
+    idx_dir, _ = _ivf_append_demo_index(sf)
+    idx_ids = np.concatenate([
+        _pq.read_table(f, columns=["vec_id"])["vec_id"].to_numpy()
+        for f in glob.glob(os.path.join(idx_dir, "ivf_list=*",
+                                        "*.parquet"))])
+    src_ids = _pq.read_table(
+        os.path.join(sf, "embeddings.parquet"),
+        columns=["vec_id"])["vec_id"].to_numpy()
+    assert sorted(idx_ids) == sorted(src_ids)
+    held = src_ids[src_ids % 10 == 7]
+    assert len(held) > 0 and set(held) <= set(idx_ids)
