@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _quantile_query("events_mad_outliers"),
         "events_value_quantiles_tdigest":
             _quantile_query("events_value_quantiles_tdigest"),
+        "documents_above_p90_length":
+            _quantile_query("documents_above_p90_length"),
         "events_weekly_retention":
             _window_query("events_weekly_retention"),
         "events_signup_conversion":
@@ -533,6 +535,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
         "events_value_quantiles": quantiles.SQL_EVENTS_VALUE_QUANTILES,
         "events_mad_outliers": quantiles.SQL_EVENTS_MAD_OUTLIERS,
+        "documents_above_p90_length":
+            quantiles.SQL_DOCUMENTS_ABOVE_P90_LENGTH,
         "events_weekly_retention": windows.SQL_EVENTS_WEEKLY_RETENTION,
         "events_signup_conversion":
             windows.SQL_EVENTS_SIGNUP_CONVERSION,

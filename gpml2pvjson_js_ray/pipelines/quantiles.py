@@ -194,3 +194,75 @@ FROM dev d JOIN mad a USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
 """
+
+
+# -- per-group quantile THRESHOLD filter (two-pass broadcast pattern) --------
+
+def documents_above_p90_length(sf_dir: str, q: float = 0.9):
+    """Keep documents strictly longer than their source's q-quantile
+    length — the "keep the long tail per domain" curation filter.
+
+    The scale pattern is the point: pass 1 reduces to per-(source,
+    length) COUNTS (per-block arrow partials, one vocabulary-sized
+    groupby — the exchange is bounded by |sources|×|distinct lengths|,
+    never rows), the per-source thresholds are derived from the count
+    histogram's cumulative sum (exact quantile_disc semantics: element
+    at ceil(q*n)-1, matching DuckDB), and pass 2 filters map-only with
+    the TINY threshold table broadcast via ray.put. No per-group sort
+    of raw rows, no row shuffle at all. Output (doc_id, source,
+    n_chars) by doc_id; DuckDB-oracled."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "n_chars": b.column("n_chars"),
+                      "cnt": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["source", "n_chars"])
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["source", "n_chars", "cnt"]))
+
+    hist = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "n_chars"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    thresholds: dict[str, int] = {}
+    for src, g in hist.sort_values("n_chars").groupby("source"):
+        cum = g["cnt"].cumsum()
+        n = int(cum.iloc[-1])
+        k = math.ceil(q * n)  # rank of the quantile element (1-based)
+        thresholds[src] = int(g["n_chars"].to_numpy()[
+            int(np.searchsorted(cum.to_numpy(), k))])
+    ref = ray.put(thresholds)
+
+    def keep_above(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        th = _ray.get(ref)
+        srcs = b.column("source").to_numpy(zero_copy_only=False)
+        lens = b.column("n_chars").to_numpy(zero_copy_only=False)
+        # batch-distinct resolve: Python touches |distinct sources| keys,
+        # the row-wise compare is pure numpy
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        th_vec = np.asarray([th[u] for u in uniq], dtype=np.int64)
+        return b.filter(pa.array(lens > th_vec[inv]))
+
+    return (docs.map_batches(keep_above, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_ABOVE_P90_LENGTH = """
+WITH th AS (
+  SELECT source, quantile_disc(n_chars, 0.9) AS p90
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN th USING (source)
+WHERE d.n_chars > th.p90
+ORDER BY d.doc_id
+"""
