@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last_touch":
             _window_query("events_first_last_touch"),
         "events_user_sequences": _window_query("events_user_sequences"),
+        "events_debounce": _window_query("events_debounce"),
         "documents_top_per_lang": _window_query("documents_top_per_lang"),
         "events_cumulative_value":
             _window_query("events_cumulative_value"),
@@ -530,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
             windows.SQL_EVENTS_LAST_PURCHASE_ASOF,
         "events_first_last_touch": windows.SQL_EVENTS_FIRST_LAST_TOUCH,
         "events_user_sequences": windows.SQL_EVENTS_USER_SEQUENCES,
+        "events_debounce": windows.SQL_EVENTS_DEBOUNCE,
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,

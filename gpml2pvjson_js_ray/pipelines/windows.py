@@ -510,3 +510,55 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def events_debounce(sf_dir: str, gap_seconds: int = 60,
+                    num_buckets: int = 32):
+    """Telemetry debounce: drop an event when the SAME (user, type)
+    fired within `gap_seconds` before it (LAG semantics — each event is
+    compared to its immediate predecessor in (ts, event_id) order, the
+    standard rapid-repeat-duplicate filter for clickstream/sensor
+    feeds). Keeps the first of every burst.
+
+    Scale shape: co-locate-by-user-bucket-then-vectorize (the
+    sessionize pattern — one map_groups per bucket, never per user):
+    power-of-two bucket from user_id, per-bucket pandas sort +
+    grouped diff; the only exchange is the bucket groupby. Output is
+    the KEPT events by event_id; DuckDB-oracled via lag() OVER."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.bit_wise_and(b.column("user_id"),
+                                 pa.scalar(num_buckets - 1,
+                                           type=pa.int64()))
+        return b.append_column("user_bucket",
+                               pc.cast(bucket, pa.int32()))
+
+    def debounce(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        gaps = df.groupby(["user_id", "event_type"])["ts"].diff() \
+            .dt.total_seconds()
+        keep = gaps.isna() | (gaps > gap_seconds)
+        out = df.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+        return out
+
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("user_bucket")
+            .map_groups(debounce, batch_format="pandas")
+            .sort("event_id"))
+
+
+SQL_EVENTS_DEBOUNCE = """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT event_id, user_id, event_type, ts FROM lagged
+WHERE prev_ts IS NULL OR epoch(ts - prev_ts) > 60
+ORDER BY event_id
+"""
