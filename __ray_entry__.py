@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             simops.embeddings_batch_cosine_topk,
         "documents_related_topk": simops.documents_related_topk,
         "embeddings_mmr_top10": simops.embeddings_mmr_top10,
+        "embeddings_cluster_profile": simops.embeddings_cluster_profile,
         # table maintenance (compaction lossless by SQL oracle; diff oracled)
         "documents_compact": _maintenance_query("documents_compact"),
         "documents_snapshot_diff":

@@ -1085,3 +1085,58 @@ def embeddings_ann_ivf_appended_top10(sf_dir: str, nprobe: int = 4):
             .map_batches(sim, batch_format="pyarrow")
             .sort(["sim", "vec_id"], descending=[True, False])
             .limit(10))
+
+
+def embeddings_cluster_profile(sf_dir: str):
+    """Topic-style clustering report over the embedding corpus: assign
+    every vector to its nearest spherical-k-means centroid (the IVF
+    coarse trainer, k ≈ √N, bounded unbiased sample) and report per
+    cluster (cluster, n_vectors, mean_sim) where mean_sim is the mean
+    cosine of members to their centroid — the cluster-cohesion
+    diagnostic a SemDeDup/topic-balance pass reads before choosing
+    per-cluster dedup thresholds.
+
+    Scale shape: training reads a BOUNDED sample; assignment is
+    map-only (one matmul per block against the broadcast centroid
+    matrix); the exchange is per-block bincount PARTIALS of size k —
+    never rows. Rows-only for the driver (k-means is not
+    SQL-expressible); pytest pins mass conservation and cohesion on a
+    planted corpus."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    k, centroids = _train_coarse_quantizer(src)
+    ref = ray.put(centroids)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        cents = _ray.get(ref)
+        _, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ cents.T
+        lists = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(lists)), lists]
+        n = np.bincount(lists, minlength=k)
+        s = np.bincount(lists, weights=best, minlength=k)
+        nz = np.flatnonzero(n)
+        return pa.Table.from_pydict({
+            "cluster": pa.array(nz, type=pa.int64()),
+            "n": pa.array(n[nz], type=pa.int64()),
+            "sim_sum": pa.array(s[nz], type=pa.float64())})
+
+    reduced = (rd.read_parquet(src, columns=["vec_id", "embedding"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("cluster")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("sim_sum", alias_name="sim_sum"))
+               .to_pandas())
+    reduced = reduced.sort_values("cluster")
+    return pa.table({
+        "cluster": pa.array(reduced["cluster"].to_numpy(), pa.int64()),
+        "n_vectors": pa.array(reduced["n"].to_numpy(), pa.int64()),
+        "mean_sim": pa.array(
+            np.round(reduced["sim_sum"].to_numpy()
+                     / reduced["n"].to_numpy(), 6), pa.float64())})

@@ -179,3 +179,20 @@ def test_ivf_append_visibility_and_recall(ray_session):
     assert sorted(idx_ids) == sorted(src_ids)
     held = src_ids[src_ids % 10 == 7]
     assert len(held) > 0 and set(held) <= set(idx_ids)
+
+
+def test_cluster_profile_mass_and_cohesion(ray_session, tmp_path):
+    """Two tight planted directions: every vector lands in some cluster
+    (mass conserved) and every cluster is cohesive (mean_sim high)."""
+    rng = np.random.RandomState(3)
+    a = np.array([1.0, 0, 0, 0])
+    b = np.array([0, 1.0, 0, 0])
+    vecs = [d + rng.normal(scale=0.01, size=4)
+            for d in ([a] * 40 + [b] * 40)]
+    _write_embeddings(str(tmp_path / "embeddings.parquet"), vecs)
+    from gpml2pvjson_js_ray.pipelines.simops import \
+        embeddings_cluster_profile
+    prof = embeddings_cluster_profile(str(tmp_path)).to_pandas()
+    assert prof["n_vectors"].sum() == 80
+    assert (prof["mean_sim"] > 0.98).all()
+    assert prof["cluster"].is_monotonic_increasing
