@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_predicate_edges": _kg_predicate_edges,
         "kg_jsonld_stats": _kg_jsonld,
+        "kg_quarantine_report": _kg_query("quarantine_report"),
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
     }

@@ -240,6 +240,48 @@ def docs_dataset(pages):
         convert_islands_batch, batch_format="pyarrow", batch_size=256)
 
 
+def quarantine_report(pages):
+    """Per-error-class counts over the quarantined (malformed) islands —
+    the ops dashboard for the reference's throw-on-malformed semantics
+    re-expressed as per-row quarantine (SURVEY.md §7.5 hard part 4:
+    `src/2013a/toPvjson.ts:236-239,442,753-771` abort the CLI; at web
+    scale the error becomes a recorded row instead). Map-only classify
+    (error text → its head, before any volatile detail) + an
+    error-class-sized groupby; the healthy-row fast path drops clean
+    batches before anything is built. Rows-only (error strings are
+    engine-internal), pinned by pytest on a corpus with planted
+    malformed islands."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Sum
+
+    def classify(b: "pa.Table") -> "pa.Table":
+        err = b.column("error")
+        mask = _pc.not_equal(err, "")
+        if not _pc.any(mask).as_py():
+            return pa.table({"error_class": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        bad = b.filter(mask)
+        # class = text up to the first ':' (exception-type-ish head),
+        # capped — vectorized split_pattern + list_element
+        head = _pc.list_element(
+            _pc.split_pattern(bad.column("error"), ":", max_splits=1), 0)
+        head = _pc.utf8_slice_codeunits(head, 0, 60)
+        t = pa.table({"error_class": head,
+                      "n": pa.array(np.ones(len(bad), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["error_class"]).aggregate([("n", "sum")])
+                .rename_columns(["error_class", "n"]))
+
+    return (docs_dataset(pages)
+            .select_columns(["error"])
+            .map_batches(classify, batch_format="pyarrow")
+            .groupby("error_class")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort("error_class"))
+
+
 def linked_triples_dataset(pages, xref_ref=None, link_concurrency=(2, 16)):
     docs = docs_dataset(pages)
     triples = docs.map_batches(emit_triples_batch, batch_format="pyarrow",

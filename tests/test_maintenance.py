@@ -196,3 +196,22 @@ def test_cluster_profile_mass_and_cohesion(ray_session, tmp_path):
     assert prof["n_vectors"].sum() == 80
     assert (prof["mean_sim"] > 0.98).all()
     assert prof["cluster"].is_monotonic_increasing
+
+
+def test_quarantine_report_counts_planted_malformed(ray_session):
+    """The synthetic corpus plants malformed islands; the report must
+    classify them and its total must equal the docs error-row count."""
+    from gpml2pvjson_js_ray.pipelines import kg
+    pages = kg.read_pages(kg.pages_path_for_sf("/root/testdata/sf0.001"))
+    rep = kg.quarantine_report(pages).to_pandas()
+    docs = kg.docs_dataset(
+        kg.read_pages(kg.pages_path_for_sf("/root/testdata/sf0.001")))
+    import pyarrow.compute as pc
+    n_err = sum(
+        pc.sum(pc.cast(pc.not_equal(b["error"], ""), "int64")).as_py() or 0
+        for b in docs.select_columns(["error"])
+        .iter_batches(batch_format="pyarrow"))
+    assert n_err > 0  # the corpus really plants malformed islands
+    assert int(rep["n"].sum()) == n_err
+    assert (rep["error_class"].str.len() <= 60).all()
+    assert "GPML parse failed" in set(rep["error_class"])
