@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _window_query("events_first_last_touch"),
         "events_user_sequences": _window_query("events_user_sequences"),
         "events_debounce": _window_query("events_debounce"),
+        "events_anomaly_bursts": _window_query("events_anomaly_bursts"),
         "documents_top_per_lang": _window_query("documents_top_per_lang"),
         "events_cumulative_value":
             _window_query("events_cumulative_value"),
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "events_first_last_touch": windows.SQL_EVENTS_FIRST_LAST_TOUCH,
         "events_user_sequences": windows.SQL_EVENTS_USER_SEQUENCES,
         "events_debounce": windows.SQL_EVENTS_DEBOUNCE,
+        "events_anomaly_bursts": windows.SQL_EVENTS_ANOMALY_BURSTS,
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,

@@ -562,3 +562,75 @@ SELECT event_id, user_id, event_type, ts FROM lagged
 WHERE prev_ts IS NULL OR epoch(ts - prev_ts) > 60
 ORDER BY event_id
 """
+
+
+def events_anomaly_bursts(sf_dir: str, factor: int = 1,
+                          num_buckets: int = 32):
+    """Burst detection against each user's OWN baseline: flag
+    (user, minute) buckets whose event count exceeds `factor`× the
+    user's mean per-active-minute rate. All comparisons in integer
+    arithmetic (n·minutes > factor·total) so no float rounding can
+    diverge from the SQL oracle. The synthetic events table is
+    near-uniform per user (its max minute-rate never reaches 2×
+    baseline), so the driver instance runs factor=1 — strictly-above-
+    average minutes — to keep the oracled result non-trivial.
+
+    Scale shape: per-block (user, minute, n) arrow partials collapse
+    the raw stream before anything moves; one groupby-sum exchange
+    merges them; the per-user baseline + flag then closes inside
+    user-hash buckets (sessionize co-location pattern) — the baseline
+    is never a second scan of raw events and never a join. Output
+    (user_id, minute, n) sorted; DuckDB-oracled."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    events = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "minute": pc.floor_temporal(b.column("ts"), unit="minute"),
+            "n": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["user_id", "minute"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["user_id", "minute", "n"]))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.bit_wise_and(b.column("user_id"),
+                                 pa.scalar(num_buckets - 1,
+                                           type=pa.int64()))
+        return b.append_column("user_bucket",
+                               pc.cast(bucket, pa.int32()))
+
+    def flag(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("user_id")["n"]
+        total = g.transform("sum").to_numpy()
+        minutes = g.transform("size").to_numpy()
+        n = df["n"].to_numpy()
+        keep = n * minutes > factor * total  # n > factor * (total/minutes)
+        out = df.loc[keep, ["user_id", "minute", "n"]]
+        return out
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby(["user_id", "minute"])
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("user_bucket")
+            .map_groups(flag, batch_format="pandas")
+            .sort(["user_id", "minute"]))
+
+
+SQL_EVENTS_ANOMALY_BURSTS = """
+WITH pm AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY user_id, date_trunc('minute', ts)),
+ua AS (
+  SELECT user_id, sum(n) AS total, count(*) AS n_minutes
+  FROM pm GROUP BY user_id)
+SELECT pm.user_id, pm.minute, pm.n
+FROM pm JOIN ua USING (user_id)
+WHERE pm.n * ua.n_minutes > 1 * ua.total
+ORDER BY user_id, minute
+"""
