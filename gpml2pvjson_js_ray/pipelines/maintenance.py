@@ -92,7 +92,8 @@ def documents_compact(sf_dir: str, target_bytes: int = 256 << 10):
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{os.path.abspath(src)}|{target_bytes}".encode()).hexdigest()[:16]
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{target_bytes}"
+        .encode()).hexdigest()[:16]
     out_dir = os.path.join(_COMPACT_ROOT, key)
     os.makedirs(_COMPACT_ROOT, exist_ok=True)
     compact_parquet(src, out_dir, target_bytes=target_bytes)
@@ -231,8 +232,8 @@ def documents_source_report_incremental(sf_dir: str):
 
     src_path = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{os.path.abspath(src_path)}|src_report|{_INC_MOD}|{_INC_REM}"
-        .encode()).hexdigest()[:16]
+        f"{os.path.abspath(src_path)}|{os.path.getmtime(src_path)}"
+        f"|src_report|{_INC_MOD}|{_INC_REM}".encode()).hexdigest()[:16]
     state_dir = os.path.join(_VIEW_ROOT, key)
     os.makedirs(_VIEW_ROOT, exist_ok=True)
 

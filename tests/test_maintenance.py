@@ -129,9 +129,10 @@ def test_incremental_source_report_reuses_state(ray_session):
     sf = "/root/testdata/sf0.001"
     out1 = maintenance.documents_source_report_incremental(sf)
     import hashlib
+    src = os.path.abspath(os.path.join(sf, "documents.parquet"))
     key = hashlib.sha1(
-        (os.path.abspath(os.path.join(sf, "documents.parquet"))
-         + "|src_report|5|0").encode()).hexdigest()[:16]
+        f"{src}|{os.path.getmtime(src)}|src_report|5|0"
+        .encode()).hexdigest()[:16]
     state_dir = os.path.join(maintenance._VIEW_ROOT, key)
     assert os.path.isdir(state_dir)
     stamps = sorted((f, os.path.getmtime(os.path.join(state_dir, f)))
