@@ -25,6 +25,15 @@ def entry() -> Any:
     return kg.linked_triples_dataset(kg.read_pages(path))
 
 
+def _webgraph_query(fn_name):
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import kg, webgraph
+        path = kg.pages_path_for_sf(sf_dir)
+        return getattr(webgraph, fn_name)(kg.read_pages(
+            path, columns=["url", "html"]))
+    return q
+
+
 def _kg_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import kg
@@ -285,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": rel.parts_by_brand,
         "events_tumbling_5min": rel.events_tumbling_5min,
         "events_sliding_10min": rel.events_sliding_10min,
+        "events_tumbling_distinct_users": rel.events_tumbling_distinct_users,
+        "documents_dedup_incremental": rel.documents_dedup_incremental,
         "events_sessionize": rel.events_sessionize,
         "events_session_stats": rel.events_session_stats,
         "documents_exact_dedup": rel.documents_exact_dedup,
@@ -460,6 +471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_frame_features"]).media_frame_features(64),
+        "media_phash_dups": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_phash_dups"]).media_phash_dups(48),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_pages_latest": _kg_pages_latest,
@@ -477,6 +491,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_quarantine_report": _kg_query("quarantine_report"),
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
+        # host-level web graph over the raw html column (outlink
+        # extraction → constant-size host exchange; pytest oracle:
+        # independent stdlib-re recount over the same corpus)
+        "kg_host_link_graph": _webgraph_query("host_link_graph"),
+        "kg_host_pagerank": _webgraph_query("host_pagerank"),
+        "kg_anchor_texts": _webgraph_query("anchor_text_stats"),
     }
 
 
@@ -505,6 +525,10 @@ def oracle_sql() -> dict[str, str]:
         "parts_by_brand": rel.SQL_PARTS_BY_BRAND,
         "events_tumbling_5min": rel.SQL_EVENTS_TUMBLING_5MIN,
         "events_sliding_10min": rel.SQL_EVENTS_SLIDING_10MIN,
+        "events_tumbling_distinct_users":
+            rel.SQL_EVENTS_TUMBLING_DISTINCT_USERS,
+        "documents_dedup_incremental":
+            rel.SQL_DOCUMENTS_DEDUP_INCREMENTAL,
         "events_sessionize": rel.SQL_EVENTS_SESSIONIZE,
         "documents_exact_dedup": rel.SQL_DOCUMENTS_EXACT_DEDUP,
         "documents_token_stats": rel.SQL_DOCUMENTS_TOKEN_STATS,

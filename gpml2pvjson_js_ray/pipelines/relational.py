@@ -317,6 +317,51 @@ GROUP BY event_type, window_id
 """
 
 
+def events_tumbling_distinct_users(sf_dir: str):
+    """Exact distinct users per 5-minute tumbling window (the DAU/MAU
+    uniques-per-window shape). Scale shape: per-block (window, user)
+    pair dedup FIRST (the combiner — the shuffle then carries at most
+    one row per pair per block, not one per event), then one
+    groupby(window) whose in-group nunique is vectorized. Exact, not
+    sketched — the HLL variant for when uniques-per-window no longer
+    fits is events_distinct_users_hll."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        micros = pc.cast(b.column("ts"), pa.int64())
+        window = pc.cast(
+            pc.floor(pc.divide(pc.cast(micros, pa.float64()),
+                               pa.scalar(300_000_000.0))),
+            pa.int64())
+        tbl = pa.table({"window_id": window,
+                        "user_id": b.column("user_id")})
+        from ..stages.exchange import polars_capped
+        pl = polars_capped()
+        return (pl.from_arrow(tbl).unique()
+                .sort(["window_id", "user_id"]).to_arrow())
+
+    def count_users(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "window_id": [int(df["window_id"].iloc[0])],
+            "n_users": [int(df["user_id"].nunique())]})
+
+    return (events.map_batches(pairs, batch_format="pyarrow")
+            .groupby("window_id")
+            .map_groups(count_users, batch_format="pandas")
+            .sort("window_id"))
+
+
+SQL_EVENTS_TUMBLING_DISTINCT_USERS = """
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
 # -- gap sessionization (groupby + map_groups) ------------------------------
 
 SESSION_GAP_SECONDS = 1800
@@ -400,6 +445,56 @@ def documents_exact_dedup(sf_dir: str, num_buckets: int = 16):
 SQL_DOCUMENTS_EXACT_DEDUP = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY text
+"""
+
+
+def documents_dedup_incremental(sf_dir: str, num_buckets: int = 16):
+    """Incremental-ingest dedup: filter an INCOMING batch of documents
+    (odd doc_id — the stand-in for a new crawl increment) against the
+    KNOWN corpus (even doc_id), dropping incoming docs whose exact text
+    already exists. The production shape for 'only ingest what's new':
+    both sides co-locate by a bucket of the text hash (one exchange —
+    never a broadcast of the known-corpus text set, which at 100 TB no
+    longer fits a worker), and the known/new classification is
+    vectorized inside each bucket. Survivors keep their identity
+    columns. Planted-overlap pytest in tests/test_mlprep.py; DuckDB
+    NOT-EXISTS oracle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import hash_rows_mod
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source"])
+
+    def tag_and_bucket(b: pa.Table) -> pa.Table:
+        is_known = pc.equal(
+            pc.bit_wise_and(b.column("doc_id"),
+                            pa.scalar(1, type=pa.int64())),
+            pa.scalar(0, type=pa.int64()))
+        buckets = hash_rows_mod(b, ["text"], num_buckets)
+        return (b.append_column("is_known", is_known)
+                .append_column("text_bucket",
+                               pa.array(buckets.astype("int32"),
+                                        type=pa.int32())))
+
+    def keep_new(df: "pd.DataFrame") -> "pd.DataFrame":
+        known = df.loc[df["is_known"], "text"]
+        out = df[(~df["is_known"]) & (~df["text"].isin(set(known)))]
+        return out[["doc_id", "lang", "source"]]
+
+    return (docs.map_batches(tag_and_bucket, batch_format="pyarrow")
+            .groupby("text_bucket")
+            .map_groups(keep_new, batch_format="pandas")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_DEDUP_INCREMENTAL = """
+SELECT n.doc_id, n.lang, n.source
+FROM documents n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents k
+                  WHERE k.doc_id % 2 = 0 AND k.text = n.text)
+ORDER BY n.doc_id
 """
 
 

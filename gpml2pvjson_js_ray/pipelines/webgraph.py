@@ -1,0 +1,172 @@
+"""Web-graph operators over the pages corpus: outlink extraction, the
+host-level link graph, and host PageRank.
+
+The reference converts one GPML document at a time; a web-scale KG
+pipeline also needs the page-graph side — which hosts link to which
+(crawl-frontier prioritization, hub/spam detection, PageRank features
+for entity salience). Extraction is vectorized polars rust-regex over
+the raw html column (the same binary→str decode pattern as
+stages/extract.py); per-block partial counts mean the only exchange is
+the (src_host, dst_host)-keyed groupby — O(hosts²) rows, never
+O(pages), so at 10^12 pages the shuffle stays constant-size while the
+extraction scans stream. PageRank reuses the generic power-iteration
+core in pipelines/graph.py (co-partitioned join + groupby-sum per
+round) over the distinct host edges.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_LINKS_SCHEMA = pa.schema([
+    ("src_host", pa.string()),
+    ("dst_host", pa.string()),
+    ("n_links", pa.int64()),
+])
+
+# full-match attribute pattern (rust regex: no lookbehind); the host is
+# re-extracted per exploded element with a capture group
+_HREF_ATTR = r'href="https?://[^"]+"'
+_HOST_OF_URL = r"^https?://([^/]+)"
+_HOST_OF_HREF = r'^href="https?://([^/"]+)'
+
+
+def host_link_edges_batch(b: pa.Table) -> pa.Table:
+    """pages(url, html) → per-block (src_host, dst_host, n_links)
+    partial counts. Vectorized end-to-end: one extract_all over the
+    block's html, explode, two capture-group extracts, one local
+    group_by. Relative hrefs (no scheme) are intra-host by definition
+    and excluded — the HOST graph models cross-host endorsement."""
+    from ..stages.exchange import polars_capped
+
+    pl = polars_capped()
+    df = pl.from_arrow(b.select(["url", "html"]))
+    if df["html"].dtype == pl.Binary:
+        df = df.with_columns(pl.col("html").cast(pl.String, strict=False))
+    df = df.with_columns(
+        src_host=pl.col("url").str.extract(_HOST_OF_URL, 1),
+        href=pl.col("html").str.extract_all(_HREF_ATTR))
+    ex = (df.select(["src_host", "href"]).explode("href")
+          .drop_nulls()
+          .with_columns(
+              dst_host=pl.col("href").str.extract(_HOST_OF_HREF, 1))
+          .drop_nulls())
+    agg = (ex.group_by(["src_host", "dst_host"])
+           .agg(pl.len().cast(pl.Int64).alias("n_links"))
+           .select(["src_host", "dst_host", "n_links"]))
+    return agg.to_arrow().cast(_LINKS_SCHEMA)
+
+
+def host_link_graph(pages):
+    """The host-level outlink graph: (src_host, dst_host, n_links),
+    sorted by (src_host, dst_host). One groupby over per-block partials
+    — the wide step carries at most |hosts|² rows per block."""
+    from ray.data.aggregate import Sum
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": b.column("src_host"),
+            "dst_host": b.column("dst_host"),
+            "n_links": b.column("sum(n_links)"),
+        })
+
+    return (pages.map_batches(host_link_edges_batch,
+                              batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .aggregate(Sum("n_links", alias_name="sum(n_links)"))
+            .map_batches(rename, batch_format="pyarrow")
+            .sort(["src_host", "dst_host"]))
+
+
+_ANCHOR_SCHEMA = pa.schema([
+    ("anchor_text", pa.string()),
+    ("dst_host", pa.string()),
+    ("n_mentions", pa.int64()),
+])
+
+# anchor element with an absolute href and non-empty tag-free text
+_ANCHOR_RE = r'<a href="https?://[^"]+">[^<]+</a>'
+_ANCHOR_HOST_RE = r'^<a href="https?://([^/"]+)'
+_ANCHOR_TEXT_RE = r">([^<]+)</a>$"
+
+
+def anchor_text_stats(pages):
+    """(anchor_text, dst_host, n_mentions) over every absolute-href
+    anchor in the corpus — the classic web-KG surface-form dictionary
+    source (anchor text ≈ human-curated entity mention of the link
+    target; mention counts weight the linker's candidate priors, the
+    same role the BridgeDb xref dictionary plays for GPML islands in
+    stages/link.py). Vectorized extract_all + two capture-group
+    extracts per block; the exchange carries per-block partials keyed
+    by (anchor_text, dst_host) — bounded by the distinct-mention
+    vocabulary, not the corpus."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    def partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = pl.from_arrow(b.select(["html"]))
+        if df["html"].dtype == pl.Binary:
+            df = df.with_columns(
+                pl.col("html").cast(pl.String, strict=False))
+        ex = (df.with_columns(a=pl.col("html").str.extract_all(_ANCHOR_RE))
+              .select(["a"]).explode("a").drop_nulls()
+              .with_columns(
+                  anchor_text=pl.col("a").str.extract(_ANCHOR_TEXT_RE, 1),
+                  dst_host=pl.col("a").str.extract(_ANCHOR_HOST_RE, 1))
+              .drop_nulls())
+        agg = (ex.group_by(["anchor_text", "dst_host"])
+               .agg(pl.len().cast(pl.Int64).alias("n_mentions"))
+               .select(["anchor_text", "dst_host", "n_mentions"]))
+        return agg.to_arrow().cast(_ANCHOR_SCHEMA)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "anchor_text": b.column("anchor_text"),
+            "dst_host": b.column("dst_host"),
+            "n_mentions": b.column("sum(n_mentions)"),
+        })
+
+    return (pages.map_batches(partial, batch_format="pyarrow")
+            .groupby(["anchor_text", "dst_host"])
+            .aggregate(Sum("n_mentions", alias_name="sum(n_mentions)"))
+            .map_batches(rename, batch_format="pyarrow")
+            .sort(["anchor_text", "dst_host"]))
+
+
+def host_pagerank(pages, damping: float = 0.85, iters: int = 8,
+                  num_partitions: int = 4):
+    """PageRank over the distinct host edges (unweighted, the classic
+    formulation — each outlinking host splits its rank evenly over the
+    hosts it links to; dangling hosts redistribute uniformly). Returns
+    (host, rank) sorted by rank desc then host; Σrank = 1."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .graph import pagerank
+
+    g = host_link_graph(pages).materialize()
+
+    def side(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"n": b.column(col)})
+        return f
+
+    nodes = (g.map_batches(side("src_host"), batch_format="pyarrow")
+             .union(g.map_batches(side("dst_host"),
+                                  batch_format="pyarrow"))
+             .groupby("n").aggregate(Count(alias_name="c"))
+             .map_batches(lambda b: b.select(["n"]),
+                          batch_format="pyarrow"))
+
+    ranks = pagerank(g, nodes, "src_host", "dst_host",
+                     damping=damping, iters=iters,
+                     num_partitions=num_partitions)
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "rank": pc.round(b.column("r"), ndigits=10)})
+
+    return (ranks.map_batches(final_b, batch_format="pyarrow")
+            .sort(["rank", "host"], descending=[True, False]))

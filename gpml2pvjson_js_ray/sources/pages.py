@@ -100,6 +100,29 @@ for _n in range(2000, 2050, 2):  # even → aliases to ncbigene _n%98999+1000
     _POPULAR.append(("Entrez Gene", str(_n % 98999 + 1000)))
 
 
+# Outlink universe for the host link-graph ops: 20 external hosts with
+# Zipf-ish popularity so the host graph has genuine hubs (site00 ≫ site19)
+# — the skew the link-graph aggregation and host-PageRank ops must handle.
+_LINK_HOSTS = [f"https://site{k:02d}.synthetic.test" for k in range(20)]
+_LINK_WEIGHTS = [1.0 / (k + 1) for k in range(20)]
+
+
+def _linkify(rng: random.Random, paragraph: str) -> str:
+    """Wrap 0-2 words of the paragraph in <a href> anchors. Tag-strip
+    leaves the word in place, so extracted text stays byte-identical to
+    the raw paragraph (the per-url text invariant)."""
+    words = paragraph.split(" ")
+    n_links = rng.choices([0, 1, 2], weights=[35, 45, 20])[0]
+    n_links = min(n_links, len(words))
+    if not n_links:
+        return paragraph
+    for w in sorted(rng.sample(range(len(words)), n_links)):
+        host = rng.choices(_LINK_HOSTS, weights=_LINK_WEIGHTS)[0]
+        href = f"{host}/page/{rng.randrange(1000)}"
+        words[w] = f'<a href="{href}">{words[w]}</a>'
+    return " ".join(words)
+
+
 def _xref(rng: random.Random) -> tuple[str, str]:
     if rng.random() < 0.12:
         return _POPULAR[rng.randrange(len(_POPULAR))]
@@ -441,8 +464,12 @@ _FAMILY_WEIGHTS = [12, 14, 10, 8, 8, 8, 8, 6, 2, 1]
 # groups so ray.data.read_parquet(override_num_blocks=...) can split
 # shards evenly (single-row-group shards forced whole-file bundling —
 # a 2x block-size imbalance that straggled the last task wave);
-# v5: equal-sized shards (target 2000 rows) for even read blocks
-GEN_VERSION = 5
+# v5: equal-sized shards (target 2000 rows) for even read blocks;
+# v6: <a href> outlinks wrapped around prose words (Zipf host targets)
+# for the host link-graph / host-PageRank ops — extracted text, islands
+# and therefore every kg_* output are IDENTICAL to v5 (tag-strip keeps
+# the word; anchors draw from rng after islands/paragraphs)
+GEN_VERSION = 6
 
 _EPOCH = datetime.datetime(2024, 1, 1)
 
@@ -478,14 +505,16 @@ def gen_page(i: int, seed: int = SEED) -> dict:
         islands.append(HEADERS[header] + island)
 
     fam_label = "+".join(fam_names) or "no-island"
-    url = f"https://pages.synthetic.test/{fam_label}/{i}"
+    # 7 source hosts (deterministic by index) so the host link graph is
+    # a real bipartite-ish 7×20 structure, not a single-source star
+    url = f"https://crawl{i % 7:02d}.synthetic.test/{fam_label}/{i}"
     paragraphs = [_prose(rng, lang, rng.randrange(1, 4))
                   for _ in range(rng.randrange(1, 5))]
     title = _prose(rng, lang, 1)
 
     body_parts = []
     for j, p in enumerate(paragraphs):
-        body_parts.append(f"<p>{p}</p>")
+        body_parts.append(f"<p>{_linkify(rng, p)}</p>")
         if j < len(islands):
             body_parts.append(
                 f'<div class="gpml-island" data-i="{j}">{islands[j]}</div>')
@@ -561,6 +590,55 @@ def write_pages_parquet(out_dir: str, n_pages: int, seed: int = SEED,
             _write_shard(job)
     with open(marker, "w") as f:
         f.write("ok")
+    return out_dir
+
+
+def pages_to_warc(parquet_dir: str, out_dir: str,
+                  compress: bool = False) -> str:
+    """Re-export a parquet pages corpus as WARC shards (one .warc per
+    parquet shard; .warc.gz when compress=True) — the actual
+    Common-Crawl wire format (ISO 28500 / WARC 1.1 layout: response
+    records, Content-Length-delimited, HTTP payload). WARC-Date carries
+    microsecond precision so warc_ts round-trips exactly. Driver-side
+    utility for interop/testing, the counterpart of pages_to_ndjson."""
+    import glob as _glob
+    import gzip as _gzip
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = sorted(_glob.glob(os.path.join(parquet_dir, "*.parquet")))
+    for shard in shards:
+        tbl = _pq.read_table(shard, columns=["url", "warc_ts", "html"])
+        chunks = []
+        for row in tbl.to_pylist():
+            html = row["html"]
+            http = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=UTF-8\r\n"
+                    + b"Content-Length: %d\r\n\r\n" % len(html)
+                    + html)
+            rid = _hashlib.sha1(
+                (row["url"] + row["warc_ts"].isoformat()).encode()) \
+                .hexdigest()
+            headers = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:sha1:{rid}>\r\n"
+                f"WARC-Date: {row['warc_ts'].isoformat()}Z\r\n"
+                f"WARC-Target-URI: {row['url']}\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n")
+            chunks.append(headers.encode() + http + b"\r\n\r\n")
+        data = b"".join(chunks)
+        base = os.path.splitext(os.path.basename(shard))[0]
+        if compress:
+            with open(os.path.join(out_dir, base + ".warc.gz"),
+                      "wb") as f:
+                f.write(_gzip.compress(data))
+        else:
+            with open(os.path.join(out_dir, base + ".warc"), "wb") as f:
+                f.write(data)
     return out_dir
 
 

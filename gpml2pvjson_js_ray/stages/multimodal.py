@@ -513,6 +513,215 @@ def media_audio_resample(n_rows: int = 64, target_rate: int = 8000):
                           concurrency=2, num_cpus=1)
 
 
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-duplicate pairs (multimodal dedup)
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("ahash", pa.int64()),            # 64-bit average-hash (int64 view)
+    ("decoder", pa.string()),
+])
+
+_AHASH_SIDE = 8  # 8x8 grid -> 64-bit fingerprint
+
+
+def _ahash_from_gray(gray: np.ndarray) -> int:
+    """float gray HxW -> 64-bit average hash: nearest-resize to 8x8,
+    threshold each cell against the grid mean, pack row-major."""
+    small = _nearest_resize(gray, _AHASH_SIDE, _AHASH_SIDE)
+    bits = (small > small.mean()).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageAHasher:
+    """Actor-pool stage: perceptual average-hash (aHash) per image — the
+    multimodal analogue of the text SimHash fingerprint. Decode uses the
+    same capability ladder as MediaFeatureExtractor (PIL when importable,
+    the pure-numpy PPM codec otherwise — REAL in this container); bytes
+    neither path can decode get a labeled stub hash (blake2b prefix:
+    deterministic, never near any real hash family). Re-encodes / light
+    noise / small edits land within a few bits of Hamming distance."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        self.real_decode_gray = None
+        try:
+            import io
+
+            from PIL import Image
+
+            def decode_gray(payload: bytes) -> np.ndarray:
+                img = Image.open(io.BytesIO(payload)).convert("L")
+                return np.asarray(img, dtype=np.float32)
+
+            self.real_decode_gray = decode_gray
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "strict mode requires an imaging library (PIL/cv2)")
+
+    def _hash(self, payload: bytes) -> tuple[int, str]:
+        if self.real_decode_gray is not None:
+            try:
+                return _ahash_from_gray(
+                    self.real_decode_gray(payload)), "pil"
+            except Exception:
+                if self.strict:
+                    raise
+        arr = _ppm_decode(payload)
+        if arr is not None:
+            gray = arr.astype(np.float32).mean(axis=2)
+            return _ahash_from_gray(gray), "ppm"
+        if self.strict:
+            raise NotImplementedError(
+                "undecodable image payload (no codec for this format)")
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        return int.from_bytes(h, "big"), "stub"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, decoders = [], [], []
+        for mid, kind, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "image":
+                continue
+            hv, used = self._hash(payload or b"")
+            ids.append(mid)
+            # two's-complement int64 view keeps Arrow/pandas/SQL happy
+            hashes.append(np.uint64(hv).astype(np.int64))
+            decoders.append(used)
+        return pa.Table.from_pydict({
+            "media_id": ids,
+            "ahash": pa.array(hashes, type=pa.int64()),
+            "decoder": decoders,
+        }, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(media, max_hamming: int = 3,
+                         num_buckets: int = 32):
+    """Image near-duplicate PAIRS over a media dataset: aHash per image
+    (actor pool, real decode), then the same Manku pigeonhole banding as
+    the text SimHash dedup — max_hamming+1 bands of 64/(max_hamming+1)
+    bits; any pair within the Hamming ball shares ≥1 exact band, so
+    candidates co-locate via a band-value groupby and the exact popcount
+    verify runs inside the group. No all-pairs stage anywhere; at 10^12
+    images the only exchange is the banded groupby, and hot bands (e.g.
+    monochrome thumbnails) spread across `num_buckets` via the same
+    hash-bucket trick as the text path.
+
+    Returns (media_a, media_b, hamming) with media_a < media_b."""
+    import itertools
+
+    import pandas as pd
+
+    from .exchange import hash_rows_mod
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    hashes = media.map_batches(ImageAHasher, batch_format="pyarrow",
+                               batch_size=32, concurrency=2, num_cpus=1)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_val": pa.array([], pa.int64()),
+                             "media_id": pa.array([], pa.string()),
+                             "ahash": pa.array([], pa.int64())})
+        fps = batch.column("ahash").to_numpy().view(np.uint64)
+        mids = batch.column("media_id").to_pylist()
+        n = len(fps)
+        shifts = (np.arange(n_bands, dtype=np.uint64)
+                  * np.uint64(band_bits))
+        mask = np.uint64((1 << band_bits) - 1)
+        band_vals = ((fps[:, None] >> shifts[None, :]) & mask) \
+            .astype(np.int64).reshape(-1)
+        return pa.table({
+            "band_id": pa.array(np.tile(
+                np.arange(n_bands, dtype=np.int32), n)),
+            "band_val": pa.array(band_vals, type=pa.int64()),
+            "media_id": pa.array(np.repeat(mids, n_bands),
+                                 type=pa.string()),
+            "ahash": pa.array(fps.view(np.int64).repeat(n_bands),
+                              type=pa.int64()),
+        })
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        dup = df[df.duplicated(["band_id", "band_val"], keep=False)]
+        for _, g in dup.groupby(["band_id", "band_val"], sort=False):
+            uniq = g.drop_duplicates("media_id")[["media_id", "ahash"]]
+            for (a, ha), (b, hb) in itertools.combinations(
+                    uniq.itertuples(index=False), 2):
+                d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    lo, hi = (a, b) if a < b else (b, a)
+                    rows.append((lo, hi, d))
+        return pd.DataFrame(rows,
+                            columns=["media_a", "media_b", "hamming"]) \
+            if rows else pd.DataFrame(
+                {"media_a": pd.Series([], dtype="string"),
+                 "media_b": pd.Series([], dtype="string"),
+                 "hamming": pd.Series([], dtype="int64")})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["band_id", "band_val"], num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    cand = (hashes.map_batches(bands, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas"))
+    return cand.groupby(["media_a", "media_b"]).map_groups(
+        lambda df: df.drop_duplicates(["media_a", "media_b"]),
+        batch_format="pandas")
+
+
+def synth_image_corpus(n_rows: int = 48, seed: int = 23,
+                       n_dup_pairs: int = 4):
+    """Deterministic image corpus with PLANTED near-duplicates: each base
+    image is a distinct random 8x8 block pattern upscaled to 64x64 (so
+    unrelated aHashes sit ~32 bits apart), and the first `n_dup_pairs`
+    images get a re-encoded copy with light pixel noise (aHash within a
+    couple of bits — the re-crawled-thumbnail case)."""
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    rows = []
+
+    def encode(arr):
+        return _ppm_encode(np.repeat(arr[:, :, None], 3, axis=2))
+
+    for i in range(n_rows):
+        blocks = rng.randint(0, 2, size=(8, 8)).astype(np.float32) * 255
+        base = _nearest_resize(blocks, 64, 64)
+        rows.append({
+            "media_id": f"img{i:05d}",
+            "url": f"https://pages.synthetic.test/img/{i}",
+            "kind": "image",
+            "payload": encode(base),
+            "width": 64, "height": 64, "sample_rate": -1,
+        })
+        if i < n_dup_pairs:
+            noisy = np.clip(
+                base + rng.normal(scale=8.0, size=base.shape),
+                0, 255)
+            rows.append({
+                "media_id": f"img{i:05d}-dup",
+                "url": f"https://pages.synthetic.test/img/{i}d",
+                "kind": "image",
+                "payload": encode(noisy),
+                "width": 64, "height": 64, "sample_rate": -1,
+            })
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+
+
+def media_phash_dups(n_rows: int = 48, max_hamming: int = 3):
+    ds = synth_image_corpus(n_rows)
+    return image_near_dup_pairs(ds, max_hamming=max_hamming)
+
+
 def media_frame_features(n_rows: int = 64, n_frames: int = 4):
     """Composed two-stage media pipeline: sample frames from each video
     (real PPM-sequence split), then featurize every frame as an image

@@ -346,3 +346,89 @@ def test_predicate_edges_pso_matches_full_scan(ray_session, tmp_path):
     # default-predicate path (deterministic seed rule) also runs
     dflt = graph.predicate_edges_from_layout(pso_dir).to_pandas()
     assert len(dflt) > 0 and dflt["pred"].nunique() == 1
+
+
+def test_host_link_graph_matches_independent_recount(ray_session):
+    """Host link graph vs an INDEPENDENT stdlib-re recount over the same
+    generated pages: exact (src_host, dst_host, n_links) equality. Also
+    pins the corpus-design invariants the op relies on: 7 crawl source
+    hosts, Zipf-skewed site targets (site00 strictly the top target)."""
+    import re as _re
+    from collections import Counter
+
+    from gpml2pvjson_js_ray.pipelines import kg, webgraph
+    from gpml2pvjson_js_ray.sources.pages import gen_page
+
+    n = 240
+    path = kg.pages_path(n)
+    got = (webgraph.host_link_graph(
+        kg.read_pages(path, columns=["url", "html"])).to_pandas())
+
+    # independent oracle: python re over regenerated pages
+    href_re = _re.compile(r'href="(https?://[^/"]+)')
+    host_re = _re.compile(r"^https?://([^/]+)")
+    want = Counter()
+    for i in range(n):
+        page = gen_page(i)
+        src = host_re.match(page["url"]).group(1)
+        for m in href_re.finditer(page["html"].decode("utf-8")):
+            dst = m.group(1).split("://", 1)[1]
+            want[(src, dst)] += 1
+
+    got_pairs = {(r.src_host, r.dst_host): r.n_links
+                 for r in got.itertuples(index=False)}
+    assert got_pairs == dict(want)
+
+    srcs = {s for s, _ in got_pairs}
+    assert srcs == {f"crawl{k:02d}.synthetic.test" for k in range(7)}
+    dst_tot = Counter()
+    for (_, d), c in got_pairs.items():
+        dst_tot[d] += c
+    top = dst_tot.most_common()
+    assert top[0][0] == "site00.synthetic.test"
+
+
+def test_host_pagerank_sums_to_one_and_ranks_hubs(ray_session):
+    """Host PageRank over the link graph: Σrank = 1, every host present,
+    and the Zipf-top target outranks the rare targets and the pure-source
+    crawl hosts (which receive only redistributed mass)."""
+    from gpml2pvjson_js_ray.pipelines import kg, webgraph
+
+    path = kg.pages_path(240)
+    df = (webgraph.host_pagerank(
+        kg.read_pages(path, columns=["url", "html"]),
+        iters=6).to_pandas())
+    assert abs(df["rank"].sum() - 1.0) < 1e-9
+    ranks = dict(zip(df["host"], df["rank"]))
+    assert ranks["site00.synthetic.test"] > ranks["site19.synthetic.test"]
+    assert ranks["site00.synthetic.test"] > ranks["crawl00.synthetic.test"]
+    # sorted by rank desc: the hub is first
+    assert df.iloc[0]["host"] == "site00.synthetic.test"
+
+
+def test_anchor_text_stats_matches_independent_recount(ray_session):
+    """Anchor-text mention stats vs an independent stdlib-re recount:
+    exact (anchor_text, dst_host, n_mentions) equality, and every
+    anchor text is a single prose word (the linkify contract)."""
+    import re as _re
+    from collections import Counter
+
+    from gpml2pvjson_js_ray.pipelines import kg, webgraph
+    from gpml2pvjson_js_ray.sources.pages import gen_page
+
+    n = 240
+    path = kg.pages_path(n)
+    got = (webgraph.anchor_text_stats(
+        kg.read_pages(path, columns=["url", "html"])).to_pandas())
+
+    a_re = _re.compile(r'<a href="https?://([^/"]+)[^"]*">([^<]+)</a>')
+    want = Counter()
+    for i in range(n):
+        html = gen_page(i)["html"].decode("utf-8")
+        for m in a_re.finditer(html):
+            want[(m.group(2), m.group(1))] += 1
+
+    got_pairs = {(r.anchor_text, r.dst_host): r.n_mentions
+                 for r in got.itertuples(index=False)}
+    assert got_pairs == dict(want)
+    assert got["anchor_text"].str.contains(" ").sum() == 0

@@ -307,3 +307,24 @@ def test_top_large_quantity_orders_empty_threshold(ray_session):
     assert sorted(out.schema().names) == sorted([
         "c_name", "o_custkey", "o_orderkey", "o_orderdate",
         "o_totalprice", "total_qty"])
+
+
+def test_dedup_incremental_planted_overlap(ray_session, tmp_path):
+    """Incremental dedup drops exactly the incoming (odd-id) docs whose
+    text exists in the known (even-id) corpus; new-vs-new duplicates
+    both survive (the filter models 'already ingested', not a full
+    dedup — that is documents_exact_dedup's job)."""
+    from gpml2pvjson_js_ray.pipelines.relational import (
+        documents_dedup_incremental)
+
+    texts = [
+        "alpha beta gamma",     # 0 known
+        "alpha beta gamma",     # 1 new — exact overlap with known → drop
+        "delta epsilon",        # 2 known
+        "zeta eta theta",       # 3 new — unseen → keep
+        "iota kappa",           # 4 known
+        "zeta eta theta",       # 5 new — dup of NEW doc 3 only → keep
+    ]
+    d = _write_docs(tmp_path, texts)
+    df = documents_dedup_incremental(d, num_buckets=4).to_pandas()
+    assert df["doc_id"].tolist() == [3, 5]

@@ -1122,3 +1122,61 @@ def test_kg_jsonld_stats_all_have_context(ray_session):
     assert len(df) > 0
     assert bool(df["has_context"].all())
     assert int(df["jsonld_bytes"].min()) > 2
+
+def test_image_near_dup_pairs_planted(ray_session):
+    """Multimodal dedup: aHash + pigeonhole banding finds exactly the
+    planted noisy re-encodes — every (imgN, imgN-dup) pair surfaces
+    within the Hamming ball, and no unrelated base pair does."""
+    from gpml2pvjson_js_ray.stages.multimodal import (
+        ImageAHasher, media_phash_dups, synth_image_corpus)
+
+    df = media_phash_dups(24, max_hamming=3).to_pandas()
+    got = set(zip(df["media_a"], df["media_b"]))
+    want = {(f"img{i:05d}", f"img{i:05d}-dup") for i in range(4)}
+    assert want <= got
+    # no pair of two distinct BASE images (unrelated random patterns)
+    base_pairs = {(a, b) for a, b in got
+                  if not a.endswith("-dup") and not b.endswith("-dup")}
+    assert base_pairs == set()
+    assert (df["hamming"] <= 3).all()
+
+    # hashes come from the REAL decode path in this container
+    hasher = ImageAHasher()
+    batch = synth_image_corpus(4).take_batch(8, batch_format="pyarrow")
+    out = hasher(batch)
+    assert set(out.column("decoder").to_pylist()) <= {"ppm", "pil"}
+
+def test_warc_source_parity(ray_session, pages_dir, tmp_path):
+    """The WARC ingest path (Common-Crawl wire format, plain AND
+    gzipped) must be downstream-indistinguishable from parquet:
+    identical schema and identical extracted islands on the same
+    corpus; warc_ts round-trips at microsecond precision."""
+    from gpml2pvjson_js_ray.pipelines.kg import (islands_dataset,
+                                                 read_pages,
+                                                 read_pages_warc)
+    from gpml2pvjson_js_ray.sources.pages import pages_to_warc
+
+    w_dir = pages_to_warc(pages_dir, str(tmp_path / "warc"))
+    wz_dir = pages_to_warc(pages_dir, str(tmp_path / "warcgz"),
+                           compress=True)
+    ds = read_pages_warc(w_dir)
+    assert ({f.name: str(f.type) for f in ds.schema().base_schema}
+            == {"url": "string", "warc_ts": "timestamp[us]",
+                "html": "binary"})
+
+    def key(df):
+        return (df.sort_values(["doc_id", "url", "island"])
+                .reset_index(drop=True))
+
+    a = key(islands_dataset(read_pages(pages_dir))
+            .to_pandas()[["doc_id", "url", "island"]])
+    b = key(islands_dataset(read_pages_warc(w_dir))
+            .to_pandas()[["doc_id", "url", "island"]])
+    c = key(islands_dataset(read_pages_warc(wz_dir))
+            .to_pandas()[["doc_id", "url", "island"]])
+    assert a.equals(b) and a.equals(c)
+
+    # timestamp parity incl. sub-second captures
+    pq_ts = sorted(read_pages(pages_dir).to_pandas()["warc_ts"])
+    warc_ts = sorted(ds.to_pandas()["warc_ts"])
+    assert pq_ts == warc_ts
