@@ -357,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sampling_query("documents_mixture_interleave"),
         "documents_dedup_survivors":
             _graph_query("documents_dedup_survivors"),
+        "documents_dedup_keep_best":
+            _graph_query("documents_dedup_keep_best"),
+        "events_trending_types": _window_query("events_trending_types"),
         "lineitem_rollup": _rollup_query("lineitem_rollup"),
         "lineitem_cube": _rollup_query("lineitem_cube"),
         "events_daily_type_pivot": _rollup_query("events_daily_type_pivot"),
@@ -474,6 +477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dups": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_phash_dups"]).media_phash_dups(48),
+        "media_video_dups": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_video_dups"]).media_video_dups(24),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_pages_latest": _kg_pages_latest,
@@ -580,6 +586,9 @@ def oracle_sql() -> dict[str, str]:
             sampling.SQL_DOCUMENTS_MIXTURE_INTERLEAVE,
         "documents_dedup_survivors":
             graph.SQL_DOCUMENTS_DEDUP_SURVIVORS,
+        "documents_dedup_keep_best":
+            graph.SQL_DOCUMENTS_DEDUP_KEEP_BEST,
+        "events_trending_types": windows.SQL_EVENTS_TRENDING_TYPES,
         "lineitem_rollup": rollup.SQL_LINEITEM_ROLLUP,
         "lineitem_cube": rollup.SQL_LINEITEM_CUBE,
         "events_daily_type_pivot": rollup.SQL_EVENTS_DAILY_TYPE_PIVOT,

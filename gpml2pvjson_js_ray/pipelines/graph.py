@@ -327,6 +327,73 @@ GROUP BY component ORDER BY component
 """
 
 
+def documents_dedup_keep_best(sf_dir: str, threshold: float = 0.3,
+                              num_partitions: int = 8,
+                              num_buckets: int = 32):
+    """Quality-aware near-dup representative selection: per similarity
+    cluster keep the member with the HIGHEST composite quality score
+    (tie → smallest doc_id) — what curation pipelines actually do after
+    transitive-closure dedup (keep-best, not keep-first; cf.
+    documents_dedup_survivors, the min-id variant). One hash-partitioned
+    join (components ⋈ quality on doc_id), then argmax inside
+    component-hash buckets — one vectorized pandas groupby per BUCKET,
+    never a task per cluster. Returns (component, doc_id, quality_score,
+    n_members)."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_rows_mod
+    from .textops import documents_quality
+
+    comp = documents_similarity_components(sf_dir, threshold=threshold)
+    qual = documents_quality(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "quality_score"]),
+        batch_format="pyarrow")
+
+    j = (comp.repartition(num_partitions)
+         .join(qual.repartition(num_partitions), join_type="inner",
+               num_partitions=num_partitions, on=("doc_id",)))
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["component"], num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    def best(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["quality_score", "doc_id"],
+                            ascending=[False, True])
+        g = df.groupby("component", sort=True)
+        out = g.head(1)[["component", "doc_id", "quality_score"]] \
+            .set_index("component")
+        out["n_members"] = g.size().astype("int64")
+        return out.reset_index()
+
+    return (j.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(best, batch_format="pandas")
+            .sort("component"))
+
+
+# concatenated (not .format/f-string): the quality SQL contains literal
+# regex braces (\p{L}) that str.format would try to interpolate
+from .textops import SQL_DOCUMENTS_QUALITY as _SQL_QUALITY  # noqa: E402
+
+SQL_DOCUMENTS_DEDUP_KEEP_BEST = (
+    "WITH comp AS (" + SQL_DOCUMENTS_SIMILARITY_COMPONENTS + "),\n"
+    "qual AS (" + _SQL_QUALITY + "),\n"
+    """j AS (
+  SELECT c.component, c.doc_id, q.quality_score
+  FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT component, doc_id, quality_score, n_members FROM (
+  SELECT component, doc_id, quality_score,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+             AS n_members,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality_score DESC, doc_id) AS rn
+  FROM j)
+WHERE rn = 1 ORDER BY component
+""")
+
+
 def embeddings_semantic_components(sf_dir: str, threshold: float = 0.5):
     """SemDeDup-style semantic duplicate clusters: connected components
     over the exact embedding-cosine near-dup pairs (the oracled pair

@@ -552,6 +552,79 @@ def events_debounce(sf_dir: str, gap_seconds: int = 60,
             .sort("event_id"))
 
 
+def events_trending_types(sf_dir: str, k: int = 2,
+                          window_seconds: int = 3600,
+                          num_buckets: int = 32):
+    """Trending items: the top-k event types per 1-hour tumbling window
+    by event count (rank ties → event_type order). The leaderboard /
+    trending-topics shape: per-block (window, type) COUNT partials →
+    one (window, type)-keyed groupby-sum (the only row exchange, carries
+    ≤ one row per (window, type) per block) → rank inside window-hash
+    buckets, one vectorized pandas groupby per bucket."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import hash_rows_mod, polars_capped
+
+    events = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        micros = pc.cast(b.column("ts"), pa.int64())
+        window = pc.cast(
+            pc.floor(pc.divide(pc.cast(micros, pa.float64()),
+                               pa.scalar(window_seconds * 1e6))),
+            pa.int64())
+        pl = polars_capped()
+        return (pl.from_arrow(pa.table({
+            "window_id": window, "event_type": b.column("event_type")}))
+            .group_by(["window_id", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["window_id", "event_type", "n"]).to_arrow())
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["window_id"], num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    def rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["window_id", "n", "event_type"],
+                            ascending=[True, False, True])
+        df["rank"] = df.groupby("window_id").cumcount() + 1
+        out = df[df["rank"] <= k]
+        return out[["window_id", "event_type", "n", "rank"]].astype(
+            {"n": "int64", "rank": "int64"})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"window_id": b.column("window_id"),
+                         "event_type": b.column("event_type"),
+                         "n": b.column("sum(n)")})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby(["window_id", "event_type"])
+            .aggregate(Sum("n", alias_name="sum(n)"))
+            .map_batches(rename, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(rank, batch_format="pandas")
+            .sort(["window_id", "rank"]))
+
+
+SQL_EVENTS_TRENDING_TYPES = """
+WITH counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY window_id, event_type
+)
+SELECT window_id, event_type, n, rank FROM (
+  SELECT window_id, event_type, n,
+         CAST(row_number() OVER (PARTITION BY window_id
+                                 ORDER BY n DESC, event_type) AS BIGINT)
+             AS rank
+  FROM counts)
+WHERE rank <= 2
+ORDER BY window_id, rank
+"""
+
+
 SQL_EVENTS_DEBOUNCE = """
 WITH lagged AS (
   SELECT event_id, user_id, event_type, ts,

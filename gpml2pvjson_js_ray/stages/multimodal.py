@@ -679,6 +679,175 @@ def image_near_dup_pairs(media, max_hamming: int = 3,
         batch_format="pandas")
 
 
+def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,
+                         min_frames: int = 3, num_buckets: int = 32):
+    """Video near-duplicate PAIRS by frame-sequence perceptual hashing:
+    sample n_frames per video (real PPM-sequence split), aHash every
+    sampled frame (real decode), band each frame hash with the Manku
+    pigeonhole — keyed by (frame_index, band) so only CO-POSITIONED
+    frames ever collide — and call two videos near-duplicates when
+    ≥ min_frames sampled positions match within the Hamming ball (the
+    re-encoded / lightly-edited-copy case). No all-pairs stage: the only
+    exchanges are the banded groupby and the tiny pair-count groupby.
+
+    Returns (media_a, media_b, n_frames_matched) with media_a < media_b."""
+    import itertools
+
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .exchange import hash_rows_mod
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    frames = media.map_batches(FrameSampler,
+                               fn_constructor_kwargs={
+                                   "n_frames": n_frames},
+                               batch_format="pyarrow", batch_size=32,
+                               concurrency=2, num_cpus=1)
+
+    def fhash(b: pa.Table) -> pa.Table:
+        ids, idxs, hashes = [], [], []
+        for mid, fi, fr in zip(b.column("media_id").to_pylist(),
+                               b.column("frame_index").to_pylist(),
+                               b.column("frame").to_pylist()):
+            arr = _ppm_decode(fr or b"")
+            if arr is None:
+                continue  # undecodable container: no hash, no pair
+            hv = _ahash_from_gray(arr.astype(np.float32).mean(axis=2))
+            ids.append(mid)
+            idxs.append(fi)
+            hashes.append(np.uint64(hv).astype(np.int64))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "frame_index": pa.array(idxs, type=pa.int32()),
+            "ahash": pa.array(hashes, type=pa.int64()),
+        })
+
+    def bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"frame_index": pa.array([], pa.int32()),
+                             "band_id": pa.array([], pa.int32()),
+                             "band_val": pa.array([], pa.int64()),
+                             "media_id": pa.array([], pa.string()),
+                             "ahash": pa.array([], pa.int64())})
+        fps = batch.column("ahash").to_numpy().view(np.uint64)
+        shifts = (np.arange(n_bands, dtype=np.uint64)
+                  * np.uint64(band_bits))
+        mask = np.uint64((1 << band_bits) - 1)
+        band_vals = ((fps[:, None] >> shifts[None, :]) & mask) \
+            .astype(np.int64).reshape(-1)
+        return pa.table({
+            "frame_index": pa.array(
+                np.repeat(batch.column("frame_index").to_numpy(), n_bands),
+                type=pa.int32()),
+            "band_id": pa.array(np.tile(
+                np.arange(n_bands, dtype=np.int32), n)),
+            "band_val": pa.array(band_vals, type=pa.int64()),
+            "media_id": pa.array(
+                np.repeat(batch.column("media_id").to_pylist(), n_bands),
+                type=pa.string()),
+            "ahash": pa.array(fps.view(np.int64).repeat(n_bands),
+                              type=pa.int64()),
+        })
+
+    def frame_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        key = ["frame_index", "band_id", "band_val"]
+        dup = df[df.duplicated(key, keep=False)]
+        for (fi, _, _), g in dup.groupby(key, sort=False):
+            uniq = g.drop_duplicates("media_id")[["media_id", "ahash"]]
+            for (a, ha), (b_, hb) in itertools.combinations(
+                    uniq.itertuples(index=False), 2):
+                d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    lo, hi = (a, b_) if a < b_ else (b_, a)
+                    rows.append((lo, hi, int(fi)))
+        return pd.DataFrame(
+            rows, columns=["media_a", "media_b", "frame_index"]) \
+            if rows else pd.DataFrame(
+                {"media_a": pd.Series([], dtype="string"),
+                 "media_b": pd.Series([], dtype="string"),
+                 "frame_index": pd.Series([], dtype="int64")})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["frame_index", "band_id", "band_val"],
+                            num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    # banded candidates → one row per (pair, frame) → count matched
+    # positions per pair → threshold
+    cand = (frames.map_batches(fhash, batch_format="pyarrow")
+            .map_batches(bands, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(frame_pairs, batch_format="pandas")
+            .groupby(["media_a", "media_b", "frame_index"])
+            .map_groups(lambda df: df.drop_duplicates(),
+                        batch_format="pandas"))
+
+    def threshold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.greater_equal(b.column("n_frames_matched"),
+                                pa.scalar(min_frames, type=pa.int64()))
+        return b.filter(keep)
+
+    return (cand.groupby(["media_a", "media_b"])
+            .aggregate(Count(alias_name="n_frames_matched"))
+            .map_batches(threshold, batch_format="pyarrow")
+            .sort(["media_a", "media_b"]))
+
+
+def synth_video_corpus(n_rows: int = 24, seed: int = 31,
+                       n_dup_pairs: int = 3, n_frames: int = 8):
+    """Deterministic video corpus with PLANTED near-duplicates: each
+    base video is a distinct random block pattern evolving slightly per
+    frame; the first n_dup_pairs videos get a re-encoded copy with
+    light per-frame pixel noise (frame aHashes within a couple of
+    bits)."""
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    rows = []
+
+    def encode_video(base_blocks, noise_scale):
+        frames = []
+        for j in range(n_frames):
+            arr = _nearest_resize(base_blocks[j], 32, 32)
+            if noise_scale:
+                arr = np.clip(arr + rng.normal(scale=noise_scale,
+                                               size=arr.shape), 0, 255)
+            frames.append(_ppm_encode(
+                np.repeat(arr[:, :, None], 3, axis=2)))
+        return b"".join(frames)
+
+    for i in range(n_rows):
+        blocks = [rng.randint(0, 2, size=(8, 8)).astype(np.float32)
+                  * 255 for _ in range(n_frames)]
+        rows.append({
+            "media_id": f"vid{i:05d}",
+            "url": f"https://pages.synthetic.test/vid/{i}",
+            "kind": "video",
+            "payload": encode_video(blocks, 0),
+            "width": 32, "height": 32, "sample_rate": -1,
+        })
+        if i < n_dup_pairs:
+            rows.append({
+                "media_id": f"vid{i:05d}-dup",
+                "url": f"https://pages.synthetic.test/vid/{i}d",
+                "kind": "video",
+                "payload": encode_video(blocks, 8.0),
+                "width": 32, "height": 32, "sample_rate": -1,
+            })
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+
+
+def media_video_dups(n_rows: int = 24, max_hamming: int = 3):
+    ds = synth_video_corpus(n_rows)
+    return video_near_dup_pairs(ds, max_hamming=max_hamming)
+
+
 def synth_image_corpus(n_rows: int = 48, seed: int = 23,
                        n_dup_pairs: int = 4):
     """Deterministic image corpus with PLANTED near-duplicates: each base

@@ -1180,3 +1180,18 @@ def test_warc_source_parity(ray_session, pages_dir, tmp_path):
     pq_ts = sorted(read_pages(pages_dir).to_pandas()["warc_ts"])
     warc_ts = sorted(ds.to_pandas()["warc_ts"])
     assert pq_ts == warc_ts
+
+def test_video_near_dup_pairs_planted(ray_session):
+    """Video near-dup detection (frame sampling → per-frame aHash →
+    position-keyed banding → matched-frame threshold) finds exactly the
+    planted noisy copies; distinct base videos never pair."""
+    from gpml2pvjson_js_ray.stages.multimodal import media_video_dups
+
+    df = media_video_dups(16).to_pandas()
+    got = set(zip(df["media_a"], df["media_b"]))
+    want = {(f"vid{i:05d}", f"vid{i:05d}-dup") for i in range(3)}
+    assert want <= got
+    base_pairs = {(a, b) for a, b in got
+                  if not a.endswith("-dup") and not b.endswith("-dup")}
+    assert base_pairs == set()
+    assert (df["n_frames_matched"] >= 3).all()
