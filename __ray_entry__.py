@@ -480,6 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_dups": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_video_dups"]).media_video_dups(24),
+        "media_audio_dups": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_audio_dups"]).media_audio_dups(24),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_pages_latest": _kg_pages_latest,

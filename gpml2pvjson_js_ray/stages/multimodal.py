@@ -599,17 +599,19 @@ class ImageAHasher:
         }, schema=AHASH_SCHEMA)
 
 
-def image_near_dup_pairs(media, max_hamming: int = 3,
-                         num_buckets: int = 32):
-    """Image near-duplicate PAIRS over a media dataset: aHash per image
-    (actor pool, real decode), then the same Manku pigeonhole banding as
-    the text SimHash dedup — max_hamming+1 bands of 64/(max_hamming+1)
-    bits; any pair within the Hamming ball shares ≥1 exact band, so
-    candidates co-locate via a band-value groupby and the exact popcount
-    verify runs inside the group. No all-pairs stage anywhere; at 10^12
-    images the only exchange is the banded groupby, and hot bands (e.g.
-    monochrome thumbnails) spread across `num_buckets` via the same
-    hash-bucket trick as the text path.
+def hash_near_dup_pairs(hashes, max_hamming: int = 3,
+                        num_buckets: int = 32):
+    """Near-duplicate PAIRS from any (media_id, ahash) 64-bit
+    fingerprint dataset via Manku pigeonhole banding — the shared
+    machinery behind the image (aHash) and audio (spectral-hash) dedup
+    ops, and the same shape as the text SimHash dedup: max_hamming+1
+    bands of 64/(max_hamming+1) bits; any pair within the Hamming ball
+    shares ≥1 exact band, so candidates co-locate via a band-value
+    groupby and the exact popcount verify runs inside the group. No
+    all-pairs stage anywhere; at 10^12 items the only exchange is the
+    banded groupby, and hot bands (e.g. monochrome thumbnails) spread
+    across `num_buckets` via the same hash-bucket trick as the text
+    path.
 
     Returns (media_a, media_b, hamming) with media_a < media_b."""
     import itertools
@@ -620,9 +622,6 @@ def image_near_dup_pairs(media, max_hamming: int = 3,
 
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-
-    hashes = media.map_batches(ImageAHasher, batch_format="pyarrow",
-                               batch_size=32, concurrency=2, num_cpus=1)
 
     def bands(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -677,6 +676,130 @@ def image_near_dup_pairs(media, max_hamming: int = 3,
     return cand.groupby(["media_a", "media_b"]).map_groups(
         lambda df: df.drop_duplicates(["media_a", "media_b"]),
         batch_format="pandas")
+
+
+def image_near_dup_pairs(media, max_hamming: int = 3,
+                         num_buckets: int = 32):
+    """Image near-duplicate pairs: perceptual aHash per image (actor
+    pool, real PIL/PPM decode) + the shared pigeonhole banding."""
+    hashes = media.map_batches(ImageAHasher, batch_format="pyarrow",
+                               batch_size=32, concurrency=2, num_cpus=1)
+    return hash_near_dup_pairs(hashes, max_hamming=max_hamming,
+                               num_buckets=num_buckets)
+
+
+class AudioSpectralHasher:
+    """Actor-pool stage: 64-bit spectral-band fingerprint per audio
+    payload (chromaprint-lite) — bit j set when geometric band j holds
+    ≥ 25% of the peak band energy, so the fingerprint marks the
+    dominant spectral lines and is stable under additive noise /
+    re-encoding. Real stdlib-wave decode + numpy rFFT; undecodable
+    bytes get a labeled stub hash (blake2b prefix)."""
+
+    N_BANDS = 64
+    F_LO = 50.0
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def _hash(self, payload: bytes) -> tuple[int, str]:
+        dec = _wav_decode(payload)
+        if dec is None:
+            if self.strict:
+                raise NotImplementedError(
+                    "non-WAV audio needs a codec library")
+            h = hashlib.blake2b(payload, digest_size=8).digest()
+            return int.from_bytes(h, "big"), "stub"
+        samples, rate = dec
+        spec = np.abs(np.fft.rfft(samples.astype(np.float64))) ** 2
+        freqs = np.fft.rfftfreq(len(samples), 1.0 / rate)
+        edges = np.geomspace(self.F_LO, rate / 2.0, self.N_BANDS + 1)
+        idx = np.searchsorted(freqs, edges).clip(0, len(spec))
+        cum = np.concatenate(([0.0], np.cumsum(spec)))
+        energies = cum[idx[1:]] - cum[idx[:-1]]
+        peak = energies.max()
+        bits = energies >= 0.25 * peak if peak > 0 \
+            else np.zeros(self.N_BANDS, dtype=bool)
+        return int(np.packbits(bits).view(">u8")[0]), "wav"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes, decoders = [], [], []
+        for mid, kind, payload in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "audio":
+                continue
+            hv, used = self._hash(payload or b"")
+            ids.append(mid)
+            hashes.append(np.uint64(hv).astype(np.int64))
+            decoders.append(used)
+        return pa.Table.from_pydict({
+            "media_id": ids,
+            "ahash": pa.array(hashes, type=pa.int64()),
+            "decoder": decoders,
+        }, schema=AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(media, max_hamming: int = 3,
+                         num_buckets: int = 32):
+    """Audio near-duplicate pairs: spectral-band fingerprint per clip
+    (actor pool, real WAV decode + rFFT) + the shared pigeonhole
+    banding — re-recorded / re-encoded copies of the same material
+    share dominant spectral lines and land within the Hamming ball."""
+    hashes = media.map_batches(AudioSpectralHasher,
+                               batch_format="pyarrow",
+                               batch_size=32, concurrency=2, num_cpus=1)
+    return hash_near_dup_pairs(hashes, max_hamming=max_hamming,
+                               num_buckets=num_buckets)
+
+
+def synth_audio_corpus(n_rows: int = 24, seed: int = 37,
+                       n_dup_pairs: int = 3):
+    """Deterministic audio corpus with PLANTED near-duplicates: each
+    base clip is a DISTINCT two-tone chord (tone slots ≥ 1.5× apart —
+    distinct spectral bands; 10 slots give 45 distinct chords, and two
+    different chords share at most one tone → fingerprint Hamming ≥ 2);
+    the first n_dup_pairs clips get a copy with FRESH noise at 4× the
+    amplitude (the re-encode / re-record case: same spectral lines,
+    different noise floor → Hamming 0)."""
+    import itertools
+
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    chords = list(itertools.combinations(range(10), 2))
+    rows = []
+
+    def clip(slot_a, slot_b, noise_scale):
+        t = np.arange(8000, dtype=np.float64) / 16000.0
+        tone = (0.5 * np.sin(2 * np.pi * 110.0 * (1.5 ** slot_a) * t)
+                + 0.5 * np.sin(2 * np.pi * 110.0 * (1.5 ** slot_b) * t))
+        noise = rng.normal(scale=noise_scale, size=t.shape)
+        return _wav_encode(((tone + noise) * 12000).clip(-32768, 32767))
+
+    for i in range(n_rows):
+        a, b = chords[i % len(chords)]
+        rows.append({
+            "media_id": f"aud{i:05d}",
+            "url": f"https://pages.synthetic.test/aud/{i}",
+            "kind": "audio",
+            "payload": clip(a, b, 0.02),
+            "width": -1, "height": -1, "sample_rate": 16000,
+        })
+        if i < n_dup_pairs:
+            rows.append({
+                "media_id": f"aud{i:05d}-dup",
+                "url": f"https://pages.synthetic.test/aud/{i}d",
+                "kind": "audio",
+                "payload": clip(a, b, 0.08),
+                "width": -1, "height": -1, "sample_rate": 16000,
+            })
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+
+
+def media_audio_dups(n_rows: int = 24, max_hamming: int = 1):
+    ds = synth_audio_corpus(n_rows)
+    return audio_near_dup_pairs(ds, max_hamming=max_hamming)
 
 
 def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,

@@ -1195,3 +1195,16 @@ def test_video_near_dup_pairs_planted(ray_session):
                   if not a.endswith("-dup") and not b.endswith("-dup")}
     assert base_pairs == set()
     assert (df["n_frames_matched"] >= 3).all()
+
+def test_audio_near_dup_pairs_planted(ray_session):
+    """Audio near-dup detection (real WAV decode → spectral-band
+    fingerprint → shared pigeonhole banding) finds exactly the planted
+    re-noised copies; distinct chords (sharing ≤ one tone → Hamming ≥ 2)
+    never pair at max_hamming=1."""
+    from gpml2pvjson_js_ray.stages.multimodal import media_audio_dups
+
+    df = media_audio_dups(24).to_pandas()
+    got = set(zip(df["media_a"], df["media_b"]))
+    want = {(f"aud{i:05d}", f"aud{i:05d}-dup") for i in range(3)}
+    assert got == want
+    assert (df["hamming"] == 0).all()
