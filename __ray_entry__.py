@@ -384,6 +384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mlprep_query("orders_price_median_by_priority"),
         "events_value_zscore": _mlprep_query("events_value_zscore"),
         "documents_normalize": _mlprep_query("documents_normalize"),
+        "documents_normalized_dedup":
+            _mlprep_query("documents_normalized_dedup"),
+        "documents_per_source_cap":
+            _sampling_query("documents_per_source_cap"),
         "documents_term_postings": _mlprep_query("documents_term_postings"),
         "documents_contamination": _mlprep_query("documents_contamination"),
         "events_props_k_stats": _mlprep_query("events_props_k_stats"),
@@ -612,6 +616,10 @@ def oracle_sql() -> dict[str, str]:
             mlprep.SQL_ORDERS_PRICE_MEDIAN_BY_PRIORITY,
         "events_value_zscore": mlprep.SQL_EVENTS_VALUE_ZSCORE,
         "documents_normalize": mlprep.SQL_DOCUMENTS_NORMALIZE,
+        "documents_normalized_dedup":
+            mlprep.SQL_DOCUMENTS_NORMALIZED_DEDUP,
+        "documents_per_source_cap":
+            sampling.SQL_DOCUMENTS_PER_SOURCE_CAP,
         "documents_term_postings": mlprep.SQL_DOCUMENTS_TERM_POSTINGS,
         "documents_contamination": mlprep.SQL_DOCUMENTS_CONTAMINATION,
         "events_props_k_stats": mlprep.SQL_EVENTS_PROPS_K_STATS,

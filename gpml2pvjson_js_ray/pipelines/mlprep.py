@@ -451,6 +451,52 @@ FROM documents ORDER BY doc_id
 """
 
 
+def documents_normalized_dedup(sf_dir: str, num_buckets: int = 16):
+    """'Fuzzy-exact' dedup on the NORMALIZED text key (NFC → lowercase
+    → whitespace collapse → trim — the documents_normalize chain):
+    catches the re-crawl variants byte-exact dedup misses (case
+    flips, whitespace reflows) while staying deterministic. Same
+    bucketed scale shape as documents_exact_dedup: hash-bucket the
+    normalized key, min-doc_id + count per key inside each bucket."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_rows_mod
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_key(b: pa.Table) -> pa.Table:
+        t = pc.coalesce(b.column("text"), pa.scalar("", pa.string()))
+        t = pc.utf8_normalize(t, form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        keyed = pa.table({"doc_id": b.column("doc_id"), "k": t})
+        buckets = hash_rows_mod(keyed, ["k"], num_buckets)
+        return keyed.append_column(
+            "bucket", pa.array(buckets.astype("int32"), type=pa.int32()))
+
+    def first_per_key(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("k", sort=False)["doc_id"]
+        return pd.DataFrame({"doc_id": g.min().astype("int64"),
+                             "n_copies": g.size().astype("int64")}) \
+            .reset_index(drop=True)
+
+    return (docs.map_batches(norm_key, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(first_per_key, batch_format="pandas")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_NORMALIZED_DEDUP = r"""
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM (SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+                                 '\s+', ' ', 'g')) AS k
+      FROM documents)
+GROUP BY k ORDER BY doc_id
+"""
+
+
 # -- inverted index (term → postings) ------------------------------------------
 
 def documents_term_postings(sf_dir: str, k: int = 100,

@@ -150,6 +150,53 @@ FROM documents ORDER BY h, doc_id LIMIT 100
 """
 
 
+def documents_per_source_cap(sf_dir: str, k: int = 10):
+    """Per-domain quota: keep at most k documents per source, selected
+    by key-hash order (unbiased w.r.t. shard position — the per-domain
+    cap step of web-corpus curation, so no single domain dominates the
+    mixture). Combiner shape: each block pre-selects its local
+    k-smallest hashes PER SOURCE (the shuffle then carries ≤ k rows per
+    (source, block)); the exact per-source top-k closes inside one
+    source groupby."""
+    import pandas as pd
+
+    from ..stages.exchange import polars_capped
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        h = _pct_hash(b.column("doc_id").to_numpy(), _SAMPLE_MULT, _M32)
+        pl = polars_capped()
+        df = pl.from_arrow(pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "h": pa.array(h)}))
+        return (df.sort(["h", "doc_id"])
+                .group_by("source", maintain_order=True).head(k)
+                .to_arrow())
+
+    def exact_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["h", "doc_id"]).head(k)
+        return df[["doc_id", "source"]]
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(local_topk, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(exact_topk, batch_format="pandas")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_PER_SOURCE_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY ((doc_id * 2246822519) % 4294967296), doc_id)
+             AS rn
+  FROM documents)
+WHERE rn <= 10
+ORDER BY doc_id
+"""
+
+
 # -- weighted mixture interleave --------------------------------------------
 
 def documents_mixture_interleave(sf_dir: str):
