@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _window_query("events_first_last_touch"),
         "events_user_sequences": _window_query("events_user_sequences"),
         "events_debounce": _window_query("events_debounce"),
+        "events_decayed_counts": _window_query("events_decayed_counts"),
+        "events_late_arrivals": _window_query("events_late_arrivals"),
+        "embeddings_knn_triangles": _graph_query(
+            "embeddings_knn_triangles"),
         "events_anomaly_bursts": _window_query("events_anomaly_bursts"),
         "documents_top_per_lang": _window_query("documents_top_per_lang"),
         "events_cumulative_value":
@@ -408,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_ccnet_buckets": textops.documents_ccnet_buckets,
         "documents_dsir_weights": textops.documents_dsir_weights,
         "events_profile": _profiler_query("events_profile"),
+        "events_constraint_violations":
+            _profiler_query("events_constraint_violations"),
         "documents_source_divergence":
             _profiler_query("documents_source_divergence"),
         "embeddings_semantic_components":
@@ -462,6 +468,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _maintenance_query("documents_snapshot_diff"),
         "documents_source_report_incremental":
             _maintenance_query("documents_source_report_incremental"),
+        "documents_merge_upsert":
+            _maintenance_query("documents_merge_upsert"),
+        "events_zorder": _maintenance_query("events_zorder"),
+        "documents_bm25_topk": _lexical_query("documents_bm25_topk"),
+        "documents_rag_chunks": _mlprep_query("documents_rag_chunks"),
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
@@ -528,6 +539,10 @@ def oracle_sql() -> dict[str, str]:
         "documents_snapshot_diff": maintenance.SQL_DOCUMENTS_SNAPSHOT_DIFF,
         # merged incremental state must equal the full one-shot report
         "documents_source_report_incremental": rel.SQL_DOCUMENTS_SOURCE_REPORT,
+        "documents_merge_upsert": maintenance.SQL_DOCUMENTS_MERGE_UPSERT,
+        "events_zorder": maintenance.SQL_EVENTS_ZORDER,
+        "documents_bm25_topk": lexical.SQL_DOCUMENTS_BM25_TOPK,
+        "documents_rag_chunks": mlprep.SQL_DOCUMENTS_RAG_CHUNKS,
         "documents_langid": textops.SQL_DOCUMENTS_LANGID,
         "documents_ngram_jaccard": textops.SQL_DOCUMENTS_NGRAM_JACCARD,
         "lineitem_pricing_summary": rel.SQL_LINEITEM_PRICING_SUMMARY,
@@ -572,6 +587,9 @@ def oracle_sql() -> dict[str, str]:
         "events_first_last_touch": windows.SQL_EVENTS_FIRST_LAST_TOUCH,
         "events_user_sequences": windows.SQL_EVENTS_USER_SEQUENCES,
         "events_debounce": windows.SQL_EVENTS_DEBOUNCE,
+        "events_decayed_counts": windows.SQL_EVENTS_DECAYED_COUNTS,
+        "events_late_arrivals": windows.SQL_EVENTS_LATE_ARRIVALS,
+        "embeddings_knn_triangles": graph.SQL_EMBEDDINGS_KNN_TRIANGLES,
         "events_anomaly_bursts": windows.SQL_EVENTS_ANOMALY_BURSTS,
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
@@ -638,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_ccnet_buckets": textops.SQL_DOCUMENTS_CCNET_BUCKETS,
         "documents_dsir_weights": textops.SQL_DOCUMENTS_DSIR_WEIGHTS,
         "events_profile": profiler.SQL_EVENTS_PROFILE,
+        "events_constraint_violations":
+            profiler.SQL_EVENTS_CONSTRAINT_VIOLATIONS,
         "documents_source_divergence":
             profiler.SQL_DOCUMENTS_SOURCE_DIVERGENCE,
         "embeddings_semantic_components":

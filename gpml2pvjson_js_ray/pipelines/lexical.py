@@ -280,6 +280,122 @@ WHERE rank <= 3 ORDER BY vec_id, rank
 """
 
 
+# -- BM25 ranked retrieval ------------------------------------------------------
+
+_BM25_TERMS = ("merge", "window")   # default ranked query
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def documents_bm25_topk(sf_dir: str,
+                        terms: tuple[str, ...] = _BM25_TERMS,
+                        k: int = 10):
+    """Okapi BM25 top-k retrieval for a fixed term query — the ranked
+    counterpart of `documents_search_and`'s boolean AND, and the
+    lexical scorer a hybrid RAG retriever fuses with the vector side
+    (`simops.documents_related_topk`).
+
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf_t = ln(1 + (N−df_t+0.5)/(df_t+0.5)).
+
+    Scale shape: pass 1 folds each block into ONE partial row
+    (n_docs, Σdl, df per query term — docs are complete in-block, so
+    df partials are exact); the |query|-wide stats merge on the driver
+    (constant size). Pass 2 is a pure map: tokenize vectorized, tf per
+    term via list.count_matches, score with the broadcast scalars, and
+    per-block partial top-k (on the 4-dp half-away-rounded score with
+    doc_id tiebreak — the same total order the final rank uses, so the
+    cut is exact) shrinks the exchange to blocks × k rows before one
+    global sort+limit."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    want = list(terms)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        toks = (pl.from_arrow(b).select(
+            toks=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE)))
+        cols = {"n_docs": pl.len().cast(pl.Int64),
+                "sum_dl": pl.col("toks").list.len().cast(pl.Int64).sum()}
+        for i, t in enumerate(want):
+            cols[f"df_{i}"] = (pl.col("toks").list.contains(t)
+                               .sum().cast(pl.Int64))
+        out = toks.select(**cols)
+        return out.to_arrow()
+
+    parts = (docs.map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas())
+    n_docs = float(parts["n_docs"].sum())
+    avgdl = float(parts["sum_dl"].sum()) / n_docs
+    idf = [float(np.log(1.0 + (n_docs - float(parts[f"df_{i}"].sum())
+                               + 0.5)
+                        / (float(parts[f"df_{i}"].sum()) + 0.5)))
+           for i in range(len(want))]
+
+    def score(b: pa.Table) -> pa.Table:
+        # tokenize/count in polars (integers — exact); do the FLOAT
+        # formula in numpy, whose true division and left-to-right op
+        # order match the SQL text exactly (polars expressions rewrite
+        # scalar division to a reciprocal multiply — a 1-ulp hazard)
+        pl = polars_capped()
+        f = (pl.from_arrow(b).select(
+            "doc_id",
+            toks=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .with_columns(
+                dl=pl.col("toks").list.len().cast(pl.Int64),
+                **{f"tf_{i}": pl.col("toks").list.count_matches(t)
+                   .cast(pl.Int64) for i, t in enumerate(want)}))
+        ids = f.get_column("doc_id").to_numpy()
+        dl = f.get_column("dl").to_numpy().astype(np.float64)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        s = np.zeros(len(ids), dtype=np.float64)
+        for i in range(len(want)):
+            tf = f.get_column(f"tf_{i}").to_numpy().astype(np.float64)
+            s += idf[i] * tf * 2.2 / (tf + norm)
+        s = np.floor(s * 10000.0 + 0.5) * 0.0001
+        order = np.lexsort((ids, -s))[:k]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(s[order], type=pa.float64())})
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-zA-ZÀ-ÿ]+') AS toks
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1
+                       ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1
+                       ELSE 0 END) AS DOUBLE) AS df1
+  FROM toks),
+scored AS (
+  SELECT t.doc_id,
+    floor((
+      ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+        * len(list_filter(t.toks, x -> x = 'merge')) * 2.2
+        / (len(list_filter(t.toks, x -> x = 'merge'))
+           + 1.2 * (0.25 + 0.75 * len(t.toks) / s.avgdl))
+      + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+        * len(list_filter(t.toks, x -> x = 'window')) * 2.2
+        / (len(list_filter(t.toks, x -> x = 'window'))
+           + 1.2 * (0.25 + 0.75 * len(t.toks) / s.avgdl))
+    ) * 10000.0 + 0.5) * 0.0001 AS score
+  FROM toks t, stats s)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # -- full BPE tokenizer training ----------------------------------------------
 
 def documents_bpe_train(sf_dir: str, n_merges: int = 20):

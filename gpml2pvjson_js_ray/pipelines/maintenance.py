@@ -276,3 +276,240 @@ def documents_source_report_incremental(sf_dir: str):
 def _sql_source_report():
     from .relational import SQL_DOCUMENTS_SOURCE_REPORT
     return SQL_DOCUMENTS_SOURCE_REPORT
+
+
+# -- CDC merge (MERGE INTO apply) ---------------------------------------------
+
+# documents_merge_upsert's deterministic change feed, shared with the
+# SQL oracle: DELETE doc_id%11==5; UPDATE doc_id%7==2 (text -> 'upd '||text);
+# INSERT a fresh key (+2000000, text -> 'ins '||text) for doc_id%23==4.
+# One op per key: DELETE wins over UPDATE when both rules match.
+_M_DEL_MOD, _M_DEL_REM = 11, 5
+_M_UPD_MOD, _M_UPD_REM = 7, 2
+_M_INS_MOD, _M_INS_REM = 23, 4
+_M_INS_OFFSET = 2_000_000
+
+
+def documents_merge_upsert(sf_dir: str, num_buckets: int = 32):
+    """Apply a CDC change feed (insert / update / delete ops keyed by
+    doc_id) to a base snapshot — the MERGE INTO of a streaming lakehouse
+    ingest, the third leg of the table-maintenance trio next to
+    compaction and snapshot diff.
+
+    Scale shape: base rows and op rows are tagged with a src column
+    (0=base, 1=upsert, 2=delete) and unioned; ONE hash-bucket exchange
+    on the key co-locates every key's base row with its op, and each
+    bucket resolves vectorized in polars (delete drops, upsert
+    overrides, insert is an upsert with no base row — the classic
+    last-writer-wins fold). Never a driver-side join; the exchange
+    carries (key, text) rows once. The change feed is derived
+    deterministically from the base by the module-constant rules (no
+    external data), which is also exactly what the DuckDB oracle
+    applies — merged output == SQL MERGE semantics IS the claim."""
+    import ray.data as rd
+
+    from ..stages.exchange import hash_rows_mod, polars_capped
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    base = rd.read_parquet(src, columns=["doc_id", "text"])
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "src", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+        return b.append_column(
+            "bucket", pa.array(hash_rows_mod(b, ["doc_id"], num_buckets)))
+
+    def derive_ops(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        f = pl.from_arrow(b)
+        dels = (f.filter(pl.col("doc_id") % _M_DEL_MOD == _M_DEL_REM)
+                .with_columns(text=pl.lit(None, dtype=pl.String),
+                              src=pl.lit(2, dtype=pl.Int8)))
+        upds = (f.filter((pl.col("doc_id") % _M_UPD_MOD == _M_UPD_REM)
+                         & (pl.col("doc_id") % _M_DEL_MOD != _M_DEL_REM))
+                .with_columns(text=pl.lit("upd ") + pl.col("text"),
+                              src=pl.lit(1, dtype=pl.Int8)))
+        ins = (f.filter(pl.col("doc_id") % _M_INS_MOD == _M_INS_REM)
+               .with_columns(doc_id=pl.col("doc_id") + _M_INS_OFFSET,
+                             text=pl.lit("ins ") + pl.col("text"),
+                             src=pl.lit(1, dtype=pl.Int8)))
+        out = pl.concat([dels, upds, ins]).to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("text", pa.string()),
+            ("src", pa.int8())]))
+        return out.append_column(
+            "bucket", pa.array(hash_rows_mod(out, ["doc_id"],
+                                             num_buckets)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        f = pl.from_arrow(g.select(["doc_id", "text", "src"]))
+        agg = (f.group_by("doc_id").agg(
+            deleted=(pl.col("src") == 2).any(),
+            utext=pl.col("text").filter(pl.col("src") == 1).first(),
+            btext=pl.col("text").filter(pl.col("src") == 0).first()))
+        out = (agg.filter(~pl.col("deleted"))
+               .with_columns(text=pl.coalesce(pl.col("utext"),
+                                              pl.col("btext")))
+               .select("doc_id", "text"))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("text", pa.string())]))
+
+    return (base.map_batches(tag_base, batch_format="pyarrow")
+            .union(base.map_batches(derive_ops, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(resolve, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+SQL_DOCUMENTS_MERGE_UPSERT = f"""
+WITH upd AS (
+  SELECT doc_id, 'upd ' || text AS text FROM documents
+  WHERE doc_id % {_M_UPD_MOD} = {_M_UPD_REM}
+    AND doc_id % {_M_DEL_MOD} <> {_M_DEL_REM}
+), ins AS (
+  SELECT doc_id + {_M_INS_OFFSET} AS doc_id, 'ins ' || text AS text
+  FROM documents WHERE doc_id % {_M_INS_MOD} = {_M_INS_REM}
+)
+SELECT doc_id, text FROM (
+  SELECT b.doc_id, coalesce(u.text, b.text) AS text
+  FROM documents b LEFT JOIN upd u ON b.doc_id = u.doc_id
+  WHERE b.doc_id % {_M_DEL_MOD} <> {_M_DEL_REM}
+  UNION ALL
+  SELECT doc_id, text FROM ins)
+ORDER BY doc_id
+"""
+
+
+# -- Z-order clustering (multi-column data layout) -----------------------------
+
+_ZORDER_ROOT = "/tmp/gpml2pvjson_zorder"
+
+
+def _interleave16(a_code: np.ndarray, b_code: np.ndarray) -> np.ndarray:
+    """Bit-interleave two uint16 code arrays into one uint32 z-value
+    (Morton order), fully vectorized: spread each 16-bit code to even
+    bit positions with the classic mask ladder, OR the second shifted."""
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        x = (x | (x << 8)) & np.uint64(0x00FF00FF)
+        x = (x | (x << 4)) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << 2)) & np.uint64(0x33333333)
+        x = (x | (x << 1)) & np.uint64(0x55555555)
+        return x
+    return (spread(a_code) | (spread(b_code) << np.uint64(1))) \
+        .astype(np.int64)
+
+
+def zorder_parquet(input_path: str, out_dir: str, col_a: str, col_b: str,
+                   num_files: int = 16) -> dict:
+    """Rewrite a parquet table clustered by the Z-ORDER (Morton curve)
+    of two columns — the multi-dimensional layout optimization (Delta
+    OPTIMIZE ZORDER BY) that makes file-level min/max pruning effective
+    on BOTH columns at once, where a plain sort serves only its leading
+    column.
+
+    Scale shape: pass 1 reads ONLY the two cluster columns' min/max
+    from parquet row-group METADATA (no data scan) to fix the global
+    code scale; pass 2 maps each row's (a, b) to 16-bit range codes,
+    interleaves bits vectorized (one mask ladder per batch), SORTS by
+    the z-value (the one all-to-all — a range exchange, same cost as
+    any layout rewrite), and writes ~num_files files atomically
+    (tmp + rename, the compaction contract). Returns a manifest with
+    per-file min/max spans of both columns so callers (and the pruning
+    test) can measure clustering quality."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    d = pads.dataset(input_path)
+    lo_a = lo_b = np.inf
+    hi_a = hi_b = -np.inf
+    for frag in d.get_fragments():
+        md = frag.metadata
+        sch = frag.physical_schema
+        ia, ib = sch.get_field_index(col_a), sch.get_field_index(col_b)
+        for rg in range(md.num_row_groups):
+            sa = md.row_group(rg).column(ia).statistics
+            sb = md.row_group(rg).column(ib).statistics
+            lo_a, hi_a = min(lo_a, sa.min), max(hi_a, sa.max)
+            lo_b, hi_b = min(lo_b, sb.min), max(hi_b, sb.max)
+    span_a = (hi_a - lo_a) or 1.0
+    span_b = (hi_b - lo_b) or 1.0
+
+    def add_z(b: pa.Table) -> pa.Table:
+        a = b.column(col_a).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = b.column(col_b).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        code_a = np.clip((a - lo_a) / span_a * 65535.0, 0, 65535) \
+            .astype(np.uint16)
+        code_b = np.clip((c - lo_b) / span_b * 65535.0, 0, 65535) \
+            .astype(np.uint16)
+        return b.append_column("_z", pa.array(_interleave16(code_a,
+                                                            code_b)))
+
+    if not os.path.isdir(out_dir):
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        (rd.read_parquet(input_path)
+         .map_batches(add_z, batch_format="pyarrow")
+         .sort("_z")
+         .repartition(num_files)
+         .drop_columns(["_z"])
+         .write_parquet(tmp_dir))
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    spans = []
+    for fn in sorted(os.listdir(out_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(out_dir, fn))
+        sch = pq.read_schema(os.path.join(out_dir, fn))
+        ia, ib = sch.get_field_index(col_a), sch.get_field_index(col_b)
+        mins = {col_a: np.inf, col_b: np.inf}
+        maxs = {col_a: -np.inf, col_b: -np.inf}
+        for rg in range(md.num_row_groups):
+            for col, i in ((col_a, ia), (col_b, ib)):
+                st = md.row_group(rg).column(i).statistics
+                mins[col] = min(mins[col], st.min)
+                maxs[col] = max(maxs[col], st.max)
+        spans.append({"file": fn,
+                      f"{col_a}_min": mins[col_a],
+                      f"{col_a}_max": maxs[col_a],
+                      f"{col_b}_min": mins[col_b],
+                      f"{col_b}_max": maxs[col_b]})
+    return {"out_dir": out_dir, "n_files": len(spans), "files": spans,
+            "bounds": {col_a: (lo_a, hi_a), col_b: (lo_b, hi_b)}}
+
+
+def events_zorder(sf_dir: str, num_files: int = 16):
+    """Z-order the events table by (user_id, value), read the clustered
+    copy back and return it ordered by event_id — the oracle equality
+    against a plain `SELECT … ORDER BY event_id` over the ORIGINAL table
+    is the losslessness proof (the layout rewrite loses and changes
+    nothing). The clustering QUALITY (min/max pruning on both columns)
+    is pinned by the pytest over `zorder_parquet`'s span manifest."""
+    import hashlib
+
+    import ray.data as rd
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|zorder"
+        f"|{num_files}".encode()).hexdigest()[:16]
+    out_dir = os.path.join(_ZORDER_ROOT, key)
+    os.makedirs(_ZORDER_ROOT, exist_ok=True)
+    zorder_parquet(src, out_dir, "user_id", "value", num_files=num_files)
+    return (rd.read_parquet(out_dir)
+            .select_columns(["event_id", "ts", "user_id", "event_type",
+                             "value", "props"])
+            .sort("event_id"))
+
+
+SQL_EVENTS_ZORDER = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events ORDER BY event_id
+"""

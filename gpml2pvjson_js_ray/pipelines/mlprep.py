@@ -497,6 +497,81 @@ GROUP BY k ORDER BY doc_id
 """
 
 
+# -- RAG chunking (overlapping token windows) ----------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 64, 48  # 16-token overlap
+
+
+def documents_rag_chunks(sf_dir: str, size: int = _CHUNK_SIZE,
+                         stride: int = _CHUNK_STRIDE):
+    """Split every document into overlapping token-window chunks — the
+    retrieval-unit prep of a RAG corpus (context windows with overlap so
+    no answer span straddles a chunk boundary unseen). Chunk i covers
+    tokens [i·stride, i·stride+size); the chunk count
+    1 + max(0, ceil((dl−size)/stride)) guarantees tail coverage.
+
+    Pure map, zero shuffle: a document's tokens are complete inside its
+    row, so tokenize → per-row chunk-id ranges → explode → slice+join
+    all happen vectorized inside one polars pass per batch. Output
+    (doc_id, chunk_id, n_tokens, chunk_text); 1→N fan-out rows never
+    leave their producing task except through the final sort."""
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        f = (pl.from_arrow(b).select(
+            "doc_id",
+            toks=pl.col("text").fill_null("")
+            .str.extract_all(_TERM_RE))
+            .with_columns(dl=pl.col("toks").list.len().cast(pl.Int64))
+            .with_columns(
+                nc=1 + pl.max_horizontal(
+                    pl.lit(0, dtype=pl.Int64),
+                    ((pl.col("dl") - size + stride - 1) // stride)
+                    .cast(pl.Int64)))
+            .with_columns(chunk_id=pl.int_ranges(0, pl.col("nc")))
+            .explode("chunk_id"))
+        out = (f.with_columns(
+            piece=pl.col("toks").list.slice(
+                pl.col("chunk_id") * stride, size))
+            .select(
+                "doc_id",
+                chunk_id=pl.col("chunk_id").cast(pl.Int64),
+                n_tokens=pl.col("piece").list.len().cast(pl.Int64),
+                chunk_text=pl.col("piece").list.join(" ")))
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+            ("n_tokens", pa.int64()), ("chunk_text", pa.string())]))
+
+    return (docs.map_batches(chunk, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_id"]))
+
+
+SQL_DOCUMENTS_RAG_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                    '[a-zA-ZÀ-ÿ]+') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS dl,
+         1 + greatest(0, CAST(ceil((len(toks) - {_CHUNK_SIZE})
+                                   / {_CHUNK_STRIDE}.0) AS BIGINT)) AS nc
+  FROM t),
+c AS (
+  SELECT doc_id, toks, dl,
+         unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM n)
+SELECT doc_id, chunk_id,
+       least({_CHUNK_SIZE}, dl - chunk_id * {_CHUNK_STRIDE}) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                                  chunk_id * {_CHUNK_STRIDE}
+                                  + {_CHUNK_SIZE}), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 # -- inverted index (term → postings) ------------------------------------------
 
 def documents_term_postings(sf_dir: str, k: int = 100,

@@ -206,3 +206,88 @@ SELECT p.source, CAST(st.tot AS BIGINT) AS n_tokens,
 FROM probs p JOIN src_tot st USING (source)
 GROUP BY p.source, st.tot ORDER BY p.source
 """
+
+
+# -- declarative constraint validation (expectations gate) ---------------------
+
+# rule set shared verbatim with the SQL oracle; a rule with zero
+# violations still emits its row (the gate reports green, not silence)
+_EVENT_TYPES_OK = ("click", "purchase", "signup", "view", "login",
+                   "logout", "search", "error")
+_TS_LO, _TS_HI = "1995-01-01", "2030-01-01"
+
+
+def events_constraint_violations(sf_dir: str):
+    """Declarative data-quality gate over the events stream: count
+    violations of a fixed expectation suite (null key, negative value,
+    unknown enum, out-of-range timestamp) — the validation pass an
+    ingest pipeline runs before promoting a new drop, per rule.
+
+    Scale shape: pure map — each block folds into ≤ |rules| partial
+    rows (vectorized arrow kernels, no Python per row), and the
+    exchange carries |rules| rows per block into one tiny groupby.
+    Every rule always reports (LEFT-JOIN-like semantics via explicit
+    zero partials), so a silent column drop can't masquerade as
+    clean. Output: (rule, n_violations) ordered by rule."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value", "ts"])
+    lo = np.datetime64(_TS_LO, "us").astype(np.int64)
+    hi = np.datetime64(_TS_HI, "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"rule": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64())})
+        n_null = b.column("user_id").null_count
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        n_neg = int(np.sum(val < 0.0))
+        known = pc.fill_null(pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(_EVENT_TYPES_OK)), False)
+        # NULL or NOT IN — everything that is not a known enum value
+        n_unknown = int(b.num_rows - pc.sum(known).as_py())
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_ts = int(np.sum((ts < lo) | (ts > hi)))
+        return pa.table({
+            "rule": pa.array(["negative_value", "null_user_id",
+                              "ts_out_of_range", "unknown_event_type"]),
+            "part": pa.array([n_neg, n_null, n_ts, n_unknown],
+                             pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["rule", "n_violations"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("rule")
+            .aggregate(Sum("part", alias_name="part"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("rule"))
+
+
+SQL_EVENTS_CONSTRAINT_VIOLATIONS = f"""
+SELECT rule, n_violations FROM (
+  SELECT 'null_user_id' AS rule,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations FROM events
+  UNION ALL
+  SELECT 'negative_value',
+         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'unknown_event_type',
+         CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                  {_EVENT_TYPES_OK!r} THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'ts_out_of_range',
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_TS_LO}'
+                        OR ts > TIMESTAMP '{_TS_HI}'
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events)
+ORDER BY rule
+"""

@@ -707,3 +707,143 @@ FROM pm JOIN ua USING (user_id)
 WHERE pm.n * ua.n_minutes > 1 * ua.total
 ORDER BY user_id, minute
 """
+
+
+# -- exponentially time-decayed counts (trending score) -----------------------
+
+# half-life 7 days; the literal is shared verbatim with the SQL oracle
+# (repr round-trips the exact double) so both engines use the same λ.
+_DECAY_LAMBDA = 0.0990210257942779  # ln(2)/7 per day
+
+
+def events_decayed_counts(sf_dir: str, num_buckets: int = 32):
+    """Per-event-type exponentially time-decayed count and value at the
+    corpus watermark (max ts) — the freshness-weighted popularity score
+    a production ranker keeps per item (half-life 7 days).
+
+    Scale shape: pass 1 reduces to ONE max-ts scalar (per-block max
+    partials, constant-size); pass 2 is map-only — each block computes
+    per-type partials Σw and Σw·value with w = exp(-λ·age_days) in
+    numpy (true division + libm exp, matching the SQL text's op order),
+    and the exchange carries |types|-sized partials per block. Sums are
+    reassociated vs the SQL's scan order, so outputs round to 4 dp —
+    far above the ~1e-13 reassociation noise of corpus-sized folds."""
+    from ray.data.aggregate import Sum
+
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    max_parts = (events.map_batches(
+        lambda b: pa.table({
+            "m": pa.array([pc.max(b.column("ts")).value], pa.int64())}),
+        batch_format="pyarrow").to_pandas())
+    ref_us = int(max_parts["m"].max())
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        age_days = (ref_us - ts_us).astype(np.float64) / 86400000000.0
+        w = np.exp(-_DECAY_LAMBDA * age_days)
+        val = b.column("value").to_numpy(zero_copy_only=False)
+        types = b.column("event_type")
+        import pandas as pd_
+        df = pd_.DataFrame({"event_type": types.to_pandas(),
+                            "w": w, "wv": w * val})
+        g = df.groupby("event_type", sort=False)[["w", "wv"]].sum()
+        return pa.table({
+            "event_type": pa.array(g.index.to_numpy(), pa.string()),
+            "w": pa.array(g["w"].to_numpy(), pa.float64()),
+            "wv": pa.array(g["wv"].to_numpy(), pa.float64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        wv = b.column("wv").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "decayed_count": pa.array(
+                np.floor(w * 10000.0 + 0.5) * 0.0001, pa.float64()),
+            "decayed_value": pa.array(
+                np.floor(wv * 10000.0 + 0.5) * 0.0001, pa.float64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("w", alias_name="w"),
+                       Sum("wv", alias_name="wv"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+SQL_EVENTS_DECAYED_COUNTS = f"""
+WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+w AS (
+  SELECT event_type,
+         exp(-{_DECAY_LAMBDA!r}
+             * ((ref.ref_us - epoch_us(ts)) / 86400000000.0)) AS w,
+         exp(-{_DECAY_LAMBDA!r}
+             * ((ref.ref_us - epoch_us(ts)) / 86400000000.0)) * value
+             AS wv
+  FROM events, ref)
+SELECT event_type,
+       floor(sum(w) * 10000.0 + 0.5) * 0.0001 AS decayed_count,
+       floor(sum(wv) * 10000.0 + 0.5) * 0.0001 AS decayed_value
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- late-arrival detection (watermark semantics) ------------------------------
+
+_LATENESS_US = 120 * 1_000_000  # 120 s allowed lateness
+
+
+def events_late_arrivals(sf_dir: str, num_buckets: int = 32):
+    """Watermark-style late-event report: processing order is event_id
+    (arrival order); an event is LATE when its ts lags the running max
+    event-time of the same user's PRIOR arrivals by more than the
+    allowed lateness — the rows a watermarking streaming engine would
+    route to a side output. Output: (user_id, n_events, n_late).
+
+    Scale shape: the debounce pattern — co-locate by power-of-two
+    user bucket (one exchange), per-bucket pandas sort by (user,
+    event_id) + grouped cummax of integer-µs timestamps; comparisons
+    are integer-exact, so the oracle match is bitwise."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.bit_wise_and(b.column("user_id"),
+                                 pa.scalar(num_buckets - 1,
+                                           type=pa.int64()))
+        b = b.append_column("ts_us", b.column("ts").cast(pa.int64()))
+        return b.append_column("user_bucket",
+                               pc.cast(bucket, pa.int32()))
+
+    def late(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "event_id"])
+        prior_max = (df.groupby("user_id")["ts_us"].cummax()
+                     .groupby(df["user_id"]).shift(1))
+        is_late = prior_max.notna() & (
+            df["ts_us"] < prior_max - _LATENESS_US)
+        g = df.assign(is_late=is_late).groupby("user_id")
+        return pd.DataFrame({
+            "user_id": g.size().index.to_numpy(),
+            "n_events": g.size().to_numpy().astype("int64"),
+            "n_late": g["is_late"].sum().to_numpy().astype("int64")})
+
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("user_bucket")
+            .map_groups(late, batch_format="pandas")
+            .sort("user_id"))
+
+
+SQL_EVENTS_LATE_ARRIVALS = f"""
+WITH m AS (
+  SELECT user_id,
+         epoch_us(ts) < max(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {_LATENESS_US} AS is_late
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM m GROUP BY user_id ORDER BY user_id
+"""

@@ -432,3 +432,31 @@ def test_anchor_text_stats_matches_independent_recount(ray_session):
                  for r in got.itertuples(index=False)}
     assert got_pairs == dict(want)
     assert got["anchor_text"].str.contains(" ").sum() == 0
+
+
+def test_knn_triangles_two_planted_cliques(ray_session, tmp_path):
+    """Two tight 4-vector clusters: with k=3 each node's neighbors are
+    exactly its 3 cluster-mates, so the kNN graph is two disjoint K4s
+    -> 4 + 4 = 8 triangles (SQL parity runs in test_oracles.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.graph import embeddings_knn_triangles
+
+    rng = np.random.RandomState(3)
+    vecs = []
+    for center in ([10.0, 0.0, 0.0], [0.0, 10.0, 0.0]):
+        for _ in range(4):
+            vecs.append(np.asarray(center) + rng.uniform(-0.01, 0.01, 3))
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32())})
+    d = tmp_path / "emb"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    out = embeddings_knn_triangles(str(d), k=3)
+    assert out.column("n_triangles").to_pylist() == [8]

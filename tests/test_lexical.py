@@ -185,3 +185,23 @@ def test_read_documents_three_formats_identical(ray_session, tmp_path):
         assert df["n_chars"].tolist() == [11, 11], name  # unicode len
     assert frames["parquet"].equals(frames["ndjson"])
     assert frames["parquet"].equals(frames["csv"])
+
+
+def test_bm25_ranks_tf_and_length_normalized(ray_session, tmp_path):
+    """Planted corpus with hand-checkable BM25 math: the doc hitting
+    both terms with the highest tf ranks first, a no-hit doc scores
+    exactly 0, and scores are non-increasing down the ranking (value
+    parity vs the SQL formula runs in test_oracles.py)."""
+    from gpml2pvjson_js_ray.pipelines.lexical import documents_bm25_topk
+
+    sf = _write_docs(tmp_path, [
+        "merge merge merge window x y z a",       # both terms, high tf
+        "merge alpha beta gamma",                 # one hit
+        "alpha beta gamma delta",                 # no hits -> 0
+        "window window window window alpha beta"  # one term, tf 4
+    ])
+    out = documents_bm25_topk(sf).to_pandas()
+    assert out["doc_id"].tolist() == [0, 3, 1, 2]
+    assert out["score"].iloc[-1] == 0.0
+    assert (out["score"].diff().dropna() <= 0).all()
+    assert out["score"].iloc[0] > 1.0

@@ -216,3 +216,62 @@ def test_quarantine_report_counts_planted_malformed(ray_session):
     assert int(rep["n"].sum()) == n_err
     assert (rep["error_class"].str.len() <= 60).all()
     assert "GPML parse failed" in set(rep["error_class"])
+
+
+def test_zorder_clusters_both_columns(ray_session, tmp_path):
+    """Z-order layout makes file-level min/max pruning effective on BOTH
+    cluster columns: for a point/band predicate on either column, only a
+    minority of files' [min,max] spans can match — unlike a layout
+    sorted by a single column, where the non-leading column's spans
+    cover everything. Losslessness is pinned by the events_zorder
+    DuckDB oracle in test_oracles.py."""
+    rng = np.random.RandomState(7)
+    n = 40_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, 1000, size=n), pa.int64()),
+        "value": pa.array(rng.uniform(0.0, 500.0, size=n),
+                          pa.float64())})
+    src = tmp_path / "events.parquet"
+    pq.write_table(t, src)
+
+    out = str(tmp_path / "zordered")
+    manifest = maintenance.zorder_parquet(str(src), out, "user_id",
+                                          "value", num_files=16)
+    n_files = manifest["n_files"]
+    assert n_files >= 8
+
+    # pruning power: a mid-range point lookup on user_id and a narrow
+    # band on value must each match a minority of files' spans
+    hit_user = sum(1 for f in manifest["files"]
+                   if f["user_id_min"] <= 500 <= f["user_id_max"])
+    hit_value = sum(1 for f in manifest["files"]
+                    if not (f["value_max"] < 250.0
+                            or f["value_min"] > 251.0))
+    assert hit_user <= n_files // 2, manifest["files"]
+    assert hit_value <= n_files // 2, manifest["files"]
+
+    # lossless: every row survives the rewrite
+    after = pq.read_table(out)
+    assert after.num_rows == n
+    assert set(after.column_names) == {"event_id", "user_id", "value"}
+
+
+def test_merge_upsert_applies_all_three_ops(ray_session):
+    """Spot-check the CDC fold on sf0.001: deleted keys vanish, updated
+    keys carry the 'upd ' prefix, inserted keys exist above the offset
+    with the 'ins ' prefix (full value equality vs the SQL MERGE runs in
+    test_oracles.py at sf0.01)."""
+    out = maintenance.documents_merge_upsert(
+        "/root/testdata/sf0.001").to_pandas()
+    ids = set(out["doc_id"])
+    assert not any(i % maintenance._M_DEL_MOD == maintenance._M_DEL_REM
+                   for i in ids if i < maintenance._M_INS_OFFSET)
+    upd = out[(out["doc_id"] % maintenance._M_UPD_MOD
+               == maintenance._M_UPD_REM)
+              & (out["doc_id"] < maintenance._M_INS_OFFSET)]
+    assert len(upd) and upd["text"].str.startswith("upd ").all()
+    ins = out[out["doc_id"] >= maintenance._M_INS_OFFSET]
+    assert len(ins) and ins["text"].str.startswith("ins ").all()
+    assert ((ins["doc_id"] - maintenance._M_INS_OFFSET)
+            % maintenance._M_INS_MOD == maintenance._M_INS_REM).all()

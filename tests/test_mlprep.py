@@ -328,3 +328,36 @@ def test_dedup_incremental_planted_overlap(ray_session, tmp_path):
     d = _write_docs(tmp_path, texts)
     df = documents_dedup_incremental(d, num_buckets=4).to_pandas()
     assert df["doc_id"].tolist() == [3, 5]
+
+
+def test_rag_chunks_overlap_and_tail_coverage(ray_session, tmp_path):
+    """Planted docs pin the chunk grid: a 100-token doc yields chunks
+    [0,64) and [48,100) (16-token overlap, tail covered), a short doc
+    yields one whole-doc chunk, an empty doc yields one empty chunk."""
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.mlprep import documents_rag_chunks
+
+    toks = [chr(97 + i // 26) + chr(97 + i % 26) for i in range(100)]
+    table = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [" ".join(toks), " ".join(toks[:10]), ""],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": pa.array([0, 0, 0], pa.int64())})
+    d = tmp_path / "docs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / "documents.parquet"))
+
+    out = documents_rag_chunks(str(d)).to_pandas()
+    d0 = out[out["doc_id"] == 0]
+    assert d0["chunk_id"].tolist() == [0, 1]
+    assert d0["n_tokens"].tolist() == [64, 52]
+    assert d0["chunk_text"].iloc[0] == " ".join(toks[:64])
+    assert d0["chunk_text"].iloc[1] == " ".join(toks[48:100])
+    d1 = out[out["doc_id"] == 1]
+    assert d1["n_tokens"].tolist() == [10]
+    assert d1["chunk_text"].iloc[0] == " ".join(toks[:10])
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_id"].tolist() == [0]
+    assert d2["n_tokens"].tolist() == [0]
+    assert d2["chunk_text"].iloc[0] == ""

@@ -230,3 +230,87 @@ def test_user_sequences_mini(ray_session, mini_sf):
     assert out.loc[2, "seq"] == "click"
     assert out.loc[3, "seq"] == "purchase->view"
     assert out.loc[3, "n_events"] == 2
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    d = tmp_path / "ev"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_decayed_counts_half_life(ray_session, tmp_path):
+    """An event exactly one half-life (7 days) before the watermark
+    contributes weight 0.5; one at the watermark contributes 1.0."""
+    from gpml2pvjson_js_ray.pipelines.windows import events_decayed_counts
+
+    sf = _write_events(tmp_path, [
+        (1, "2024-01-08T00:00:00", 1, "a", 10.0),   # watermark
+        (2, "2024-01-01T00:00:00", 1, "a", 10.0),   # 7 days earlier
+        (3, "2024-01-08T00:00:00", 2, "b", 4.0)])
+    out = events_decayed_counts(sf).to_pandas().set_index("event_type")
+    assert abs(out.loc["a", "decayed_count"] - 1.5) < 1e-6
+    assert abs(out.loc["a", "decayed_value"] - 15.0) < 1e-6
+    assert abs(out.loc["b", "decayed_count"] - 1.0) < 1e-9
+
+
+def test_late_arrivals_flags_beyond_allowed_lateness(ray_session,
+                                                     tmp_path):
+    """Arrival order is event_id: an event > 120 s behind the user's
+    running max event-time is late; within 120 s is not; other users'
+    watermarks don't interfere."""
+    from gpml2pvjson_js_ray.pipelines.windows import events_late_arrivals
+
+    sf = _write_events(tmp_path, [
+        (1, "2024-01-01T00:01:40", 1, "a", 0.0),   # t=100s
+        (2, "2024-01-01T00:05:00", 1, "a", 0.0),   # t=300s, new max
+        (3, "2024-01-01T00:00:50", 1, "a", 0.0),   # 250s behind -> late
+        (4, "2024-01-01T00:04:10", 1, "a", 0.0),   # 50s behind -> ok
+        (5, "2024-01-01T00:00:00", 2, "a", 0.0)])  # other user, first
+    out = events_late_arrivals(sf).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_events"] == 4 and out.loc[1, "n_late"] == 1
+    assert out.loc[2, "n_events"] == 1 and out.loc[2, "n_late"] == 0
+
+
+def test_constraint_violations_planted(ray_session, tmp_path):
+    """One planted violation per rule; clean rows don't count; every
+    rule reports a row even at zero violations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from gpml2pvjson_js_ray.pipelines.profiler import (
+        events_constraint_violations)
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(np.array(
+            ["2024-01-01", "2024-01-01", "2024-01-01",
+             "1990-01-01", "2024-01-01"], dtype="datetime64[us]")),
+        "user_id": pa.array([1, None, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(
+            ["click", "click", "weird", "click", "click"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, -5.0], pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string())})
+    d = tmp_path / "ev2"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = (events_constraint_violations(str(d)).to_pandas()
+           .set_index("rule")["n_violations"])
+    assert out["null_user_id"] == 1
+    assert out["negative_value"] == 1
+    assert out["unknown_event_type"] == 1
+    assert out["ts_out_of_range"] == 1
+    assert len(out) == 4
