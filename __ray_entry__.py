@@ -392,6 +392,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _mlprep_query("documents_normalized_dedup"),
         "documents_per_source_cap":
             _sampling_query("documents_per_source_cap"),
+        "documents_negative_pairs":
+            _sampling_query("documents_negative_pairs"),
+        "documents_comention_pmi":
+            _lexical_query("documents_comention_pmi"),
         "documents_term_postings": _mlprep_query("documents_term_postings"),
         "documents_contamination": _mlprep_query("documents_contamination"),
         "events_props_k_stats": _mlprep_query("events_props_k_stats"),
@@ -638,6 +642,10 @@ def oracle_sql() -> dict[str, str]:
             mlprep.SQL_DOCUMENTS_NORMALIZED_DEDUP,
         "documents_per_source_cap":
             sampling.SQL_DOCUMENTS_PER_SOURCE_CAP,
+        "documents_negative_pairs":
+            sampling.SQL_DOCUMENTS_NEGATIVE_PAIRS,
+        "documents_comention_pmi":
+            lexical.SQL_DOCUMENTS_COMENTION_PMI,
         "documents_term_postings": mlprep.SQL_DOCUMENTS_TERM_POSTINGS,
         "documents_contamination": mlprep.SQL_DOCUMENTS_CONTAMINATION,
         "events_props_k_stats": mlprep.SQL_EVENTS_PROPS_K_STATS,

@@ -464,3 +464,111 @@ def documents_bpe_train(sf_dir: str, n_merges: int = 20):
         "left": pa.array([m[0] for m in merges], pa.string()),
         "right": pa.array([m[1] for m in merges], pa.string()),
         "pair_count": pa.array([m[2] for m in merges], pa.int64())})
+
+
+# -- co-mention edges + PMI (the KG co-occurrence graph builder) ---------------
+
+def documents_comention_pmi(sf_dir: str):
+    """Entity co-mention edges with pointwise mutual information — the
+    co-occurrence-graph pass of KG construction: two gazetteer entities
+    that appear in the same document get an edge, weighted by
+    pmi = ln(n_ab · N / (n_a · n_b)) over document frequencies.
+
+    Scale shape: per batch, DISTINCT (doc, term) gazetteer hits reduce
+    to (a) per-term df partials and (b) per-doc term PAIRS (a < b) —
+    pair fan-out is ≤ C(|gazetteer|, 2) per doc, bounded by the
+    dictionary, never by document length. One |vocab|²-sized groupby
+    counts pairs; df totals are a second constant-size exchange whose
+    result broadcasts into the final PMI map. Output
+    (term_a, term_b, n_ab, pmi) ordered by the pair."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+    from .mlprep import _docs_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = sorted(_ENTITY_DICT)
+    n_docs = float(_docs_count(sf_dir))
+
+    def hits_frame(pl, b: pa.Table):
+        return (pl.from_arrow(b).select(
+            "doc_id",
+            term=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(_TERM_RE))
+            .explode("term")
+            .filter(pl.col("term").is_in(terms))
+            .unique())
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = hits_frame(pl, b).group_by("term").len(name="df_part")
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("df_part", pa.int64())]))
+
+    df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("df_part", alias_name="df"))
+              .to_pandas())
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(float)))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        h = hits_frame(pl, b)
+        pairs = (h.join(h, on="doc_id", how="inner")
+                 .filter(pl.col("term") < pl.col("term_right"))
+                 .group_by(["term", "term_right"])
+                 .agg(n_part=pl.len().cast(pl.Int64)))
+        return pairs.rename({"term": "term_a",
+                             "term_right": "term_b"}) \
+            .to_arrow().cast(pa.schema([
+                ("term_a", pa.string()), ("term_b", pa.string()),
+                ("n_part", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ta = b.column("term_a").to_pylist()
+        tb = b.column("term_b").to_pylist()
+        n_ab = b.column("n_ab").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = np.array([df_map[t] for t in ta])
+        nb = np.array([df_map[t] for t in tb])
+        pmi = np.log(n_ab * n_docs / (na * nb))
+        return pa.table({
+            "term_a": pa.array(ta, pa.string()),
+            "term_b": pa.array(tb, pa.string()),
+            "n_ab": pa.array(n_ab.astype(np.int64)),
+            "pmi": pa.array(np.floor(pmi * 10000.0 + 0.5) * 0.0001,
+                            pa.float64())})
+
+    from ray.data.aggregate import Sum as _Sum
+    return (docs.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["term_a", "term_b"])
+            .aggregate(_Sum("n_part", alias_name="n_ab"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["term_a", "term_b"]))
+
+
+SQL_DOCUMENTS_COMENTION_PMI = """
+WITH hits AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-zA-ZÀ-ÿ]+')) AS term
+    FROM documents)
+  WHERE term IN ('customer', 'spark', 'vector', 'table', 'dup',
+                 'window')),
+df AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term)
+SELECT p.term_a, p.term_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       floor(ln(CAST(p.n_ab AS DOUBLE)
+                * (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)))
+             * 10000.0 + 0.5) * 0.0001 AS pmi
+FROM pairs p JOIN df da ON da.term = p.term_a
+             JOIN df db ON db.term = p.term_b
+ORDER BY term_a, term_b
+"""

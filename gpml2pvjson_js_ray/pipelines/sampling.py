@@ -29,6 +29,8 @@ sorts columns by name).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -446,4 +448,67 @@ SELECT CAST(row_number() OVER (
        doc_id
 FROM documents
 ORDER BY pos
+"""
+
+
+# -- deterministic negative-pair sampling (contrastive training prep) ---------
+
+_NEG_MULT, _NEG_ADD = 2654435761, 1013904223
+_NEG_K = 2
+
+
+def documents_negative_pairs(sf_dir: str, k: int = _NEG_K):
+    """Deterministic pseudo-random negative pairs per document — the
+    in-batch-negatives substitute of contrastive embedding training
+    when you need REPRODUCIBLE negatives (resume/audit): partner j of
+    doc i is ((i·MULT + j·ADD) mod 2³²) mod N, bumped by one when it
+    hits i itself. Pure map, zero shuffle, no RNG state: the pair set
+    is a function of (doc_id, j, N) alone, so any shard re-derives its
+    pairs after a failure without coordination (N comes from parquet
+    metadata, no count job). Exact in uint64 for doc_id < 2³² — at
+    larger id spaces the same formula runs in 128-bit (the SQL oracle
+    already computes it in HUGEINT)."""
+    import pyarrow.dataset as pads
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = pads.dataset(src).count_rows()
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        out_id, out_j, out_neg = [], [], []
+        for j in range(1, k + 1):
+            cand = ((ids * np.uint64(_NEG_MULT)
+                     + np.uint64(j * _NEG_ADD))
+                    % np.uint64(1 << 32)) % np.uint64(n)
+            cand = np.where(cand == ids, (cand + 1) % np.uint64(n), cand)
+            out_id.append(ids)
+            out_j.append(np.full(len(ids), j, dtype=np.int64))
+            out_neg.append(cand)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id).astype(np.int64)),
+            "neg_rank": pa.array(np.concatenate(out_j)),
+            "neg_doc_id": pa.array(
+                np.concatenate(out_neg).astype(np.int64))})
+
+    import ray.data as rd
+    return (rd.read_parquet(src, columns=["doc_id"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .sort(["doc_id", "neg_rank"]))
+
+
+SQL_DOCUMENTS_NEGATIVE_PAIRS = f"""
+WITH n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+js AS (SELECT unnest(generate_series(1, {_NEG_K})) AS j),
+cand AS (
+  SELECT d.doc_id, js.j,
+         ((CAST(d.doc_id AS HUGEINT) * {_NEG_MULT}
+           + CAST(js.j AS HUGEINT) * {_NEG_ADD}) % 4294967296) % n.n
+             AS cand
+  FROM documents d, js, n)
+SELECT doc_id, CAST(j AS BIGINT) AS neg_rank,
+       CAST(CASE WHEN cand = doc_id
+                 THEN (cand + 1) % (SELECT n FROM n)
+                 ELSE cand END AS BIGINT) AS neg_doc_id
+FROM cand ORDER BY doc_id, neg_rank
 """

@@ -205,3 +205,27 @@ def test_bm25_ranks_tf_and_length_normalized(ray_session, tmp_path):
     assert out["score"].iloc[-1] == 0.0
     assert (out["score"].diff().dropna() <= 0).all()
     assert out["score"].iloc[0] > 1.0
+
+
+def test_comention_pmi_planted(ray_session, tmp_path):
+    """4 docs (one with no gazetteer hits): df(spark)=3, df(vector)=2,
+    n_ab(spark,vector)=2 -> PMI = ln(2·4/(3·2)) = ln(4/3); terms never
+    sharing a doc emit no edge."""
+    import numpy as np
+
+    from gpml2pvjson_js_ray.pipelines.lexical import documents_comention_pmi
+
+    sf = _write_docs(tmp_path, [
+        "spark vector xxx",
+        "spark vector yyy",
+        "spark table zzz",
+        "alpha beta gamma"])
+    out = documents_comention_pmi(sf).to_pandas()
+    out = out.set_index(["term_a", "term_b"])
+    assert ("spark", "vector") in out.index
+    got = out.loc[("spark", "vector")]
+    assert got["n_ab"] == 2
+    assert abs(got["pmi"]
+               - np.floor(np.log(4.0 / 3.0) * 1e4 + 0.5) * 1e-4) < 1e-12
+    assert ("spark", "table") in out.index
+    assert ("table", "vector") not in out.index

@@ -99,3 +99,18 @@ def test_concat_chunks_matches_serial_scan(ray_session, samp_sf):
     # doc 1 (25 chars) must span 3 windows somewhere in the packing
     spans = out["chunk_end"] - out["chunk_start"]
     assert spans.max() >= 2
+
+
+def test_negative_pairs_deterministic_and_self_free(ray_session):
+    """Every doc gets exactly k negatives, none equal to itself, all in
+    [0, N); re-running yields the identical pair set (no RNG state)."""
+    from gpml2pvjson_js_ray.pipelines.sampling import (
+        documents_negative_pairs)
+
+    a = documents_negative_pairs("/root/testdata/sf0.001").to_pandas()
+    b = documents_negative_pairs("/root/testdata/sf0.001").to_pandas()
+    assert a.equals(b)
+    n = a["doc_id"].nunique()
+    assert (a.groupby("doc_id").size() == 2).all()
+    assert (a["neg_doc_id"] != a["doc_id"]).all()
+    assert a["neg_doc_id"].between(0, n - 1).all()
