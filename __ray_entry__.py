@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _join_query("revenue_by_nation"),
         "order_shipping_priority": _join_query("order_shipping_priority"),
         "revenue_by_nation_bloom": _join_query("revenue_by_nation_bloom"),
+        "returned_revenue_topk": _join_query("returned_revenue_topk"),
+        "events_value_winsorized":
+            _quantile_query("events_value_winsorized"),
         "nation_pair_volume": _join_query("nation_pair_volume"),
         "customers_order_count_histogram":
             _join_query("customers_order_count_histogram"),
@@ -572,6 +575,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": joins.SQL_REVENUE_BY_NATION,
         "order_shipping_priority": joins.SQL_ORDER_SHIPPING_PRIORITY,
         "revenue_by_nation_bloom": joins.SQL_REVENUE_BY_NATION,
+        "returned_revenue_topk": joins.SQL_RETURNED_REVENUE_TOPK,
+        "events_value_winsorized":
+            quantiles.SQL_EVENTS_VALUE_WINSORIZED,
         "nation_pair_volume": joins.SQL_NATION_PAIR_VOLUME,
         "customers_order_count_histogram":
             joins.SQL_CUSTOMERS_ORDER_COUNT_HISTOGRAM,

@@ -818,9 +818,13 @@ def embeddings_knn_triangles(sf_dir: str, k: int = 3,
             "b": pa.array(np.maximum(u, v).astype(np.int64))})
 
     from ray.data.aggregate import Count
+    # materialize: the edge table (≤ N·k rows — tiny relative to the
+    # corpus) feeds BOTH the wedge build and the membership probe; without
+    # this the brute-force kNN scan would execute twice
     edges = (knn.map_batches(undirect, batch_format="pyarrow")
              .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-             .drop_columns(["_n"]))
+             .drop_columns(["_n"])
+             .materialize())
 
     def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
         # group key = a; neighbors all satisfy b > a, so sorted pairs

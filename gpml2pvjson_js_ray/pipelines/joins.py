@@ -1030,3 +1030,95 @@ WHERE p_brand = 'Brand#13'
                     FROM lineitem l2
                     WHERE l2.l_partkey = part.p_partkey)
 """
+
+
+# -- Q10-style: returned-item revenue, top customers --------------------------
+
+_RRT_LO, _RRT_HI = "1996-01-01T00:00:00", "1996-07-01T00:00:00"
+
+
+def returned_revenue_topk(sf_dir: str, flag: str = "A",
+                          lo: str = _RRT_LO, hi: str = _RRT_HI,
+                          k: int = 20, num_partitions: int = 16):
+    """Top-k customers by revenue from RETURNED items in a date window
+    (TPC-H Q10 shape): lineitem(returnflag) ⋈ orders(window) shuffle
+    hash join on orderkey; customer→nationkey and nation→name broadcast.
+
+    Scale shape: both prefilters land BEFORE the join (the returned
+    flag on the lineitem scan, the order window on the orders scan), so
+    the hash exchange carries surviving rows only; revenue partials
+    combine per (custkey) inside each joined batch; the final groupby
+    is bounded by |customers|, and the name attach runs on its tiny
+    output. Ranking uses the ROUNDED revenue with custkey tiebreak."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = _broadcast_kv(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey", "c_nationkey")
+    nation = _read(sf_dir, "nation").to_pandas()
+    nation_ref = ray.put((
+        pa.array(nation["n_nationkey"].to_numpy()),
+        pa.array(nation["n_name"].astype(str).to_numpy())))
+
+    orders = _orders_in_window(sf_dir, _ts(lo), _ts(hi),
+                               ["o_orderkey", "o_custkey"])
+
+    def returned_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("l_returnflag"), flag)) \
+            .drop_columns(["l_returnflag"])
+
+    lineitem = (_read(sf_dir, "lineitem",
+                      ["l_orderkey", "l_extendedprice", "l_discount",
+                       "l_returnflag"])
+                .map_batches(returned_only, batch_format="pyarrow"))
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        t = pa.table({"c_custkey": b.column("o_custkey"),
+                      "revenue": rev})
+        return (pa.TableGroupBy(t, "c_custkey")
+                .aggregate([("revenue", "sum")])
+                .rename_columns(["c_custkey", "revenue"]))
+
+    attach_nat = _make_attach(cust, "c_custkey", "c_nationkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = _round_col(b, "revenue", 2)
+        b = attach_nat(b)
+        nk, nn = _nation_arrays(nation_ref)
+        names = pc.take(nn, pc.index_in(
+            b.column("c_nationkey").combine_chunks().cast(nk.type),
+            value_set=nk))
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "n_name": names,
+                         "revenue": b.column("revenue")})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["revenue", "c_custkey"], descending=[True, False])
+            .limit(k))
+
+
+SQL_RETURNED_REVENUE_TOPK = """
+SELECT c_custkey, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND c_nationkey = n_nationkey
+  AND l_returnflag = 'A'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""

@@ -313,15 +313,11 @@ def documents_merge_upsert(sf_dir: str, num_buckets: int = 32):
     src = os.path.join(sf_dir, "documents.parquet")
     base = rd.read_parquet(src, columns=["doc_id", "text"])
 
-    def tag_base(b: pa.Table) -> pa.Table:
-        b = b.append_column(
-            "src", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
-        return b.append_column(
-            "bucket", pa.array(hash_rows_mod(b, ["doc_id"], num_buckets)))
-
-    def derive_ops(b: pa.Table) -> pa.Table:
+    def expand(b: pa.Table) -> pa.Table:
+        # ONE pass emits base rows AND their derived change-feed rows
+        # (src 0=base, 1=upsert, 2=delete) — the table is read once
         pl = polars_capped()
-        f = pl.from_arrow(b)
+        f = pl.from_arrow(b).with_columns(src=pl.lit(0, dtype=pl.Int8))
         dels = (f.filter(pl.col("doc_id") % _M_DEL_MOD == _M_DEL_REM)
                 .with_columns(text=pl.lit(None, dtype=pl.String),
                               src=pl.lit(2, dtype=pl.Int8)))
@@ -333,7 +329,7 @@ def documents_merge_upsert(sf_dir: str, num_buckets: int = 32):
                .with_columns(doc_id=pl.col("doc_id") + _M_INS_OFFSET,
                              text=pl.lit("ins ") + pl.col("text"),
                              src=pl.lit(1, dtype=pl.Int8)))
-        out = pl.concat([dels, upds, ins]).to_arrow().cast(pa.schema([
+        out = pl.concat([f, dels, upds, ins]).to_arrow().cast(pa.schema([
             ("doc_id", pa.int64()), ("text", pa.string()),
             ("src", pa.int8())]))
         return out.append_column(
@@ -354,8 +350,7 @@ def documents_merge_upsert(sf_dir: str, num_buckets: int = 32):
         return out.to_arrow().cast(pa.schema([
             ("doc_id", pa.int64()), ("text", pa.string())]))
 
-    return (base.map_batches(tag_base, batch_format="pyarrow")
-            .union(base.map_batches(derive_ops, batch_format="pyarrow"))
+    return (base.map_batches(expand, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(resolve, batch_format="pyarrow")
             .sort("doc_id"))

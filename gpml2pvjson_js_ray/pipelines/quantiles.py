@@ -266,3 +266,68 @@ FROM documents d JOIN th USING (source)
 WHERE d.n_chars > th.p90
 ORDER BY d.doc_id
 """
+
+
+# -- per-group winsorization (outlier clipping for feature prep) --------------
+
+def events_value_winsorized(sf_dir: str, q_lo: float = 0.01,
+                            q_hi: float = 0.99):
+    """Winsorize value per event type: clip to the group's [p01, p99]
+    discrete quantiles — the outlier-robust feature-scaling prep that
+    precedes z-scoring at training time. Clipped values are exact group
+    ELEMENTS (quantile_disc semantics), so no interpolation arithmetic
+    can diverge between engines.
+
+    Scale shape: pass 1 is the exact per-group quantile (groupby
+    co-location + in-group sort — |event_type| groups; see the t-digest
+    variant above for the huge-group regime), whose |types|-sized
+    result broadcasts via ray.put; pass 2 is a pure vectorized clip
+    map. Output (event_id, event_type, value_w) by event_id."""
+    import ray
+    import ray.data as rd
+
+    def bounds_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy())
+        n = len(v)
+        lo = v[max(0, int(np.ceil(q_lo * n)) - 1)]
+        hi = v[max(0, int(np.ceil(q_hi * n)) - 1)]
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "lo": [lo], "hi": [hi]})
+
+    bounds = (_read_events(sf_dir)
+              .groupby("event_type")
+              .map_groups(bounds_group, batch_format="pandas")
+              .to_pandas())
+    ref = ray.put({r.event_type: (r.lo, r.hi)
+                   for r in bounds.itertuples()})
+
+    def clip(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        th = _ray.get(ref)
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        lo = np.asarray([th[u][0] for u in uniq])[inv]
+        hi = np.asarray([th[u][1] for u in uniq])[inv]
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "value_w": pa.array(np.minimum(np.maximum(vals, lo), hi),
+                                pa.float64())})
+
+    import ray.data as rd2
+    ds = rd2.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "event_type", "value"])
+    return ds.map_batches(clip, batch_format="pyarrow").sort("event_id")
+
+
+SQL_EVENTS_VALUE_WINSORIZED = """
+WITH th AS (
+  SELECT event_type, quantile_disc(value, 0.01) AS lo,
+         quantile_disc(value, 0.99) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       least(greatest(e.value, th.lo), th.hi) AS value_w
+FROM events e JOIN th USING (event_type)
+ORDER BY e.event_id
+"""

@@ -102,3 +102,37 @@ def test_mad_outliers_planted(ray_session, tmp_path):
     assert out.loc["b", "med"] == 2.5 and out.loc["b", "mad"] == 1.0
     assert out.loc["b", "n_outliers"] == 0
     assert out["n_events"].tolist() == [5, 4]
+
+
+def test_winsorized_clips_to_group_elements(ray_session, tmp_path):
+    """Type 'a' holds values 1..100: p01 = 1, p99 = 99 (discrete
+    quantiles are group ELEMENTS), so only the 100 clips (to 99); a
+    second type is untouched by 'a''s bounds."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.quantiles import (
+        events_value_winsorized)
+
+    vals = list(range(1, 101)) + [5.0, 500.0]
+    types = ["a"] * 100 + ["b", "b"]
+    t = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(np.array(["2024-01-01"] * len(vals),
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array([float(v) for v in vals], pa.float64()),
+        "props": pa.array(["{}"] * len(vals), pa.string())})
+    d = tmp_path / "ev"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = events_value_winsorized(str(d)).to_pandas()
+    a = out[out["event_type"] == "a"]["value_w"].to_numpy()
+    assert a.min() == 1.0 and a.max() == 99.0
+    assert (np.sort(a)[:-1] == np.arange(1.0, 100.0)).all()
+    b = out[out["event_type"] == "b"]["value_w"].to_numpy()
+    # b's own p01/p99 over {5, 500} are both elements of {5, 500}
+    assert set(b) == {5.0, 500.0}
