@@ -137,13 +137,13 @@ def revenue_by_nation(sf_dir: str, region: str = "ASIA",
             .sort("revenue", descending=True))
 
 
-_NATION_CACHE: dict[int, tuple] = {}
+_NATION_CACHE: dict[str, tuple] = {}
 
 
 def _nation_arrays(ref):
     """Worker-local memo for the broadcast (keys, names) pair — ray.get is
     zero-copy but per-call overhead adds up across small batches."""
-    key = id(ref)
+    key = ref.hex()
     if key not in _NATION_CACHE:
         import ray
         while len(_NATION_CACHE) >= 8:
@@ -234,11 +234,11 @@ def order_shipping_priority(sf_dir: str, segment: str = "BUILDING",
             .limit(10))
 
 
-_SEG_CACHE: dict[int, pa.Array] = {}
+_SEG_CACHE: dict[str, pa.Array] = {}
 
 
 def _seg_cache(ref):
-    key = id(ref)
+    key = ref.hex()
     if key not in _SEG_CACHE:
         import ray
         while len(_SEG_CACHE) >= 8:

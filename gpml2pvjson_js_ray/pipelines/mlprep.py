@@ -69,12 +69,13 @@ def _docs_count(sf_dir: str) -> int:
 # Worker-local memo for broadcast-side conversions (polars frames,
 # lookup arrays): ray.get is plasma-cached but per-batch re-CONVERSION
 # of a broadcast table is O(n_batches) wasted work (joins._NATION_CACHE
-# pattern). Keyed by ObjectRef identity, bounded.
-_BCAST_CACHE: dict[int, object] = {}
+# pattern). Keyed by the ObjectRef hex id (stable —
+# Python id() values are reused after GC), bounded.
+_BCAST_CACHE: dict[str, object] = {}
 
 
 def _cached_bcast(ref, build):
-    key = id(ref)
+    key = ref.hex()
     if key not in _BCAST_CACHE:
         while len(_BCAST_CACHE) >= 8:
             _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
