@@ -793,17 +793,24 @@ def embeddings_knn_triangles(sf_dir: str, k: int = 3,
     clustering signal a corpus-graph audit reads (near-dup clusters and
     topic clumps close triangles; random corpora don't).
 
-    Scale shape (node-iterator with the smallest-vertex rule): the
-    oracled kNN edge list (lexical.embeddings_knn_graph — reused
-    verbatim so the edge set is cross-engine-exact) is undirected and
-    deduped by one (a, b) groupby; adjacency lists build per node in a
-    second groupby where each node < its listed neighbors, so every
-    triangle (x < y < z) generates its (y, z) wedge exactly once at x;
-    wedges and edges co-locate via ONE hash-bucket exchange and each
-    bucket counts wedge∩edge vectorized (polars semi-join). Per-node
-    wedge fan-out is ≤ C(2k, 2) — bounded by construction, no hub
-    blow-up. Output: one row (n_triangles)."""
+    Scale shape (node-iterator with DEGREE-ORDERED orientation —
+    Chiba-Nishizeki / Latapy): the oracled kNN edge list
+    (lexical.embeddings_knn_graph — reused verbatim so the edge set is
+    cross-engine-exact) is undirected and deduped by one (a, b)
+    groupby; each edge is then oriented from its (degree, id)-smaller
+    endpoint toward the larger, so every triangle generates its wedge
+    exactly once at its order-minimum vertex and per-node wedge
+    fan-out is bounded by out-degree² with Σ out-deg² = O(m^1.5) —
+    hub-safe (a raw smallest-ID rule would give a popular vector an
+    undirected adjacency of O(N) and a quadratic wedge blow-up in one
+    task, since kNN IN-degree is unbounded). Wedges and edges
+    co-locate via ONE hash-bucket exchange; each bucket counts
+    wedge∩edge vectorized (polars semi-join). The degree map rides the
+    same broadcast regime as the op's own exact-kNN baseline (one
+    int per node); at index-backed candidate-generation scale it
+    becomes a co-partitioned degree join. Output: (n_triangles)."""
     import pandas as pd
+    import ray
 
     from ..stages.exchange import hash_rows_mod, polars_capped
     from .lexical import embeddings_knn_graph
@@ -819,22 +826,52 @@ def embeddings_knn_triangles(sf_dir: str, k: int = 3,
 
     from ray.data.aggregate import Count
     # materialize: the edge table (≤ N·k rows — tiny relative to the
-    # corpus) feeds BOTH the wedge build and the membership probe; without
-    # this the brute-force kNN scan would execute twice
+    # corpus) feeds the degree count, the wedge build AND the
+    # membership probe; without this the brute-force kNN scan would
+    # execute three times
     edges = (knn.map_batches(undirect, batch_format="pyarrow")
              .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
              .drop_columns(["_n"])
              .materialize())
 
-    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
-        # group key = a; neighbors all satisfy b > a, so sorted pairs
-        # (y, z) with y < z are exactly the smallest-vertex wedges
-        nb = np.sort(df["b"].to_numpy())
-        iy, iz = np.triu_indices(len(nb), k=1)
-        return pd.DataFrame({"a": nb[iy].astype("int64"),
-                             "b": nb[iz].astype("int64")})
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            b.column("a").combine_chunks(),
+            b.column("b").combine_chunks()])})
 
-    wedge_ds = (edges.groupby("a")
+    deg_df = (edges.map_batches(ends, batch_format="pyarrow")
+              .groupby("node").aggregate(Count(alias_name="deg"))
+              .to_pandas())
+    deg_nodes = deg_df["node"].to_numpy()
+    order = np.argsort(deg_nodes)
+    deg_ref = ray.put((deg_nodes[order],
+                       deg_df["deg"].to_numpy()[order].astype(np.int64)))
+
+    def orient(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        nodes, degs = _ray.get(deg_ref)
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        c = b.column("b").to_numpy(zero_copy_only=False)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, c)]
+        # orient low→high under the (degree, id) total order
+        a_first = (da < db) | ((da == db) & (a < c))
+        return pa.table({
+            "src": pa.array(np.where(a_first, a, c).astype(np.int64)),
+            "dst": pa.array(np.where(a_first, c, a).astype(np.int64))})
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        # out-neighbors of the group's source; every pair is a wedge
+        # whose closing edge is probed in canonical (min, max) form
+        nb = df["dst"].to_numpy()
+        iy, iz = np.triu_indices(len(nb), k=1)
+        y, z = nb[iy], nb[iz]
+        return pd.DataFrame({
+            "a": np.minimum(y, z).astype("int64"),
+            "b": np.maximum(y, z).astype("int64")})
+
+    wedge_ds = (edges.map_batches(orient, batch_format="pyarrow")
+                .groupby("src")
                 .map_groups(wedges, batch_format="pandas"))
 
     def tag(src: int):

@@ -491,22 +491,33 @@ def documents_comention_pmi(sf_dir: str):
     terms = sorted(_ENTITY_DICT)
     n_docs = float(_docs_count(sf_dir))
 
-    def hits_frame(pl, b: pa.Table):
-        return (pl.from_arrow(b).select(
+    def hits_batch(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b).select(
             "doc_id",
             term=pl.col("text").fill_null("").str.to_lowercase()
             .str.extract_all(_TERM_RE))
             .explode("term")
             .filter(pl.col("term").is_in(terms))
             .unique())
+        return out.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string())]))
+
+    # ONE corpus scan: the distinct (doc, term) hits table is tiny
+    # (≤ |gazetteer| rows per doc) and feeds BOTH the df counts and the
+    # pair generation — without the materialize, the expensive regex
+    # tokenization would execute twice. A doc's hits stay inside the
+    # block that produced them, so pair generation remains per-batch.
+    hits_ds = (docs.map_batches(hits_batch, batch_format="pyarrow")
+               .materialize())
 
     def df_partial(b: pa.Table) -> pa.Table:
         pl = polars_capped()
-        out = hits_frame(pl, b).group_by("term").len(name="df_part")
+        out = pl.from_arrow(b).group_by("term").len(name="df_part")
         return out.to_arrow().cast(pa.schema([
             ("term", pa.string()), ("df_part", pa.int64())]))
 
-    df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
+    df_tbl = (hits_ds.map_batches(df_partial, batch_format="pyarrow")
               .groupby("term")
               .aggregate(Sum("df_part", alias_name="df"))
               .to_pandas())
@@ -514,7 +525,7 @@ def documents_comention_pmi(sf_dir: str):
 
     def pair_partial(b: pa.Table) -> pa.Table:
         pl = polars_capped()
-        h = hits_frame(pl, b)
+        h = pl.from_arrow(b)
         pairs = (h.join(h, on="doc_id", how="inner")
                  .filter(pl.col("term") < pl.col("term_right"))
                  .group_by(["term", "term_right"])
@@ -540,10 +551,9 @@ def documents_comention_pmi(sf_dir: str):
             "pmi": pa.array(np.floor(pmi * 10000.0 + 0.5) * 0.0001,
                             pa.float64())})
 
-    from ray.data.aggregate import Sum as _Sum
-    return (docs.map_batches(pair_partial, batch_format="pyarrow")
+    return (hits_ds.map_batches(pair_partial, batch_format="pyarrow")
             .groupby(["term_a", "term_b"])
-            .aggregate(_Sum("n_part", alias_name="n_ab"))
+            .aggregate(Sum("n_part", alias_name="n_ab"))
             .map_batches(finish, batch_format="pyarrow")
             .sort(["term_a", "term_b"]))
 

@@ -34,6 +34,21 @@ import pyarrow as pa
 
 _COMPACT_ROOT = "/tmp/gpml2pvjson_compact"
 
+
+def _atomic_publish(tmp_dir: str, out_dir: str) -> None:
+    """Publish a fully-written tmp dir under its final name atomically.
+    Loses the tmp copy ONLY when a concurrent builder already published
+    `out_dir` (content-addressed dirs ⇒ identical content); any other
+    rename failure (permissions, cross-device roots) re-raises with the
+    real cause instead of silently deleting the just-written data."""
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            raise
+
 # documents_snapshot_diff's deterministic second snapshot, shared with
 # the SQL oracle: delete doc_id%17==3, rewrite text of doc_id%13==1,
 # add a fresh doc (key offset +1000000) for doc_id%29==0.
@@ -64,10 +79,7 @@ def compact_parquet(input_path: str, out_dir: str,
         tmp_dir = out_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         rd.read_parquet(input_path).repartition(n_out).write_parquet(tmp_dir)
-        try:
-            os.rename(tmp_dir, out_dir)  # atomic publish
-        except OSError:
-            shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent winner
+        _atomic_publish(tmp_dir, out_dir)
 
     out_files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
     return {
@@ -257,10 +269,7 @@ def documents_source_report_incremental(sf_dir: str):
          .aggregate(Sum("n", alias_name="n"),
                     Sum("chars", alias_name="chars"))
          .write_parquet(tmp_dir))
-        try:
-            os.rename(tmp_dir, state_dir)  # atomic publish
-        except OSError:
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+        _atomic_publish(tmp_dir, state_dir)
 
     merged = (rd.read_parquet(state_dir)
               .union(read_side(increment=True))
@@ -282,12 +291,15 @@ def _sql_source_report():
 
 # documents_merge_upsert's deterministic change feed, shared with the
 # SQL oracle: DELETE doc_id%11==5; UPDATE doc_id%7==2 (text -> 'upd '||text);
-# INSERT a fresh key (+2000000, text -> 'ins '||text) for doc_id%23==4.
-# One op per key: DELETE wins over UPDATE when both rules match.
+# INSERT a fresh key for doc_id%23==4 with key -(doc_id+1) — the
+# NEGATIVE key space is structurally disjoint from base ids (which are
+# non-negative at every corpus size), so an insert can never collide
+# with a live row no matter the scale (a +OFFSET scheme would collide
+# once max(doc_id) crosses the offset, silently folding two rows where
+# the oracle emits both). One op per key: DELETE wins over UPDATE.
 _M_DEL_MOD, _M_DEL_REM = 11, 5
 _M_UPD_MOD, _M_UPD_REM = 7, 2
 _M_INS_MOD, _M_INS_REM = 23, 4
-_M_INS_OFFSET = 2_000_000
 
 
 def documents_merge_upsert(sf_dir: str, num_buckets: int = 32):
@@ -326,7 +338,7 @@ def documents_merge_upsert(sf_dir: str, num_buckets: int = 32):
                 .with_columns(text=pl.lit("upd ") + pl.col("text"),
                               src=pl.lit(1, dtype=pl.Int8)))
         ins = (f.filter(pl.col("doc_id") % _M_INS_MOD == _M_INS_REM)
-               .with_columns(doc_id=pl.col("doc_id") + _M_INS_OFFSET,
+               .with_columns(doc_id=-(pl.col("doc_id") + 1),
                              text=pl.lit("ins ") + pl.col("text"),
                              src=pl.lit(1, dtype=pl.Int8)))
         out = pl.concat([f, dels, upds, ins]).to_arrow().cast(pa.schema([
@@ -362,7 +374,7 @@ WITH upd AS (
   WHERE doc_id % {_M_UPD_MOD} = {_M_UPD_REM}
     AND doc_id % {_M_DEL_MOD} <> {_M_DEL_REM}
 ), ins AS (
-  SELECT doc_id + {_M_INS_OFFSET} AS doc_id, 'ins ' || text AS text
+  SELECT -(doc_id + 1) AS doc_id, 'ins ' || text AS text
   FROM documents WHERE doc_id % {_M_INS_MOD} = {_M_INS_REM}
 )
 SELECT doc_id, text FROM (
@@ -416,18 +428,31 @@ def zorder_parquet(input_path: str, out_dir: str, col_a: str, col_b: str,
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    def _rg_stats(md, col: str):
+        """Row-group min/max for a top-level column, looked up by LEAF
+        path name — row-group metadata columns are flattened leaves, so
+        a top-level Arrow field index would hit the wrong column as
+        soon as any nested column precedes the cluster columns."""
+        for rg in range(md.num_row_groups):
+            for j in range(md.row_group(rg).num_columns):
+                c = md.row_group(rg).column(j)
+                if c.path_in_schema.split(".")[0] == col:
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"zorder_parquet needs min/max statistics "
+                            f"for column {col!r} (writer disabled them)")
+                    yield st
+
     d = pads.dataset(input_path)
     lo_a = lo_b = np.inf
     hi_a = hi_b = -np.inf
     for frag in d.get_fragments():
         md = frag.metadata
-        sch = frag.physical_schema
-        ia, ib = sch.get_field_index(col_a), sch.get_field_index(col_b)
-        for rg in range(md.num_row_groups):
-            sa = md.row_group(rg).column(ia).statistics
-            sb = md.row_group(rg).column(ib).statistics
-            lo_a, hi_a = min(lo_a, sa.min), max(hi_a, sa.max)
-            lo_b, hi_b = min(lo_b, sb.min), max(hi_b, sb.max)
+        for st in _rg_stats(md, col_a):
+            lo_a, hi_a = min(lo_a, st.min), max(hi_a, st.max)
+        for st in _rg_stats(md, col_b):
+            lo_b, hi_b = min(lo_b, st.min), max(hi_b, st.max)
     span_a = (hi_a - lo_a) or 1.0
     span_b = (hi_b - lo_b) or 1.0
 
@@ -452,23 +477,17 @@ def zorder_parquet(input_path: str, out_dir: str, col_a: str, col_b: str,
          .repartition(num_files)
          .drop_columns(["_z"])
          .write_parquet(tmp_dir))
-        try:
-            os.rename(tmp_dir, out_dir)  # atomic publish
-        except OSError:
-            shutil.rmtree(tmp_dir, ignore_errors=True)
+        _atomic_publish(tmp_dir, out_dir)
 
     spans = []
     for fn in sorted(os.listdir(out_dir)):
         if not fn.endswith(".parquet"):
             continue
         md = pq.read_metadata(os.path.join(out_dir, fn))
-        sch = pq.read_schema(os.path.join(out_dir, fn))
-        ia, ib = sch.get_field_index(col_a), sch.get_field_index(col_b)
         mins = {col_a: np.inf, col_b: np.inf}
         maxs = {col_a: -np.inf, col_b: -np.inf}
-        for rg in range(md.num_row_groups):
-            for col, i in ((col_a, ia), (col_b, ib)):
-                st = md.row_group(rg).column(i).statistics
+        for col in (col_a, col_b):
+            for st in _rg_stats(md, col):
                 mins[col] = min(mins[col], st.min)
                 maxs[col] = max(maxs[col], st.max)
         spans.append({"file": fn,

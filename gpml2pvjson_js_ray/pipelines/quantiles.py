@@ -284,7 +284,6 @@ def events_value_winsorized(sf_dir: str, q_lo: float = 0.01,
     result broadcasts via ray.put; pass 2 is a pure vectorized clip
     map. Output (event_id, event_type, value_w) by event_id."""
     import ray
-    import ray.data as rd
 
     def bounds_group(df: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(df["value"].to_numpy())
@@ -303,7 +302,8 @@ def events_value_winsorized(sf_dir: str, q_lo: float = 0.01,
 
     def clip(b: pa.Table) -> pa.Table:
         import ray as _ray
-        th = _ray.get(ref)
+        from .mlprep import _cached_bcast
+        th = _cached_bcast(ref, lambda: _ray.get(ref))
         types = b.column("event_type").to_numpy(zero_copy_only=False)
         vals = b.column("value").to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(types, return_inverse=True)
@@ -315,9 +315,9 @@ def events_value_winsorized(sf_dir: str, q_lo: float = 0.01,
             "value_w": pa.array(np.minimum(np.maximum(vals, lo), hi),
                                 pa.float64())})
 
-    import ray.data as rd2
-    ds = rd2.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                          columns=["event_id", "event_type", "value"])
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
     return ds.map_batches(clip, batch_format="pyarrow").sort("event_id")
 
 

@@ -716,7 +716,7 @@ ORDER BY user_id, minute
 _DECAY_LAMBDA = 0.0990210257942779  # ln(2)/7 per day
 
 
-def events_decayed_counts(sf_dir: str, num_buckets: int = 32):
+def events_decayed_counts(sf_dir: str):
     """Per-event-type exponentially time-decayed count and value at the
     corpus watermark (max ts) — the freshness-weighted popularity score
     a production ranker keeps per item (half-life 7 days).
@@ -810,22 +810,28 @@ def events_late_arrivals(sf_dir: str, num_buckets: int = 32):
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        bucket = pc.bit_wise_and(b.column("user_id"),
-                                 pa.scalar(num_buckets - 1,
-                                           type=pa.int64()))
+        # NULL user_ids share one bucket (coalesce) so they co-locate
+        # and survive to the report — SQL's GROUP BY emits a NULL row
+        bucket = pc.bit_wise_and(
+            pc.coalesce(b.column("user_id"),
+                        pa.scalar(0, type=pa.int64())),
+            pa.scalar(num_buckets - 1, type=pa.int64()))
         b = b.append_column("ts_us", b.column("ts").cast(pa.int64()))
         return b.append_column("user_bucket",
                                pc.cast(bucket, pa.int32()))
 
     def late(df: "pd.DataFrame") -> "pd.DataFrame":
         df = df.sort_values(["user_id", "event_id"])
-        prior_max = (df.groupby("user_id")["ts_us"].cummax()
-                     .groupby(df["user_id"]).shift(1))
+        prior_max = (df.groupby("user_id", dropna=False)["ts_us"]
+                     .cummax()
+                     .groupby(df["user_id"], dropna=False).shift(1))
         is_late = prior_max.notna() & (
             df["ts_us"] < prior_max - _LATENESS_US)
-        g = df.assign(is_late=is_late).groupby("user_id")
+        g = df.assign(is_late=is_late).groupby("user_id", dropna=False)
         return pd.DataFrame({
-            "user_id": g.size().index.to_numpy(),
+            "user_id": pd.array(
+                [None if pd.isna(u) else int(u)
+                 for u in g.size().index], dtype="Int64"),
             "n_events": g.size().to_numpy().astype("int64"),
             "n_late": g["is_late"].sum().to_numpy().astype("int64")})
 

@@ -266,12 +266,12 @@ def test_merge_upsert_applies_all_three_ops(ray_session):
         "/root/testdata/sf0.001").to_pandas()
     ids = set(out["doc_id"])
     assert not any(i % maintenance._M_DEL_MOD == maintenance._M_DEL_REM
-                   for i in ids if i < maintenance._M_INS_OFFSET)
-    upd = out[(out["doc_id"] % maintenance._M_UPD_MOD
-               == maintenance._M_UPD_REM)
-              & (out["doc_id"] < maintenance._M_INS_OFFSET)]
+                   for i in ids if i >= 0)
+    upd = out[(out["doc_id"] >= 0)
+              & (out["doc_id"] % maintenance._M_UPD_MOD
+                 == maintenance._M_UPD_REM)]
     assert len(upd) and upd["text"].str.startswith("upd ").all()
-    ins = out[out["doc_id"] >= maintenance._M_INS_OFFSET]
+    ins = out[out["doc_id"] < 0]  # inserts live in the negative space
     assert len(ins) and ins["text"].str.startswith("ins ").all()
-    assert ((ins["doc_id"] - maintenance._M_INS_OFFSET)
+    assert ((-ins["doc_id"] - 1)
             % maintenance._M_INS_MOD == maintenance._M_INS_REM).all()
