@@ -345,6 +345,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_corpus_prep": _corpus_query("documents_corpus_prep"),
         "events_value_quantiles":
             _quantile_query("events_value_quantiles"),
+        "events_value_percentiles_cont":
+            _quantile_query("events_value_percentiles_cont"),
+        "events_value_trend": _mlprep_query("events_value_trend"),
+        "events_type_islands": _window_query("events_type_islands"),
+        "events_hourly_ohlc": _window_query("events_hourly_ohlc"),
+        "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),
         "events_value_quantiles_tdigest":
             _quantile_query("events_value_quantiles_tdigest"),
@@ -605,6 +611,12 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
         "documents_corpus_prep": corpus.SQL_DOCUMENTS_CORPUS_PREP,
         "events_value_quantiles": quantiles.SQL_EVENTS_VALUE_QUANTILES,
+        "events_value_percentiles_cont":
+            quantiles.SQL_EVENTS_VALUE_PERCENTILES_CONT,
+        "events_value_trend": mlprep.SQL_EVENTS_VALUE_TREND,
+        "events_type_islands": windows.SQL_EVENTS_TYPE_ISLANDS,
+        "events_hourly_ohlc": windows.SQL_EVENTS_HOURLY_OHLC,
+        "documents_editdist_dups": textops.SQL_DOCUMENTS_EDITDIST_DUPS,
         "events_mad_outliers": quantiles.SQL_EVENTS_MAD_OUTLIERS,
         "documents_above_p90_length":
             quantiles.SQL_DOCUMENTS_ABOVE_P90_LENGTH,

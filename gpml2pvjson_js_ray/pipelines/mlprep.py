@@ -1311,3 +1311,104 @@ SELECT o_orderpriority,
        round(median(o_totalprice), 2) AS median_price
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# -- per-group linear trend: corr + least-squares slope ------------------------
+
+def events_value_trend(sf_dir: str):
+    """Per-event-type linear trend of value over time: Pearson
+    correlation corr(value, t) and least-squares slope per day
+    (regr_slope), with t = days since the corpus' earliest event — the
+    drift detector a data-quality monitor runs per segment.
+
+    Numerics are the operator's real content: raw-moment algebra
+    (n, Σt, Σv, Σtv, Σt², Σv²) matches DuckDB's streaming covariance
+    only when t is small — epoch-µs magnitudes lose ~9 digits to
+    cancellation — so pass 1 reduces the stream to ONE min-ts scalar
+    (per-block partials) and t is centered on it in BOTH engines (corr
+    and slope are shift-invariant, so the oracle carries the identical
+    centering verbatim and the 6dp rounding is safe). Pass 2 ships one
+    six-tuple moment partial per (type, block) — a constant-size
+    exchange — and the closing algebra runs on |types| rows. Zero
+    variance in either axis yields SQL NULL ⇒ None here."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    min_parts = (events.map_batches(
+        lambda b: pa.table({
+            "m": pa.array([pc.min(b.column("ts").cast(
+                pa.timestamp("us"))).value], pa.int64())}),
+        batch_format="pyarrow").to_pandas())
+    t0_us = int(min_parts["m"].min())
+
+    def partial(b: pa.Table) -> pa.Table:
+        # normalize to µs so the day conversion is storage-unit-proof
+        ts_us = b.column("ts").cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = (ts_us - t0_us) / 86400000000.0
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": b.column("event_type").to_pandas(),
+                           "n": np.ones(len(t), dtype=np.int64),
+                           "st": t, "sv": v, "stv": t * v,
+                           "stt": t * t, "svv": v * v})
+        g = df.groupby("event_type", sort=False).sum()
+        return pa.table({
+            "event_type": pa.array(g.index.to_numpy(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "st": pa.array(g["st"].to_numpy(), pa.float64()),
+            "sv": pa.array(g["sv"].to_numpy(), pa.float64()),
+            "stv": pa.array(g["stv"].to_numpy(), pa.float64()),
+            "stt": pa.array(g["stt"].to_numpy(), pa.float64()),
+            "svv": pa.array(g["svv"].to_numpy(), pa.float64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.float64)
+        st = b.column("st").to_numpy()
+        sv = b.column("sv").to_numpy()
+        stv = b.column("stv").to_numpy()
+        stt = b.column("stt").to_numpy()
+        svv = b.column("svv").to_numpy()
+        num = n * stv - st * sv
+        dt = n * stt - st * st
+        dv = n * svv - sv * sv
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num / np.sqrt(dt * dv)
+            slope = num / dt
+        corr = np.where((dt <= 0) | (dv <= 0), np.nan,
+                        np.floor(corr * 1e6 + 0.5) * 1e-6)
+        slope = np.where(dt <= 0, np.nan,
+                         np.floor(slope * 1e6 + 0.5) * 1e-6)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n": b.column("n"),
+            "corr_vt": pa.array(corr, pa.float64()),
+            "slope_per_day": pa.array(slope, pa.float64())})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("st", alias_name="st"),
+                       Sum("sv", alias_name="sv"),
+                       Sum("stv", alias_name="stv"),
+                       Sum("stt", alias_name="stt"),
+                       Sum("svv", alias_name="svv"))
+            .map_batches(finish, batch_format="pyarrow")
+            .sort("event_type"))
+
+
+SQL_EVENTS_VALUE_TREND = """
+WITH ref AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+d AS (
+  SELECT event_type,
+         (epoch_us(ts) - ref.t0) / 86400000000.0 AS t,
+         value AS v
+  FROM events, ref)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       floor(corr(v, t) * 1000000.0 + 0.5) * 0.000001 AS corr_vt,
+       floor(regr_slope(v, t) * 1000000.0 + 0.5) * 0.000001
+           AS slope_per_day
+FROM d GROUP BY event_type ORDER BY event_type
+"""

@@ -321,6 +321,175 @@ def events_value_winsorized(sf_dir: str, q_lo: float = 0.01,
     return ds.map_batches(clip, batch_format="pyarrow").sort("event_id")
 
 
+# -- exact INTERPOLATED percentiles without group co-location ----------------
+
+def events_value_percentiles_cont(sf_dir: str, qs=(0.5, 0.9),
+                                  n_buckets: int = 4096):
+    """Exact INTERPOLATED percentiles (SQL quantile_cont / numpy
+    'linear': the value at fractional rank h = (n-1)·q, interpolated
+    between the bracketing order statistics) per event type — the
+    continuous twin of events_value_quantiles, built for the regime
+    where a group does NOT fit one task.
+
+    Scale shape (the point of this operator): no group ever co-locates
+    and no per-group sort of raw rows happens anywhere. Three passes,
+    each map-only with a constant-size exchange:
+      1. per-type (n, min, max) — per-block arrow partials;
+      2. per-(type, bucket) COUNT histogram, bucket = equi-width cell of
+         the type's [min, max] span — exchange ≤ |types|·n_buckets rows;
+      3. the cumulative histogram brackets every needed rank (floor(h)
+         and ceil(h) per q) to its bucket, and ONLY rows in those
+         ≤ 2·|qs| buckets per type are re-read (expected n/n_buckets
+         rows each — the narrow second read).
+    The bracketing order statistics are then exact group elements, and
+    `vL + (vU - vL)·frac` is the same IEEE expression DuckDB's
+    quantile_cont evaluates; both sides round 6dp. A type whose values
+    are all equal (width 0) short-circuits to that value. A heavily
+    concentrated distribution makes its collected bucket large (worst
+    case one bucket holds the type); the production path recurses the
+    bracket one level — this corpus never needs it."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .mlprep import _cached_bcast
+
+    ds = _read_events(sf_dir)
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n": pa.array(np.ones(len(b), dtype=np.int64)),
+                      "vmin": b.column("value"),
+                      "vmax": b.column("value")})
+        return (pa.TableGroupBy(t, "event_type")
+                .aggregate([("n", "sum"), ("vmin", "min"),
+                            ("vmax", "max")])
+                .rename_columns(["event_type", "n", "vmin", "vmax"]))
+
+    stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Min("vmin", alias_name="vmin"),
+                        Max("vmax", alias_name="vmax"))
+             .to_pandas())
+
+    # per-type bucket scale; scale 0 == degenerate all-equal type
+    scales = {r.event_type: (float(r.vmin),
+                             (n_buckets / (r.vmax - r.vmin)
+                              if r.vmax > r.vmin else 0.0))
+              for r in stats.itertuples()}
+    scale_ref = ray.put(scales)
+
+    def bucket_of(types: np.ndarray, vals: np.ndarray, lut) -> np.ndarray:
+        uniq, inv = np.unique(types, return_inverse=True)
+        lo = np.asarray([lut[u][0] for u in uniq])[inv]
+        sc = np.asarray([lut[u][1] for u in uniq])[inv]
+        return np.clip((vals - lo) * sc, 0, n_buckets - 1).astype(np.int64)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        lut = _cached_bcast(scale_ref, lambda: _ray.get(scale_ref))
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b.column("event_type"),
+                      "bucket": pa.array(bucket_of(types, vals, lut)),
+                      "cnt": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["event_type", "bucket"])
+                .aggregate([("cnt", "sum")])
+                .rename_columns(["event_type", "bucket", "cnt"]))
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    # bracket each needed rank to a bucket; remember cum-before offsets
+    needed: dict[str, dict[int, int]] = {}   # type -> {bucket: cum_before}
+    ranks: dict[str, list[tuple[float, int, int]]] = {}  # type -> (h,kL,kU)
+    for r in stats.itertuples():
+        et, n = r.event_type, int(r.n)
+        ranks[et] = []
+        for q in qs:
+            h = (n - 1) * float(q)
+            ranks[et].append((h, int(np.floor(h)), int(np.ceil(h))))
+        if scales[et][1] == 0.0:
+            needed[et] = {}
+            continue
+        g = hist[hist["event_type"] == et].sort_values("bucket")
+        buckets = g["bucket"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        need: dict[int, int] = {}
+        for _, k_lo, k_hi in ranks[et]:
+            for k in (k_lo, k_hi):
+                j = int(np.searchsorted(cum, k, side="right"))
+                need[int(buckets[j])] = int(cum[j - 1]) if j else 0
+        needed[et] = need
+    need_ref = ray.put({et: np.asarray(sorted(b), dtype=np.int64)
+                        for et, b in needed.items()})
+
+    def collect(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        lut = _cached_bcast(scale_ref, lambda: _ray.get(scale_ref))
+        nd = _cached_bcast(need_ref, lambda: _ray.get(need_ref))
+        types = b.column("event_type").to_numpy(zero_copy_only=False)
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        bk = bucket_of(types, vals, lut)
+        uniq, inv = np.unique(types, return_inverse=True)
+        keep = np.zeros(len(b), dtype=bool)
+        for i, u in enumerate(uniq):
+            want = nd.get(u)
+            if want is not None and len(want):
+                rows = inv == i
+                keep[rows] = np.isin(bk[rows], want)
+        t = b.filter(pa.array(keep))
+        return t.append_column("bucket", pa.array(bk[keep]))
+
+    picked = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+
+    out_rows = []
+    for r in stats.itertuples():
+        et = r.event_type
+        vmin, sc = scales[et]
+        row = {"event_type": et}
+        if sc == 0.0:
+            for q in qs:
+                row[f"p{int(q * 100)}_cont"] = \
+                    np.floor(vmin * 1e6 + 0.5) * 1e-6
+            out_rows.append(row)
+            continue
+        # order statistic at rank k = sorted(bucket values)[k - cum_before]
+        bvals = {int(bk): np.sort(g["value"].to_numpy())
+                 for bk, g in picked[picked["event_type"] == et]
+                 .groupby("bucket")}
+        cum_g = hist[hist["event_type"] == et].sort_values("bucket")
+        cum = cum_g["cnt"].to_numpy().cumsum()
+        buckets = cum_g["bucket"].to_numpy()
+
+        def order_stat(k: int) -> float:
+            j = int(np.searchsorted(cum, k, side="right"))
+            off = int(cum[j - 1]) if j else 0
+            return float(bvals[int(buckets[j])][k - off])
+
+        for q, (h, k_lo, k_hi) in zip(qs, ranks[et]):
+            v_lo = order_stat(k_lo)
+            v = v_lo if k_hi == k_lo else \
+                v_lo + (order_stat(k_hi) - v_lo) * (h - k_lo)
+            row[f"p{int(q * 100)}_cont"] = np.floor(v * 1e6 + 0.5) * 1e-6
+        out_rows.append(row)
+    return pd.DataFrame(out_rows).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+SQL_EVENTS_VALUE_PERCENTILES_CONT = """
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) * 0.000001
+           AS p50_cont,
+       floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) * 0.000001
+           AS p90_cont
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_EVENTS_VALUE_WINSORIZED = """
 WITH th AS (
   SELECT event_type, quantile_disc(value, 0.01) AS lo,

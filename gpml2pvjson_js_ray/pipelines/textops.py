@@ -1209,3 +1209,144 @@ FROM scored s JOIN th t USING (lang)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# -- edit-distance near-dup pairs (string-similarity join) ---------------------
+
+_ED_PREFIX = 64      # chars of prefix compared
+_ED_MAX = 4          # max edit distance
+_ED_LEN_DIFF = 8     # max |n_chars| difference between pair members
+_ED_BLOCK = 16       # length-band width; must be > _ED_LEN_DIFF
+
+
+def _banded_levenshtein(a: str, b: str, k: int) -> int:
+    """Ukkonen-banded unit-cost Levenshtein, early-exit above k.
+    Returns k+1 when the distance exceeds k. O(len(a)·(2k+1)) cells —
+    with 64-char prefixes and k=4 that is ≤ 576 cells per pair, and it
+    only ever runs on in-block candidates that already passed the
+    vectorized length filter."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    big = k + 1
+    prev = [j if j <= k else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(0, i - k)          # first in-band cell of this row
+        hi = min(lb, i + k)
+        cur = [big] * (lb + 1)
+        if lo == 0:
+            cur[0] = i
+        for j in range(max(1, lo), hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j - 1] + cost,
+                         prev[j] + 1, cur[j - 1] + 1)
+        if min(cur[lo:hi + 1]) > k:
+            return big
+        prev = cur
+    return prev[lb] if prev[lb] <= k else big
+
+
+def documents_editdist_dups(sf_dir: str, num_buckets: int = 64):
+    """String-similarity join: pairs of same-language documents whose
+    lengths differ by ≤ 8 chars and whose 64-char prefixes are within
+    edit distance 4 — the typo/near-identical-boilerplate dedup that
+    hash-exact dedup misses and shingle-Jaccard over-reaches (single
+    in-word edits barely move 5-gram sets but are exactly what edit
+    distance counts).
+
+    Scale shape — lossless length-band blocking: each doc is emitted to
+    its home band floor(n_chars/16) and as a GHOST to band+1; a
+    qualifying pair (|Δlen| ≤ 8 < 16) lands either in one home band or
+    in adjacent bands, where the ghost copy meets the larger band's
+    natives — counted exactly once by the rule (home,home) ∪
+    (ghost,home). Bands co-locate via ONE groupby on (lang, band,
+    bucket-salt); inside a block the |Δlen| ≤ 8 prefilter is a
+    vectorized numpy outer compare and only surviving candidates run
+    the banded O(len·k) DP. Never an all-pairs scan across bands; the
+    oracle is the blocking-free SQL self-join, so the parity check IS
+    the losslessness proof."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(b.column("text"), 0, _ED_PREFIX)
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        home = n // _ED_BLOCK
+        base = pa.table({
+            "doc_id": b.column("doc_id"), "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"), "prefix": pre})
+        both = pa.concat_tables([
+            base.append_column("band", pa.array(home))
+                .append_column("ghost", pa.array(
+                    np.zeros(len(b), dtype=bool))),
+            base.append_column("band", pa.array(home + 1))
+                .append_column("ghost", pa.array(
+                    np.ones(len(b), dtype=bool)))])
+        return both
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_a": [], "doc_b": [], "dist": []}
+        for (_, _), g in df.groupby(["lang", "band"], sort=False):
+            ids = g["doc_id"].to_numpy()
+            ln = g["n_chars"].to_numpy()
+            gh = g["ghost"].to_numpy()
+            txt = g["prefix"].to_numpy()
+            m = len(g)
+            if m < 2:
+                continue
+            # vectorized candidate mask: unordered pairs i<j by doc_id,
+            # |Δlen| small, not ghost-ghost, and not counted twice
+            # (a cross-band pair is claimed by the block where the
+            # ghost meets a native — i.e. at least one non-ghost here;
+            # a same-home-band pair is claimed by the home block only)
+            ii, jj = np.triu_indices(m, k=1)
+            ok = (np.abs(ln[ii] - ln[jj]) <= _ED_LEN_DIFF) \
+                & ~(gh[ii] & gh[jj]) & (ids[ii] != ids[jj])
+            # same-band natives pair in their home block; ghost+native
+            # pairs only count when their HOME bands differ (else the
+            # home block already counted them)
+            both_native = ~gh[ii] & ~gh[jj]
+            home_i = ln[ii] // _ED_BLOCK
+            home_j = ln[jj] // _ED_BLOCK
+            ok &= both_native | (home_i != home_j)
+            for i, j in zip(ii[ok], jj[ok]):
+                d = _banded_levenshtein(txt[i], txt[j], _ED_MAX)
+                if d <= _ED_MAX:
+                    a, bb = (ids[i], ids[j]) if ids[i] < ids[j] \
+                        else (ids[j], ids[i])
+                    out["doc_a"].append(a)
+                    out["doc_b"].append(bb)
+                    out["dist"].append(d)
+        return pd.DataFrame({
+            "doc_a": np.asarray(out["doc_a"], dtype=np.int64),
+            "doc_b": np.asarray(out["doc_b"], dtype=np.int64),
+            "dist": np.asarray(out["dist"], dtype=np.int64)})
+
+    def add_key(b: pa.Table) -> pa.Table:
+        from ..stages.exchange import hash_rows_mod
+        ids = hash_rows_mod(b, ["lang", "band"], num_buckets)
+        return b.append_column("block", pa.array(ids, type=pa.int32()))
+
+    return (docs.map_batches(emit, batch_format="pyarrow")
+            .map_batches(add_key, batch_format="pyarrow")
+            .groupby("block")
+            .map_groups(pairs, batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
+SQL_DOCUMENTS_EDITDIST_DUPS = f"""
+SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+       CAST(levenshtein(substr(d1.text, 1, {_ED_PREFIX}),
+                        substr(d2.text, 1, {_ED_PREFIX})) AS BIGINT)
+           AS dist
+FROM documents d1 JOIN documents d2
+  ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+ AND abs(d1.n_chars - d2.n_chars) <= {_ED_LEN_DIFF}
+ AND levenshtein(substr(d1.text, 1, {_ED_PREFIX}),
+                 substr(d2.text, 1, {_ED_PREFIX})) <= {_ED_MAX}
+ORDER BY doc_a, doc_b
+"""

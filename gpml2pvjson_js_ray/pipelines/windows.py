@@ -853,3 +853,146 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM m GROUP BY user_id ORDER BY user_id
 """
+
+
+# -- gaps-and-islands: consecutive same-type runs per user --------------------
+
+def events_type_islands(sf_dir: str, num_buckets: int = 32):
+    """Gaps-and-islands: maximal runs of consecutive SAME-TYPE events
+    per user in (ts, event_id) order, one row per island with its
+    validity interval — the SCD2 "collapse consecutive states into
+    intervals" shape (and the oracle is the classic row_number
+    difference technique).
+
+    Scale shape: the debounce pattern — co-locate by power-of-two user
+    bucket (ONE exchange, never a per-user task), then the whole bucket
+    vectorizes: one pandas sort by (user, ts, event_id), boundary flags
+    from shifted-column compares, island ids by cumsum, and one grouped
+    first/last/size. NULL user_ids share a bucket and a sentinel
+    grouping key so they form islands together, exactly like SQL's
+    PARTITION BY treats NULL as one partition."""
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "event_type", "ts"])
+
+    _SENT = -(2 ** 62)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = pc.bit_wise_and(
+            pc.coalesce(b.column("user_id"),
+                        pa.scalar(0, type=pa.int64())),
+            pa.scalar(num_buckets - 1, type=pa.int64()))
+        return b.append_column("user_bucket",
+                               pc.cast(bucket, pa.int32()))
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].fillna(_SENT)
+        df = df.assign(_ukey=key).sort_values(
+            ["_ukey", "ts", "event_id"], kind="mergesort")
+        new_user = df["_ukey"].ne(df["_ukey"].shift())
+        new_type = df["event_type"].ne(df["event_type"].shift())
+        isl = (new_user | new_type).cumsum()
+        g = df.groupby(isl, sort=False)
+        return pd.DataFrame({
+            # nullable Int64: a NULL-user island must stay NULL without
+            # dragging the whole column to float64
+            "user_id": pd.array(g["user_id"].first(), dtype="Int64"),
+            "event_type": g["event_type"].first(),
+            "start_id": g["event_id"].first().astype("int64"),
+            "start_ts": g["ts"].first(),
+            "end_ts": g["ts"].last(),
+            "n_events": g.size().astype("int64")}).reset_index(drop=True)
+
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("user_bucket")
+            .map_groups(islands, batch_format="pandas")
+            .sort(["user_id", "start_id"]))
+
+
+SQL_EVENTS_TYPE_ISLANDS = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rnt
+  FROM events)
+SELECT user_id, event_type,
+       first(event_id ORDER BY ts, event_id) AS start_id,
+       min(ts) AS start_ts,
+       max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id, event_type, rn - rnt
+ORDER BY user_id, start_id
+"""
+
+
+# -- per-hour OHLC candles ----------------------------------------------------
+
+def events_hourly_ohlc(sf_dir: str):
+    """Per-hour OHLC candle over event values: open/close = value of
+    the hour's first/last event in (ts, event_id) order, high/low =
+    max/min — the time-series downsampling shape every monitoring and
+    market pipeline runs.
+
+    Open/close are argmin/argmax folds (the first_last_touch combiner
+    generalized to a time-bucket key): each block reduces to ≤ one row
+    per (hour, block) carrying the ordering keys alongside the payload
+    value, the shuffle moves only those partials, and the per-hour
+    reduce re-applies the same tiebreak — so cross-block ts ties
+    resolve exactly as the oracle's row_number. High/low/count are
+    plain associative folds riding the same partial. Values are
+    compared, never combined, so the oracle match is bitwise."""
+    events = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        df = pd.DataFrame({
+            "hour": hour.to_pandas(),
+            "ts": b.column("ts").to_pandas(),
+            "event_id": b.column("event_id").to_pandas(),
+            "value": b.column("value").to_pandas()})
+        df = df.sort_values(["hour", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("hour", sort=False)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "hour": g["ts"].first().index,
+            "open_ts": g["ts"].first(), "open_id": g["event_id"].first(),
+            "open_v": g["value"].first(),
+            "close_ts": g["ts"].last(), "close_id": g["event_id"].last(),
+            "close_v": g["value"].last(),
+            "high_v": g["value"].max(), "low_v": g["value"].min(),
+            "n_events": g.size().astype("int64")}).reset_index(drop=True),
+            preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        op = df.sort_values(["open_ts", "open_id"],
+                            kind="mergesort").iloc[0]
+        cl = df.sort_values(["close_ts", "close_id"],
+                            kind="mergesort").iloc[-1]
+        return pd.DataFrame({
+            "hour": [df["hour"].iloc[0]],
+            "open_v": [op["open_v"]], "high_v": [df["high_v"].max()],
+            "low_v": [df["low_v"].min()], "close_v": [cl["close_v"]],
+            "n_events": np.array([df["n_events"].sum()], dtype=np.int64)})
+
+    return (events.map_batches(partial, batch_format="pyarrow")
+            .groupby("hour")
+            .map_groups(final, batch_format="pandas")
+            .sort("hour"))
+
+
+SQL_EVENTS_HOURLY_OHLC = """
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT CAST(hour AS TIMESTAMP) AS hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked GROUP BY hour ORDER BY hour
+"""
