@@ -116,6 +116,18 @@ def _kg_two_hop(sf_dir: str):
     return graph.two_hop_from_adjacency(os.path.join(out, "adjacency"))
 
 
+def _kg_communities(sf_dir: str):
+    """Label-propagation communities over the KG entity graph —
+    densely-interacting entity clusters, finer than the reachability
+    classes of kg_entity_components (a single bridge edge does not
+    merge two dense groups). Iterative vote-argmax rounds are not
+    SQL-expressible; correctness is the planted two-clique pytest in
+    tests/test_session12_ops.py plus the refinement invariant (every
+    community sits inside one connected component) asserted there."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.entity_communities(_kg_pipeline_output("adjacency")(sf_dir))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance by interaction in-links (PageRank over the
     same entity graph)."""
@@ -350,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": _mlprep_query("events_value_trend"),
         "events_type_islands": _window_query("events_type_islands"),
         "events_hourly_ohlc": _window_query("events_hourly_ohlc"),
+        "orders_skyline": rel.orders_skyline,
+        "events_peak_concurrent_users":
+            _window_query("events_peak_concurrent_users"),
+        "kg_entity_communities": _kg_communities,
         "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),
         "events_value_quantiles_tdigest":
@@ -616,6 +632,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_trend": mlprep.SQL_EVENTS_VALUE_TREND,
         "events_type_islands": windows.SQL_EVENTS_TYPE_ISLANDS,
         "events_hourly_ohlc": windows.SQL_EVENTS_HOURLY_OHLC,
+        "orders_skyline": rel.SQL_ORDERS_SKYLINE,
+        "events_peak_concurrent_users":
+            windows.SQL_EVENTS_PEAK_CONCURRENT_USERS,
         "documents_editdist_dups": textops.SQL_DOCUMENTS_EDITDIST_DUPS,
         "events_mad_outliers": quantiles.SQL_EVENTS_MAD_OUTLIERS,
         "documents_above_p90_length":

@@ -920,3 +920,105 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM e ab JOIN e bc ON bc.a = ab.b
           JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
 """
+
+
+# -- label-propagation communities --------------------------------------------
+
+def label_propagation(edges, nodes, src: str, dst: str, iters: int = 4,
+                      num_partitions: int = 8, num_buckets: int = 32):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an int64-id edge Dataset: per round every node
+    adopts the most frequent label among its neighbours PLUS one
+    self-vote for its current label (the self-vote damps the
+    two-colour oscillation synchronous LPA is prone to); ties break to
+    the smallest label, so the whole procedure is deterministic at a
+    fixed iteration count.
+
+    Per round: one co-partitioned hash join (undirected edges ⋈
+    labels) emits neighbour votes, then ONE bucketed groupby runs the
+    vectorized count/argmax per node-hash bucket — a pandas groupby
+    per BUCKET, never a task per node (same shape as
+    documents_dedup_keep_best). Unlike connected components, labels do
+    not spread past direct vote majorities, so dense subgraphs keep
+    distinct labels instead of collapsing into one reachability class.
+
+    Returns a Dataset (node, label); community id = the label's node id."""
+    import pandas as pd
+
+    from ..stages.exchange import hash_rows_mod
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0), "label": b.column(0)})
+
+    labels = nodes.map_batches(init, batch_format="pyarrow").materialize()
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(dst), "b": b.column(src)})
+
+    und = (edges.map_batches(fwd, batch_format="pyarrow")
+           .union(edges.map_batches(rev, batch_format="pyarrow"))
+           .repartition(num_partitions)
+           .materialize())
+
+    def msg(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("b"), "label": b.column("label")})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["node"], num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    def vote(df: "pd.DataFrame") -> "pd.DataFrame":
+        c = (df.groupby(["node", "label"], sort=False)
+             .size().reset_index(name="votes"))
+        c = c.sort_values(["node", "votes", "label"],
+                          ascending=[True, False, True], kind="mergesort")
+        return c.groupby("node", sort=False).head(1)[["node", "label"]]
+
+    for _ in range(iters):
+        moved = (und.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("a",), right_on=("node",))
+                 .map_batches(msg, batch_format="pyarrow"))
+        labels = (labels.union(moved)          # self-vote + neighbour votes
+                  .map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("bucket")
+                  .map_groups(vote, batch_format="pandas")
+                  .repartition(num_partitions)
+                  .materialize())
+    return labels
+
+
+def entity_communities(adjacency, num_partitions: int = 8,
+                       iters: int = 4):
+    """Community detection over the KG entity graph: label-propagation
+    clusters of densely-interacting entities (finer than
+    entity_components' reachability classes — a bridge edge between two
+    dense groups does NOT merge them). Returns (entity, community)
+    where community is the representative entity's IRI."""
+    hashed, mapping, nodes = _hashed_entity_edges(adjacency,
+                                                  num_partitions)
+    lab = label_propagation(hashed, nodes, "sh", "oh", iters=iters,
+                            num_partitions=num_partitions)
+
+    ent = lab.join(mapping, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("node",), right_on=("h",))
+
+    def ent_b(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b.column("label"),
+                         "entity": b.column("iri")})
+
+    rep = ent.map_batches(ent_b, batch_format="pyarrow") \
+        .repartition(num_partitions) \
+        .join(mapping, join_type="inner", num_partitions=num_partitions,
+              on=("label",), right_on=("h",))
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"entity": b.column("entity"),
+                         "community": b.column("iri")})
+
+    return (rep.map_batches(final_b, batch_format="pyarrow")
+            .sort("entity"))

@@ -859,3 +859,67 @@ FROM lc l JOIN tot t USING (source)
 GROUP BY l.source
 ORDER BY l.source
 """
+
+
+# -- Pareto skyline (maximize price, minimize date) --------------------------
+
+def _skyline_block(b: pa.Table) -> pa.Table:
+    """Vectorized 2-D skyline of one block: keep orders not dominated by
+    any other row IN THE BLOCK (dominator: totalprice >= AND orderdate
+    <=, strictly better in at least one).
+
+    Sort by (date asc, price desc); a row survives iff its price equals
+    its date-group's max AND strictly exceeds the running max over all
+    strictly-earlier dates. Equal (date, price) rows are mutually
+    non-dominating, so whole tie groups survive together — matching the
+    NOT EXISTS oracle semantics exactly."""
+    if b.num_rows == 0:
+        return b
+    idx = pc.sort_indices(b, sort_keys=[("o_orderdate", "ascending"),
+                                        ("o_totalprice", "descending")])
+    t = b.take(idx).combine_chunks()
+    date = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+    price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+    n = len(price)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = date[1:] != date[:-1]
+    grp_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    gmax = price[grp_start]          # within-date max (desc sort ⇒ first)
+    cummax = np.maximum.accumulate(price)
+    before = np.where(grp_start > 0, cummax[np.maximum(grp_start - 1, 0)],
+                      -np.inf)       # max over strictly earlier dates
+    keep = (price == gmax) & (price > before)
+    return t.filter(pa.array(keep))
+
+
+def orders_skyline(sf_dir: str):
+    """Pareto frontier of orders: the set not dominated on
+    (maximize o_totalprice, minimize o_orderdate) — 'for every order on
+    the frontier, no other order is both at-least-as-expensive and
+    at-least-as-early, strictly better in one'.
+
+    Scale plan: the skyline operator is the textbook local-combiner
+    case — a block's skyline is tiny (O(log n) expected for random
+    data, bounded by distinct dates here) and skyline(union) ==
+    skyline(union of local skylines), so the per-block pass prunes
+    ~everything before a single-partition exact pass over the
+    surviving handful. Nothing dataset-sized ever gathers."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+    local = ds.map_batches(_skyline_block, batch_format="pyarrow")
+    return (local.repartition(1)
+            .map_batches(_skyline_block, batch_format="pyarrow")
+            .sort(["o_orderdate", "o_orderkey"]))
+
+
+SQL_ORDERS_SKYLINE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders d
+  WHERE d.o_totalprice >= o.o_totalprice
+    AND d.o_orderdate <= o.o_orderdate
+    AND (d.o_totalprice > o.o_totalprice OR d.o_orderdate < o.o_orderdate))
+ORDER BY o_orderdate, o_orderkey
+"""

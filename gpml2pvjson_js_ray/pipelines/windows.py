@@ -996,3 +996,83 @@ SELECT CAST(hour AS TIMESTAMP) AS hour,
        CAST(count(*) AS BIGINT) AS n_events
 FROM ranked GROUP BY hour ORDER BY hour
 """
+
+
+# -- peak concurrency (interval sweep) ----------------------------------------
+
+def events_peak_concurrent_users(sf_dir: str):
+    """Peak number of simultaneously-active users per day, where a
+    user's daily activity span is the CLOSED interval [first event,
+    last event] of that day — the classic interval max-overlap /
+    'minimum meeting rooms' operator, absent from both Ray Data and
+    the reference engine.
+
+    Two-stage shape, everything aggregated before it moves:
+    1. per-batch Arrow partials fold each block to its distinct
+       (user, day) min/max timestamps, then ONE groupby((user, day))
+       completes the spans — the shuffle carries per-user-day rows,
+       never the event stream;
+    2. spans explode into ±1 endpoint deltas and a groupby(day)
+       sweep runs the vectorized cumsum; ties sort starts-before-ends
+       (closed-interval semantics, delta DESC), and within an equal
+       (ts, delta) run the running max is permutation-invariant, so
+       the result is deterministic.
+
+    Scale plan: stage-2 group size is bounded by 2x the distinct
+    users active that day — the day key is the natural parallelism
+    unit, and a hot day would salt by user-hash with a per-salt max
+    + one tiny day-level max fold (max is associative)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.timestamp("us"))
+        t = pa.table({"user_id": b.column("user_id"),
+                      "day": pc.floor_temporal(ts, unit="day"),
+                      "s": ts, "e": ts})
+        return (pa.TableGroupBy(t, ["user_id", "day"])
+                .aggregate([("s", "min"), ("e", "max")])
+                .rename_columns(["user_id", "day", "s", "e"]))
+
+    spans = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["user_id", "day"])
+             .aggregate(Min("s", alias_name="s"),
+                        Max("e", alias_name="e")))
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        ts = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(len(s), dtype=np.int64),
+                                -np.ones(len(e), dtype=np.int64)])
+        order = np.lexsort((-delta, ts))   # ts asc, starts before ends
+        run = np.cumsum(delta[order])
+        return pd.DataFrame({
+            "day": [df["day"].iloc[0]],
+            "peak_concurrency": np.array([run.max()], dtype=np.int64)})
+
+    return (spans.groupby("day")
+            .map_groups(sweep, batch_format="pandas")
+            .sort("day"))
+
+
+SQL_EVENTS_PEAK_CONCURRENT_USERS = """
+WITH spans AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+ep AS (
+  SELECT day, s AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT day, e AS ts, -1 AS delta FROM spans),
+run AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS conc
+  FROM ep)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY day ORDER BY day
+"""

@@ -1,0 +1,141 @@
+"""Planted semantics for the session-12 operators: Pareto skyline
+(dominance ties, local-skyline combiner property), peak concurrent
+users (closed-interval endpoint ties), and label-propagation
+communities (bridge edge must NOT merge two cliques; refinement of
+connected components). sf-scale value parity with DuckDB is swept by
+test_oracles.py; these pin what the synthetic corpus can't reach."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from gpml2pvjson_js_ray.pipelines import graph, relational, windows  # noqa: E402
+
+
+def _ts(s):
+    return np.datetime64(s, "us")
+
+
+# -- orders_skyline -----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sf_skyline(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_sky")
+    orders = pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5, 6, 7],
+        "o_custkey": [0] * 7,
+        "o_orderstatus": ["F"] * 7,
+        "o_totalprice": [100.0, 100.0, 100.0, 150.0, 150.0, 200.0, 50.0],
+        "o_orderdate": [_ts("2024-01-01"), _ts("2024-01-01"),
+                        _ts("2024-01-02"), _ts("2024-01-02"),
+                        _ts("2024-01-03"), _ts("2024-01-03"),
+                        _ts("2024-01-01")],
+        "o_orderpriority": ["1-URGENT"] * 7,
+    })
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    return str(d)
+
+
+def test_skyline_planted_with_ties(ray_session, sf_skyline):
+    # 1,2: equal (date, price) — mutually non-dominating, both survive.
+    # 3: same price as 1 but later date — dominated.
+    # 4: frontier (pricier than anything earlier-or-equal to its date).
+    # 5: same price as 4, later — dominated. 6: frontier. 7: dominated.
+    out = relational.orders_skyline(sf_skyline).to_pandas()
+    assert sorted(out["o_orderkey"]) == [1, 2, 4, 6]
+
+
+def test_skyline_local_combiner_property(sf_skyline):
+    """skyline(union of block skylines) == skyline(all rows), with the
+    frontier spread adversarially across blocks."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_skyline, "orders.parquet"),
+                      columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    full = relational._skyline_block(t)
+    # adversarial split: frontier members 1,4 in one block, 2,6 in other
+    idx_a = [0, 3, 4]   # keys 1, 4, 5
+    idx_b = [1, 2, 5, 6]  # keys 2, 3, 6, 7
+    la = relational._skyline_block(t.take(idx_a))
+    lb = relational._skyline_block(t.take(idx_b))
+    merged = relational._skyline_block(pa.concat_tables([la, lb]))
+    assert (sorted(merged.column("o_orderkey").to_pylist())
+            == sorted(full.column("o_orderkey").to_pylist()))
+    assert relational._skyline_block(t.slice(0, 0)).num_rows == 0
+
+
+# -- events_peak_concurrent_users --------------------------------------------
+
+@pytest.fixture(scope="module")
+def sf_conc(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_conc")
+    rows = [
+        # day 1: u1 [00:00,02:00], u2 [01:00,03:00], u3 [02:00,04:00]
+        # u1's end touches u3's start at 02:00 — closed intervals count
+        # all three simultaneously → peak 3
+        (1, "2024-01-01T00:00"), (1, "2024-01-01T02:00"),
+        (2, "2024-01-01T01:00"), (2, "2024-01-01T03:00"),
+        (3, "2024-01-01T02:00"), (3, "2024-01-01T04:00"),
+        # u4: single event (zero-width span) — still counts at 05:00
+        (4, "2024-01-01T05:00"),
+        # day 2: two disjoint spans → peak 1
+        (1, "2024-01-02T00:00"), (1, "2024-01-02T00:10"),
+        (2, "2024-01-02T01:00"), (2, "2024-01-02T01:10"),
+    ]
+    events = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": [_ts(t) for _, t in rows],
+        "user_id": [u for u, _ in rows],
+        "event_type": ["click"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    events.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_peak_concurrency_endpoint_touch(ray_session, sf_conc):
+    out = windows.events_peak_concurrent_users(sf_conc).to_pandas()
+    got = {pd.Timestamp(r["day"]).day: int(r["peak_concurrency"])
+           for _, r in out.iterrows()}
+    assert got == {1: 3, 2: 1}
+
+
+# -- label propagation --------------------------------------------------------
+
+def _clique(ids):
+    return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+
+
+def test_label_propagation_bridge_does_not_merge(ray_session):
+    import ray.data as rd
+    E = _clique([1, 2, 3, 4]) + _clique([5, 6, 7, 8]) + [(4, 5)]
+    edges = rd.from_items([{"s": a, "t": b} for a, b in E])
+    nodes = rd.from_items([{"n": i} for i in range(1, 9)])
+    out = (graph.label_propagation(edges, nodes, "s", "t", iters=4)
+           .to_pandas())
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+    # refinement invariant: communities sit INSIDE connected components,
+    # which the bridge edge merges into one class
+    comp = (graph.connected_components(edges, nodes, "s", "t")
+            .to_pandas())
+    assert set(comp["label"]) == {1}
+
+
+def test_label_propagation_isolated_node_keeps_self(ray_session):
+    import ray.data as rd
+    edges = rd.from_items([{"s": 1, "t": 2}])
+    nodes = rd.from_items([{"n": i} for i in [1, 2, 9]])
+    out = (graph.label_propagation(edges, nodes, "s", "t", iters=2)
+           .to_pandas())
+    got = dict(zip(out["node"], out["label"]))
+    assert got[9] == 9 and got[1] == 1 and got[2] == 1
