@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": rel.orders_skyline,
         "events_peak_concurrent_users":
             _window_query("events_peak_concurrent_users"),
+        "events_funnel_3step": _window_query("events_funnel_3step"),
         "kg_entity_communities": _kg_communities,
         "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),
@@ -635,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_skyline": rel.SQL_ORDERS_SKYLINE,
         "events_peak_concurrent_users":
             windows.SQL_EVENTS_PEAK_CONCURRENT_USERS,
+        "events_funnel_3step": windows.SQL_EVENTS_FUNNEL_3STEP,
         "documents_editdist_dups": textops.SQL_DOCUMENTS_EDITDIST_DUPS,
         "events_mad_outliers": quantiles.SQL_EVENTS_MAD_OUTLIERS,
         "documents_above_p90_length":

@@ -1076,3 +1076,93 @@ SELECT CAST(day AS TIMESTAMP) AS day,
        CAST(max(conc) AS BIGINT) AS peak_concurrency
 FROM run GROUP BY day ORDER BY day
 """
+
+
+# -- 3-step ordered funnel -----------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_LABELS = ["view", "view>click", "view>click>purchase"]
+
+
+def events_funnel_3step(sf_dir: str, num_buckets: int = 32):
+    """Ordered 3-step funnel: users whose first 'view' is STRICTLY
+    followed by a 'click', strictly followed by a 'purchase' — the
+    chained min-after-min semantics (t1 = first view, t2 = first click
+    with ts > t1, t3 = first purchase with ts > t2). Unlike the 2-step
+    events_signup_conversion, whose 'after' reduces to the associative
+    max(purchase) >= min(signup) trick, the 3-step chain is NOT
+    partial-aggregable — a user's step-2 anchor depends on their
+    step-1 time — so the correct distributed shape is per-user
+    co-location: one hash-bucket groupby carries each user's (ts,
+    type) rows for the three step types only, the chain closes
+    vectorized inside the bucket, and only (step_idx, n_users)
+    partials leave it for the final 3-row fold.
+
+    Scale plan: the shuffle carries 3-type event rows once (filtered
+    at the read), bucket count bounds task size, and the reduce is
+    constant-size. Returns (step_idx, step, n_users)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import hash_rows_mod
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("event_type"),
+                              value_set=pa.array(_FUNNEL_STEPS)))
+        b = b.set_column(b.schema.get_field_index("ts"), "ts",
+                         b.column("ts").cast(pa.timestamp("us")))
+        ids = hash_rows_mod(b, ["user_id"], num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        cl = df[df["event_type"] == "click"][["user_id", "ts"]] \
+            .join(v.rename("t1"), on="user_id", how="inner")
+        t2 = cl[cl["ts"] > cl["t1"]].groupby("user_id")["ts"].min()
+        pu = df[df["event_type"] == "purchase"][["user_id", "ts"]] \
+            .join(t2.rename("t2"), on="user_id", how="inner")
+        t3 = pu[pu["ts"] > pu["t2"]].groupby("user_id")["ts"].min()
+        return pd.DataFrame({
+            "step_idx": np.array([1, 2, 3], dtype=np.int64),
+            "n_users": np.array([len(v), len(t2), len(t3)],
+                                dtype=np.int64)})
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(chain, batch_format="pandas")
+              .groupby("step_idx")
+              .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def label(b: pa.Table) -> pa.Table:
+        idx = b.column("step_idx").to_numpy(zero_copy_only=False)
+        steps = np.asarray(_FUNNEL_LABELS, dtype=object)[idx - 1]
+        return pa.table({"step_idx": b.column("step_idx"),
+                         "step": pa.array(list(steps), type=pa.string()),
+                         "n_users": b.column("n_users")})
+
+    return (counts.map_batches(label, batch_format="pyarrow")
+            .sort("step_idx"))
+
+
+SQL_EVENTS_FUNNEL_3STEP = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p)
+ORDER BY step_idx
+"""

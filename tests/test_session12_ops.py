@@ -139,3 +139,46 @@ def test_label_propagation_isolated_node_keeps_self(ray_session):
            .to_pandas())
     got = dict(zip(out["node"], out["label"]))
     assert got[9] == 9 and got[1] == 1 and got[2] == 1
+
+
+# -- events_funnel_3step -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sf_funnel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_funnel")
+    rows = [
+        # u1: full chain view < click < purchase
+        (1, "view", "2024-01-01T00:00"), (1, "click", "2024-01-01T00:05"),
+        (1, "purchase", "2024-01-01T00:10"),
+        # u2: click ties the first view exactly — strict > excludes it,
+        # so the later purchase has no step-2 anchor
+        (2, "view", "2024-01-01T00:00"), (2, "click", "2024-01-01T00:00"),
+        (2, "purchase", "2024-01-01T01:00"),
+        # u3: pre-view click ignored; purchase BEFORE the qualifying
+        # click does not count
+        (3, "click", "2024-01-01T00:00"), (3, "view", "2024-01-01T00:05"),
+        (3, "click", "2024-01-01T00:06"),
+        (3, "purchase", "2024-01-01T00:04"),
+        # u4: purchase precedes the view — step 1 only
+        (4, "purchase", "2024-01-01T00:00"), (4, "view", "2024-01-01T00:01"),
+        # u5: never viewed — outside the funnel entirely
+        (5, "click", "2024-01-01T00:00"), (5, "purchase", "2024-01-01T00:01"),
+    ]
+    events = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": [_ts(t) for _, _, t in rows],
+        "user_id": [u for u, _, _ in rows],
+        "event_type": [k for _, k, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    events.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_funnel_strict_ordering_and_ties(ray_session, sf_funnel):
+    out = windows.events_funnel_3step(sf_funnel).to_pandas()
+    got = dict(zip(out["step_idx"], out["n_users"]))
+    assert got == {1: 4, 2: 2, 3: 1}
+    assert list(out["step"]) == ["view", "view>click",
+                                 "view>click>purchase"]
