@@ -403,8 +403,9 @@ def events_value_percentiles_cont(sf_dir: str, qs=(0.5, 0.9),
             .aggregate(Sum("cnt", alias_name="cnt"))
             .to_pandas())
 
-    # bracket each needed rank to a bucket; remember cum-before offsets
-    needed: dict[str, dict[int, int]] = {}   # type -> {bucket: cum_before}
+    # bracket each needed rank to its bucket (order_stat below
+    # recomputes the cum-before offset from the same cumsum)
+    needed: dict[str, set[int]] = {}          # type -> needed buckets
     ranks: dict[str, list[tuple[float, int, int]]] = {}  # type -> (h,kL,kU)
     for r in stats.itertuples():
         et, n = r.event_type, int(r.n)
@@ -413,16 +414,16 @@ def events_value_percentiles_cont(sf_dir: str, qs=(0.5, 0.9),
             h = (n - 1) * float(q)
             ranks[et].append((h, int(np.floor(h)), int(np.ceil(h))))
         if scales[et][1] == 0.0:
-            needed[et] = {}
+            needed[et] = set()
             continue
         g = hist[hist["event_type"] == et].sort_values("bucket")
         buckets = g["bucket"].to_numpy()
         cum = g["cnt"].to_numpy().cumsum()
-        need: dict[int, int] = {}
+        need: set[int] = set()
         for _, k_lo, k_hi in ranks[et]:
             for k in (k_lo, k_hi):
                 j = int(np.searchsorted(cum, k, side="right"))
-                need[int(buckets[j])] = int(cum[j - 1]) if j else 0
+                need.add(int(buckets[j]))
         needed[et] = need
     need_ref = ray.put({et: np.asarray(sorted(b), dtype=np.int64)
                         for et, b in needed.items()})

@@ -1298,14 +1298,23 @@ def documents_editdist_dups(sf_dir: str, num_buckets: int = 64):
             m = len(g)
             if m < 2:
                 continue
-            # vectorized candidate mask: unordered pairs i<j by doc_id,
-            # |Δlen| small, not ghost-ghost, and not counted twice
-            # (a cross-band pair is claimed by the block where the
-            # ghost meets a native — i.e. at least one non-ghost here;
-            # a same-home-band pair is claimed by the home block only)
-            ii, jj = np.triu_indices(m, k=1)
-            ok = (np.abs(ln[ii] - ln[jj]) <= _ED_LEN_DIFF) \
-                & ~(gh[ii] & gh[jj]) & (ids[ii] != ids[jj])
+            # candidate pairs in near-linear space: sort by length and
+            # pair each row only with the rows inside its +_ED_LEN_DIFF
+            # window (a triu_indices materialization is O(m²) memory —
+            # a 50k-doc band would allocate ~10 GB before the length
+            # mask). Remaining masks: not ghost-ghost, distinct ids,
+            # not counted twice (a cross-band pair is claimed by the
+            # block where the ghost meets a native; a same-home-band
+            # pair is claimed by the home block only).
+            order = np.argsort(ln, kind="stable")
+            ids, ln, gh, txt = (ids[order], ln[order], gh[order],
+                                txt[order])
+            end = np.searchsorted(ln, ln + _ED_LEN_DIFF, side="right")
+            cnt = np.maximum(end - np.arange(m) - 1, 0)
+            ii = np.repeat(np.arange(m), cnt)
+            offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            jj = np.arange(cnt.sum()) - np.repeat(offs, cnt) + ii + 1
+            ok = ~(gh[ii] & gh[jj]) & (ids[ii] != ids[jj])
             # same-band natives pair in their home block; ghost+native
             # pairs only count when their HOME bands differ (else the
             # home block already counted them)

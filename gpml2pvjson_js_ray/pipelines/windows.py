@@ -1116,16 +1116,27 @@ def events_funnel_3step(sf_dir: str, num_buckets: int = 32):
         return b.append_column("bucket", pa.array(ids, type=pa.int32()))
 
     def chain(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        # dropna=False: SQL's GROUP BY keeps the NULL-user group in
+        # step 1, while the step-2/3 equality JOINs can never match
+        # NULL — so the NULL group is counted once and then dropped
+        # from the chain, exactly as the oracle does. merge (not
+        # DataFrame.join) sidesteps the pandas empty-left-join quirk
+        # that names the result's index and breaks the next groupby.
+        g1 = df[df["event_type"] == "view"] \
+            .groupby("user_id", dropna=False)["ts"].min()
+        n1 = len(g1)
+        v = (g1.rename("t1").reset_index()
+             .dropna(subset=["user_id"]))
         cl = df[df["event_type"] == "click"][["user_id", "ts"]] \
-            .join(v.rename("t1"), on="user_id", how="inner")
+            .merge(v, on="user_id", how="inner")
         t2 = cl[cl["ts"] > cl["t1"]].groupby("user_id")["ts"].min()
         pu = df[df["event_type"] == "purchase"][["user_id", "ts"]] \
-            .join(t2.rename("t2"), on="user_id", how="inner")
+            .merge(t2.rename("t2").reset_index(), on="user_id",
+                   how="inner")
         t3 = pu[pu["ts"] > pu["t2"]].groupby("user_id")["ts"].min()
         return pd.DataFrame({
             "step_idx": np.array([1, 2, 3], dtype=np.int64),
-            "n_users": np.array([len(v), len(t2), len(t3)],
+            "n_users": np.array([n1, len(t2), len(t3)],
                                 dtype=np.int64)})
 
     counts = (ds.map_batches(prep, batch_format="pyarrow")

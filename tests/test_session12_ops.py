@@ -182,3 +182,39 @@ def test_funnel_strict_ordering_and_ties(ray_session, sf_funnel):
     assert got == {1: 4, 2: 2, 3: 1}
     assert list(out["step"]) == ["view", "view>click",
                                  "view>click>purchase"]
+
+
+@pytest.fixture(scope="module")
+def sf_funnel_null(tmp_path_factory):
+    """NULL-user full chain + a lone user with no clicks at all (the
+    empty-join-side bucket that crashed the first implementation)."""
+    d = tmp_path_factory.mktemp("sf_funnel_null")
+    rows = [
+        # NULL user completes the chain — SQL counts the NULL group in
+        # step 1 (GROUP BY keeps it) but the step-2/3 equality joins
+        # can never match NULL, so steps 2-3 exclude it
+        (None, "view", "2024-01-01T00:00"),
+        (None, "click", "2024-01-01T00:05"),
+        (None, "purchase", "2024-01-01T00:10"),
+        # u1: view + purchase, NO click anywhere → its bucket's click
+        # join side is empty
+        (1, "view", "2024-01-01T00:00"),
+        (1, "purchase", "2024-01-01T00:10"),
+    ]
+    events = pd.DataFrame({
+        "event_id": range(len(rows)),
+        "ts": [_ts(t) for _, _, t in rows],
+        "user_id": pd.array([u for u, _, _ in rows], dtype="Int64"),
+        "event_type": [k for _, k, _ in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    events.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_funnel_null_user_and_empty_click_side(ray_session,
+                                               sf_funnel_null):
+    out = windows.events_funnel_3step(sf_funnel_null).to_pandas()
+    got = dict(zip(out["step_idx"], out["n_users"]))
+    assert got == {1: 2, 2: 0, 3: 0}
