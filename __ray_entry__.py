@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _window_query("events_peak_concurrent_users"),
         "events_funnel_3step": _window_query("events_funnel_3step"),
         "kg_entity_communities": _kg_communities,
+        "embeddings_kcenter_coreset": simops.embeddings_kcenter_coreset,
         "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),
         "events_value_quantiles_tdigest":

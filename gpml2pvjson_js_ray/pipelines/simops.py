@@ -1140,3 +1140,113 @@ def embeddings_cluster_profile(sf_dir: str):
         "mean_sim": pa.array(
             np.round(reduced["sim_sum"].to_numpy()
                      / reduced["n"].to_numpy(), 6), pa.float64())})
+
+
+# -- k-center coreset (greedy Gonzalez farthest-point selection) ---------------
+
+def embeddings_kcenter_coreset(sf_dir: str, k: int = 8):
+    """Diversity coreset: greedy k-center (Gonzalez farthest-point,
+    the 2-approximation) over the embedding column — the diverse-subset
+    selection step of data pruning / active-learning curation, where
+    near-duplicate-heavy corpora waste the training budget.
+
+    Distributed shape (k linear passes, O(n·k) distance work total):
+    the dataset carries a running `dmin` column (distance to the
+    nearest selected center so far); each round one map_batches folds
+    in the distance to ONLY the newest center (not all centers — the
+    running min makes each pass O(n·d)), a per-block argmax partial
+    shrinks every block to one row, and the driver reduces the tiny
+    (blocks × 1)-row partials to the global farthest point, which
+    becomes the next center. Distances are Euclidean on L2-normalized
+    vectors; ties break to the smallest vec_id, so selection is
+    deterministic. The seed is the smallest vec_id (not a random
+    draw — reproducibility over seeding nicety).
+
+    Returns (order_idx, vec_id, radius): radius is the max dmin AT
+    selection time, i.e. the coverage radius the selection just
+    improved — non-increasing from order_idx 1 onward (asserted in
+    tests); the seed row records the sentinel -1.0 (no coverage
+    radius exists before any center).
+
+    100-TB note: the per-round state is one broadcast center (d
+    floats) and one scalar argmax; the base matrix + dmin column is
+    materialized once and re-mapped k times. For k in the thousands
+    you'd batch rounds (select the top-r spread-out partials per pass)
+    — standard practice; k here is a curation-sized constant."""
+    import ray
+    import ray.data as rd
+
+    emb = _read_emb(sf_dir, ["vec_id", "embedding"])
+
+    def unitize(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "unit": pa.FixedSizeListArray.from_arrays(
+                pa.array(unit.ravel(), pa.float32()), unit.shape[1]),
+            "dmin": pa.array(np.full(len(ids), np.inf, np.float64))})
+
+    base = emb.map_batches(unitize, batch_format="pyarrow").materialize()
+
+    def _mat(b: pa.Table) -> np.ndarray:
+        arr = b.column("unit").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        return flat.reshape(len(arr), -1)
+
+    def block_argmax(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dmin": pa.array([], pa.float64()),
+                             "unit": b.column("unit").slice(0, 0)})
+        d = b.column("dmin").to_numpy(zero_copy_only=False)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        best = np.lexsort((ids, -d))[0]      # max dmin, tie → min id
+        return b.take(pa.array([int(best)]))
+
+    selected = []
+    # seed row: one block-local min-id partial per block, tiny reduce
+    def block_seed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        return b.take(pa.array([int(np.argmin(ids))]))
+
+    seed = base.map_batches(block_seed, batch_format="pyarrow") \
+        .to_pandas().sort_values("vec_id").iloc[0]
+    cur_id = int(seed["vec_id"])
+    cur_vec = np.asarray(seed["unit"], dtype=np.float64)
+    cur_radius = float("inf")
+    for round_i in range(k):
+        selected.append({"order_idx": round_i, "vec_id": cur_id,
+                         "radius": (-1.0 if round_i == 0
+                                    else round(cur_radius, 6))})
+        if round_i == k - 1:
+            break
+        c_ref = ray.put(cur_vec)
+
+        def fold(b: pa.Table, _ref=c_ref) -> pa.Table:
+            import ray as _ray
+            c = _ray.get(_ref)
+            mat = _mat(b)
+            d_new = np.linalg.norm(mat - c[None, :], axis=1)
+            d = np.minimum(
+                b.column("dmin").to_numpy(zero_copy_only=False), d_new)
+            return b.set_column(b.schema.get_field_index("dmin"),
+                                "dmin", pa.array(d, pa.float64()))
+
+        base = base.map_batches(fold, batch_format="pyarrow") \
+            .materialize()
+        part = base.map_batches(block_argmax,
+                                batch_format="pyarrow").to_pandas()
+        part = part.sort_values(["dmin", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+        cur_id = int(part["vec_id"])
+        cur_vec = np.asarray(part["unit"], dtype=np.float64)
+        cur_radius = float(part["dmin"])
+
+    import pandas as pd
+    return pd.DataFrame(selected)

@@ -218,3 +218,48 @@ def test_funnel_null_user_and_empty_click_side(ray_session,
     out = windows.events_funnel_3step(sf_funnel_null).to_pandas()
     got = dict(zip(out["step_idx"], out["n_users"]))
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+# -- embeddings_kcenter_coreset ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sf_kcenter(tmp_path_factory):
+    """Three well-separated clusters of 4 vectors each (unit-norm
+    after normalization; intra-cluster distance << inter-cluster)."""
+    d = tmp_path_factory.mktemp("sf_kcenter")
+    rng = np.random.default_rng(7)
+    centers = np.eye(3)                      # orthogonal unit centers
+    rows = []
+    for ci in range(3):
+        for j in range(4):
+            v = centers[ci] + rng.normal(0, 0.01, 3)
+            rows.append((ci * 4 + j, v))
+    emb = pd.DataFrame({
+        "vec_id": [i for i, _ in rows],
+        "embedding": [list(map(float, v)) for _, v in rows],
+        "label": [0] * len(rows),
+    })
+    emb.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    return str(d)
+
+
+def test_kcenter_covers_planted_clusters(ray_session, sf_kcenter):
+    from gpml2pvjson_js_ray.pipelines import simops
+    out = simops.embeddings_kcenter_coreset(sf_kcenter, k=3)
+    assert list(out["order_idx"]) == [0, 1, 2]
+    assert out["vec_id"].iloc[0] == 0        # deterministic min-id seed
+    # greedy k-center picks one point per planted cluster before any
+    # second point of an already-covered cluster
+    assert sorted(v // 4 for v in out["vec_id"]) == [0, 1, 2]
+    # coverage radius non-increasing from the first real selection on
+    radii = out["radius"].to_numpy()
+    assert radii[0] == -1.0
+    assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
+
+
+def test_kcenter_radius_tracks_farthest(ray_session, sf_kcenter):
+    from gpml2pvjson_js_ray.pipelines import simops
+    out = simops.embeddings_kcenter_coreset(sf_kcenter, k=2)
+    # with one center at cluster 0, the farthest point is in another
+    # cluster at ~sqrt(2) for orthogonal unit vectors
+    assert abs(out["radius"].iloc[1] - np.sqrt(2)) < 0.05
