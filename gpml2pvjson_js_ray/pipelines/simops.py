@@ -1199,9 +1199,7 @@ def embeddings_kcenter_coreset(sf_dir: str, k: int = 8):
 
     def block_argmax(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "dmin": pa.array([], pa.float64()),
-                             "unit": b.column("unit").slice(0, 0)})
+            return b                        # keep the block schema
         d = b.column("dmin").to_numpy(zero_copy_only=False)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         best = np.lexsort((ids, -d))[0]      # max dmin, tie → min id
@@ -1230,6 +1228,8 @@ def embeddings_kcenter_coreset(sf_dir: str, k: int = 8):
 
         def fold(b: pa.Table, _ref=c_ref) -> pa.Table:
             import ray as _ray
+            if b.num_rows == 0:
+                return b
             c = _ray.get(_ref)
             mat = _mat(b)
             d_new = np.linalg.norm(mat - c[None, :], axis=1)
@@ -1247,6 +1247,11 @@ def embeddings_kcenter_coreset(sf_dir: str, k: int = 8):
         cur_id = int(part["vec_id"])
         cur_vec = np.asarray(part["unit"], dtype=np.float64)
         cur_radius = float(part["dmin"])
+        if cur_radius <= 0.0:
+            # every remaining point coincides with a selected center
+            # (k > distinct points): stop instead of emitting
+            # duplicate vec_ids into the "diverse subset"
+            break
 
     import pandas as pd
     return pd.DataFrame(selected)

@@ -263,3 +263,19 @@ def test_kcenter_radius_tracks_farthest(ray_session, sf_kcenter):
     # with one center at cluster 0, the farthest point is in another
     # cluster at ~sqrt(2) for orthogonal unit vectors
     assert abs(out["radius"].iloc[1] - np.sqrt(2)) < 0.05
+
+
+def test_kcenter_k_exceeds_distinct_points(ray_session, tmp_path):
+    """k larger than the corpus: selection stops at the distinct-point
+    budget instead of emitting duplicate vec_ids."""
+    from gpml2pvjson_js_ray.pipelines import simops
+    emb = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]],  # 3 & 2 equal
+        "label": [0, 0, 0],
+    })
+    emb.to_parquet(os.path.join(tmp_path, "embeddings.parquet"),
+                   index=False)
+    out = simops.embeddings_kcenter_coreset(str(tmp_path), k=5)
+    assert out["vec_id"].is_unique
+    assert len(out) == 2        # the duplicate vector adds no coverage
