@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": _join_query("promo_revenue_share"),
         "top_revenue_suppliers": _join_query("top_revenue_suppliers"),
         "small_quantity_revenue": _join_query("small_quantity_revenue"),
+        "lineitem_priority_counts": _join_query("lineitem_priority_counts"),
+        "disjunctive_part_revenue": _join_query("disjunctive_part_revenue"),
+        "important_parts": _join_query("important_parts"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -612,6 +615,9 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue_share": joins.SQL_PROMO_REVENUE_SHARE,
         "top_revenue_suppliers": joins.SQL_TOP_REVENUE_SUPPLIERS,
         "small_quantity_revenue": joins.SQL_SMALL_QUANTITY_REVENUE,
+        "lineitem_priority_counts": joins.SQL_LINEITEM_PRIORITY_COUNTS,
+        "disjunctive_part_revenue": joins.SQL_DISJUNCTIVE_PART_REVENUE,
+        "important_parts": joins.SQL_IMPORTANT_PARTS,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

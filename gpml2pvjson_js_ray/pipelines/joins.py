@@ -1122,3 +1122,215 @@ WHERE l_orderkey = o_orderkey
 GROUP BY c_custkey, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """
+
+
+# -- Q12 shape: priority line counts by line status ---------------------------
+
+_Q12_HI = ("1-URGENT", "2-HIGH")
+
+
+def lineitem_priority_counts(sf_dir: str,
+                             ship_lo: str = "1996-01-01T00:00:00",
+                             ship_hi: str = "1997-01-01T00:00:00",
+                             num_partitions: int = 16):
+    """Per-linestatus counts of lineitems on high- vs low-priority
+    orders — the TPC-H Q12 conditional-aggregation-after-join shape.
+
+    Scale plan: lineitem folds per block to (orderkey, linestatus, cnt)
+    partials BEFORE the join, so the shuffled left side carries at most
+    one row per (order, status) per block instead of every lineitem.
+    Orders ⋈ partials is a hash-partitioned `Dataset.join` on orderkey
+    (both sides unbounded at 100 TB). The conditional split is a
+    vectorized is_in over the joined batches, folded to one row per
+    linestatus per batch before the final 2-row groupby."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts(ship_lo), _ts(ship_hi)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "l_linestatus": b.column("l_linestatus"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["l_orderkey", "l_linestatus"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["l_orderkey", "l_linestatus", "cnt"]))
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_linestatus", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def split(b: pa.Table) -> pa.Table:
+        hi_mask = pc.is_in(b.column("o_orderpriority"),
+                           value_set=pa.array(_Q12_HI))
+        cnt = b.column("cnt")
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table({
+            "l_linestatus": b.column("l_linestatus"),
+            "hi": pc.if_else(hi_mask, cnt, zero),
+            "lo": pc.if_else(hi_mask, zero, cnt)})
+        return (pa.TableGroupBy(t, "l_linestatus")
+                .aggregate([("hi", "sum"), ("lo", "sum")])
+                .rename_columns(["l_linestatus", "high_line_count",
+                                 "low_line_count"]))
+
+    return (joined.map_batches(split, batch_format="pyarrow")
+            .groupby("l_linestatus")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count"))
+            .sort("l_linestatus"))
+
+
+SQL_LINEITEM_PRIORITY_COUNTS = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# -- Q19 shape: disjunctive-predicate revenue ---------------------------------
+
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#24", 1, 15, 20.0, 30.0),
+)
+
+
+def disjunctive_part_revenue(sf_dir: str, branches=_Q19_BRANCHES):
+    """Revenue matched by an OR of (brand, size-range, quantity-range)
+    branch predicates — the TPC-H Q19 disjunctive multi-predicate join.
+
+    Scale plan: part attributes (brand, size) broadcast once via
+    ray.put; every lineitem block probes them with one vectorized
+    index_in and evaluates ALL branches as arrow boolean algebra — the
+    disjunction never materializes a joined row, and each block folds
+    to a single partial sum. No shuffle anywhere; output is one row."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    branch_spec = tuple(branches)
+    part = pa.concat_tables(ray.get(
+        _read(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_size"]).to_arrow_refs()))
+    # broadcast ONLY branch-eligible part rows (brand + size head of the
+    # predicate): the branch list makes this slice dimension-small BY
+    # CONSTRUCTION, so the probe arrays stay tiny even when the full
+    # part table would not; non-members resolve to null -> excluded
+    elig = None
+    for br, s_lo, s_hi, _q_lo, _q_hi in branch_spec:
+        m = pc.and_(pc.equal(part.column("p_brand"), pa.scalar(br)),
+                    pc.and_(pc.greater_equal(part.column("p_size"),
+                                             pa.scalar(s_lo)),
+                            pc.less_equal(part.column("p_size"),
+                                          pa.scalar(s_hi))))
+        elig = m if elig is None else pc.or_(elig, m)
+    part = part.filter(elig)
+    part_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        part.column("p_brand").combine_chunks(),
+                        part.column("p_size").combine_chunks()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, brands, sizes = ray.get(part_ref)
+        idx = pc.index_in(b.column("l_partkey").combine_chunks(),
+                          value_set=keys)
+        brand = brands.take(idx)
+        size = sizes.take(idx)
+        qty = b.column("l_quantity")
+        keep = None
+        for br, s_lo, s_hi, q_lo, q_hi in branch_spec:
+            m = pc.and_(
+                pc.and_(pc.equal(brand, pa.scalar(br)),
+                        pc.and_(pc.greater_equal(size, pa.scalar(s_lo)),
+                                pc.less_equal(size, pa.scalar(s_hi)))),
+                pc.and_(pc.greater_equal(qty, pa.scalar(q_lo)),
+                        pc.less_equal(qty, pa.scalar(q_hi))))
+            keep = m if keep is None else pc.or_(keep, m)
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      b.column("l_discount")))
+        s = pc.sum(pc.if_else(pc.fill_null(keep, False), rev,
+                              pa.scalar(0.0)))
+        return pa.table({"revenue":
+                         pa.array([s.as_py() or 0.0], pa.float64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    return pa.table({"revenue": pa.array(
+        [round(float(agg["revenue"]), 2)], pa.float64())})
+
+
+SQL_DISJUNCTIVE_PART_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# -- Q11 shape: parts above a global value-share threshold --------------------
+
+def important_parts(sf_dir: str, fraction: float = 0.0006):
+    """Parts whose lineitem value exceeds `fraction` of the GLOBAL total
+    — the TPC-H Q11 HAVING-against-a-scalar-subquery shape.
+
+    Scale plan: one partial-aggregated groupby builds the per-part
+    values; the global total is a second SCALAR aggregate over that
+    (part-cardinality, already reduced) dataset, broadcast into the
+    filter as a plain float — no second scan of lineitem, no shuffle
+    for the threshold. At sf0.01 the nearest part sits 215+ absolute
+    units from the cut, so cross-engine summation-order ulps cannot
+    flip membership."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b.column("l_partkey"),
+                      "val": b.column("l_extendedprice")})
+        return (pa.TableGroupBy(t, "l_partkey")
+                .aggregate([("val", "sum")])
+                .rename_columns(["l_partkey", "val"]))
+
+    vals = (_read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("l_partkey")
+            .aggregate(Sum("val", alias_name="val")))
+    total = float(vals.aggregate(Sum("val"))["sum(val)"])
+    cut = pa.scalar(fraction * total)
+
+    def keep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("val"), cut))
+        return pa.table({
+            "l_partkey": b.column("l_partkey"),
+            "part_value": pc.round(b.column("val"), ndigits=2)})
+
+    return (vals.map_batches(keep, batch_format="pyarrow")
+            .sort(["part_value", "l_partkey"], descending=[True, False]))
+
+
+SQL_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey, sum(l_extendedprice) AS pv
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, round(pv, 2) AS part_value
+FROM v WHERE pv > 0.0006 * (SELECT sum(pv) FROM v)
+ORDER BY part_value DESC, l_partkey
+"""
