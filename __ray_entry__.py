@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_priority_counts": _join_query("lineitem_priority_counts"),
         "disjunctive_part_revenue": _join_query("disjunctive_part_revenue"),
         "important_parts": _join_query("important_parts"),
+        "waiting_suppliers": _join_query("waiting_suppliers"),
+        "rich_inactive_by_nation": _join_query("rich_inactive_by_nation"),
+        "nation_market_share": _join_query("nation_market_share"),
+        "events_user_top_type": _window_query("events_user_top_type"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -618,6 +622,10 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_priority_counts": joins.SQL_LINEITEM_PRIORITY_COUNTS,
         "disjunctive_part_revenue": joins.SQL_DISJUNCTIVE_PART_REVENUE,
         "important_parts": joins.SQL_IMPORTANT_PARTS,
+        "waiting_suppliers": joins.SQL_WAITING_SUPPLIERS,
+        "rich_inactive_by_nation": joins.SQL_RICH_INACTIVE_BY_NATION,
+        "nation_market_share": joins.SQL_NATION_MARKET_SHARE,
+        "events_user_top_type": windows.SQL_EVENTS_USER_TOP_TYPE,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

@@ -1334,3 +1334,299 @@ SELECT l_partkey, round(pv, 2) AS part_value
 FROM v WHERE pv > 0.0006 * (SELECT sum(pv) FROM v)
 ORDER BY part_value DESC, l_partkey
 """
+
+
+# -- Q21 shape: the straggler supplier per multi-supplier order ----------------
+
+def waiting_suppliers(sf_dir: str, k: int = 10, num_partitions: int = 8):
+    """Suppliers most often the SOLE last shipper on finished
+    multi-supplier orders — the TPC-H Q21 exists/not-exists blame shape,
+    expressed on this schema's columns (no receipt/commit dates, so
+    "kept the order waiting" = uniquely holds the order's max
+    l_shipdate).
+
+    Scale plan: every reduction runs on the (order, supplier) pair
+    table, which per-block partials shrink below lineitem cardinality
+    BEFORE the first shuffle; the per-order stats (max ship, supplier
+    count) come from a second groupby on the SAME key and rejoin the
+    pairs via hash join, so nothing order-wide ever sits on one node.
+    Orders (status filter) joins by hash; supplier names broadcast.
+    num_partitions defaults low because TWO JoinOperators share one
+    DAG — each reserves aggregator actors, and 2x16 deadlocks a small
+    session (same sizing as corpus.quality_filtered_corpus)."""
+    from ray.data.aggregate import Count, Max
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b.column("l_orderkey"),
+                      "l_suppkey": b.column("l_suppkey"),
+                      "ship": b.column("l_shipdate")})
+        return (pa.TableGroupBy(t, ["l_orderkey", "l_suppkey"])
+                .aggregate([("ship", "max")])
+                .rename_columns(["l_orderkey", "l_suppkey", "smax"]))
+
+    pairs = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_shipdate"])
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["l_orderkey", "l_suppkey"])
+             .aggregate(Max("smax", alias_name="smax")))
+
+    per_order = (pairs.groupby("l_orderkey")
+                 .aggregate(Max("smax", alias_name="omax"),
+                            Count(alias_name="n_supp")))
+
+    # repartition merges away the aggregates' zero-column empty blocks,
+    # which break Dataset.join (pitfall per pipelines/graph.py:56)
+    pairs = pairs.repartition(num_partitions)
+    per_order = per_order.repartition(num_partitions)
+
+    at_max = (pairs.join(per_order, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_orderkey",))
+              .map_batches(lambda b: b.filter(pc.and_(
+                  pc.greater(b.column("n_supp"), pa.scalar(1)),
+                  pc.equal(b.column("smax"), b.column("omax"))))
+                  .select(["l_orderkey", "l_suppkey"]),
+                  batch_format="pyarrow"))
+
+    blamed = (at_max.groupby("l_orderkey")
+              .aggregate(Max("l_suppkey", alias_name="culprit"),
+                         Count(alias_name="n_at_max"))
+              .map_batches(lambda b: b.filter(
+                  pc.equal(b.column("n_at_max"), pa.scalar(1)))
+                  .select(["l_orderkey", "culprit"]),
+                  batch_format="pyarrow"))
+
+    fin_orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+                  .map_batches(lambda b: b.filter(
+                      pc.equal(b.column("o_orderstatus"), pa.scalar("F")))
+                      .select(["o_orderkey"]), batch_format="pyarrow"))
+
+    names = _broadcast_kv(_read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+                          "s_suppkey", "s_name")
+    attach = _make_attach(names, "culprit", "s_name")
+
+    blamed = blamed.repartition(num_partitions)
+    fin_orders = fin_orders.repartition(num_partitions)
+    return (blamed.join(fin_orders, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+            .map_batches(attach, batch_format="pyarrow")
+            .groupby("s_name")
+            .aggregate(Count(alias_name="numwait"))
+            .sort(["numwait", "s_name"], descending=[True, False])
+            .limit(k))
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+ord AS (
+  SELECT l_orderkey AS okey, max(smax) AS omax, count(*) AS n_supp
+  FROM pairs GROUP BY l_orderkey),
+blamed AS (
+  SELECT p.l_orderkey, max(p.l_suppkey) AS culprit
+  FROM pairs p JOIN ord ON p.l_orderkey = okey
+  WHERE n_supp > 1 AND p.smax = omax
+  GROUP BY p.l_orderkey HAVING count(*) = 1)
+SELECT s_name, count(*) AS numwait
+FROM blamed
+JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = culprit
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+# -- Q22 shape: rich customers with no large orders, by nation -----------------
+
+def rich_inactive_by_nation(sf_dir: str, big: float = 300_000.0,
+                            num_partitions: int = 16):
+    """Customers whose balance beats the global positive-balance average
+    and who never placed a LARGE order (totalprice >= `big`), counted
+    per nation — the TPC-H Q22 scalar-subquery + NOT EXISTS shape,
+    realized with the engine's NATIVE left_anti hash join (the
+    churned-by-segment sibling shows the left_outer+is_null spelling).
+
+    Scale plan: the threshold is ONE scalar aggregate broadcast into the
+    filter (no second scan); the NOT EXISTS is a native left_anti hash
+    join against the DISTINCT big-order custkeys (pre-reduced by
+    groupby, so the anti side carries one row per qualifying customer,
+    not one per order). Margin note: the nearest customer sits ≥6.7
+    absolute from the sf0.01 balance threshold, so cross-engine
+    summation-order ulps cannot flip membership."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    avg_bal = float(cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"),
+                                      pa.scalar(0.0))),
+        batch_format="pyarrow").aggregate(Mean("c_acctbal"))["mean(c_acctbal)"])
+    cut = pa.scalar(avg_bal)
+
+    # repartition merges away empty blocks, which break Dataset.join
+    # (pitfall per pipelines/graph.py:56)
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b.column("c_acctbal"), cut)),
+        batch_format="pyarrow").repartition(num_partitions)
+
+    active = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+              .map_batches(lambda b: b.filter(
+                  pc.greater_equal(b.column("o_totalprice"),
+                                   pa.scalar(big)))
+                  .select(["o_custkey"]), batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Count(alias_name="n_o"))
+              .repartition(num_partitions))
+
+    return (rich.join(active, join_type="left_anti",
+                      num_partitions=num_partitions,
+                      on=("c_custkey",), right_on=("o_custkey",))
+            .groupby("c_nationkey")
+            .aggregate(Count(alias_name="numcust"),
+                       Sum("c_acctbal", alias_name="totacctbal"))
+            .map_batches(lambda b: _round_col(b, "totacctbal", 2),
+                         batch_format="pyarrow")
+            .sort("c_nationkey"))
+
+
+SQL_RICH_INACTIVE_BY_NATION = """
+WITH ab AS (SELECT avg(c_acctbal) AS cut FROM customer
+            WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > cut
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice >= 300000.0)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+# -- Q8 shape: nation market share inside a region, per year -------------------
+
+def nation_market_share(sf_dir: str, region: str = "ASIA",
+                        nation: str = "NATION_3",
+                        num_partitions: int = 8):
+    """Per order year: the revenue share supplied by one nation's
+    suppliers among all orders placed by customers of one region — the
+    TPC-H Q8 two-sided-dimension market-share shape.
+
+    Scale plan: supplier→nation is a broadcast probe folded into the
+    lineitem partial, which reduces lineitem to ONE (orderkey, rev,
+    rev_nation) row per order before any shuffle. customer is NOT
+    broadcast (unbounded at 100 TB): the region membership flows
+    through a hash join orders ⋈ region-customers, and the final
+    groupby runs on years (constant cardinality). Share rounded to 6 —
+    numerator and denominator are each sums of identical products, so
+    cross-engine ulps sit ~1e-10 relative, far inside the rounding.
+    num_partitions defaults low: TWO JoinOperators share one DAG (see
+    waiting_suppliers note)."""
+    from ray.data.aggregate import Sum
+
+    # nation/region dimensions: tiny, resolved driver-side
+    import ray
+    nat = pa.concat_tables(ray.get(
+        _read(sf_dir, "nation",
+              ["n_nationkey", "n_name", "n_regionkey"]).to_arrow_refs()))
+    reg = pa.concat_tables(ray.get(
+        _read(sf_dir, "region",
+              ["r_regionkey", "r_name"]).to_arrow_refs()))
+    region_keys = reg.filter(pc.equal(reg.column("r_name"),
+                                      pa.scalar(region))).column("r_regionkey")
+    region_nations = nat.filter(pc.is_in(nat.column("n_regionkey"),
+                                         value_set=region_keys.combine_chunks()))
+    region_nation_keys = region_nations.column("n_nationkey").combine_chunks()
+    nation_key = nat.filter(pc.equal(nat.column("n_name"),
+                                     pa.scalar(nation))).column("n_nationkey")
+
+    supp_nation = _broadcast_kv(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey")
+    target = int(nation_key[0].as_py())
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(supp_nation)
+        idx = pc.index_in(b.column("l_suppkey").combine_chunks(),
+                          value_set=keys)
+        snat = vals.take(idx)
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        hit = pc.equal(snat, pa.scalar(target))
+        t = pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev": rev,
+            "rev_n": pc.if_else(pc.fill_null(hit, False), rev,
+                                pa.scalar(0.0))})
+        return (pa.TableGroupBy(t, "l_orderkey")
+                .aggregate([("rev", "sum"), ("rev_n", "sum")])
+                .rename_columns(["l_orderkey", "rev", "rev_n"]))
+
+    line_rev = (_read(sf_dir, "lineitem",
+                      ["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"])
+                .map_batches(li_partial, batch_format="pyarrow"))
+
+    # repartitions below merge away empty blocks, which break
+    # Dataset.join (pitfall per pipelines/graph.py:56)
+    region_cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                   .map_batches(lambda b: b.filter(pc.is_in(
+                       b.column("c_nationkey"),
+                       value_set=region_nation_keys))
+                       .select(["c_custkey"]), batch_format="pyarrow")
+                   .repartition(num_partitions))
+
+    def year_col(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pc.year(b.column("o_orderdate"))})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .join(region_cust, join_type="left_semi",
+                    num_partitions=num_partitions,
+                    on=("o_custkey",), right_on=("c_custkey",))
+              .map_batches(year_col, batch_format="pyarrow")
+              .repartition(num_partitions))
+
+    shares = (line_rev.groupby("l_orderkey")
+              .aggregate(Sum("rev", alias_name="rev"),
+                         Sum("rev_n", alias_name="rev_n"))
+              .repartition(num_partitions)
+              .join(orders, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+              .groupby("o_year")
+              .aggregate(Sum("rev", alias_name="rev"),
+                         Sum("rev_n", alias_name="rev_n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": b.column("o_year").cast(pa.int64()),
+            "mkt_share": pc.round(pc.divide(b.column("rev_n"),
+                                            b.column("rev")), ndigits=6)})
+
+    return shares.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH region_orders AS (
+  SELECT o_orderkey, year(o_orderdate) AS o_year
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'),
+line_rev AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev,
+         sum(CASE WHEN n_name = 'NATION_3'
+                  THEN l_extendedprice * (1 - l_discount)
+                  ELSE 0 END) AS rev_n
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY l_orderkey)
+SELECT o_year, round(sum(rev_n) / sum(rev), 6) AS mkt_share
+FROM region_orders JOIN line_rev ON l_orderkey = o_orderkey
+GROUP BY o_year ORDER BY o_year
+"""

@@ -1177,3 +1177,86 @@ SELECT * FROM (
   SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p)
 ORDER BY step_idx
 """
+
+
+# -- per-user modal event type (mode with deterministic tie-break) -----------
+
+def events_user_top_type(sf_dir: str):
+    """Each user's most frequent event type; ties break to the
+    lexicographically smallest type — the GROUP BY + row_number()=1 mode
+    shape.
+
+    Scale plan: per-block partial counts shrink the shuffle to distinct
+    (user, type) pairs per block; the per-user argmax is ONE packed-int64
+    Max aggregate (count in the high bits, inverse lexicographic type
+    rank in the low bits) over the already-reduced counts table — no
+    map_groups, no per-group Python. The type vocabulary is a tiny
+    broadcast (event taxonomies are dimension-small by construction);
+    NULL users are excluded on both sides."""
+    from ray.data.aggregate import Max, Sum
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        t = pa.table({"user_id": b.column("user_id"),
+                      "event_type": b.column("event_type"),
+                      "one": pa.array(np.ones(len(b), dtype=np.int64))})
+        return (pa.TableGroupBy(t, ["user_id", "event_type"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["user_id", "event_type", "cnt"]))
+
+    counts = (_read(sf_dir, "events", ["user_id", "event_type"])
+              .map_batches(cnt_partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    # tiny vocabulary, sorted ascending: rank 0 = lexicographically
+    # smallest; inverse rank makes the packed Max prefer IT on count ties.
+    # Resolved from a separate single-column scan so the counts pipeline
+    # executes exactly once (unique() on `counts` would run it twice).
+    types = sorted(_read(sf_dir, "events", ["event_type"])
+                   .unique("event_type"))
+    rank = {t: i for i, t in enumerate(types)}
+    n_types = len(types)
+    rank_arr = pa.array([rank[t] for t in types], pa.int64())
+    type_arr = pa.array(types, pa.string())
+
+    def pack(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("event_type").combine_chunks(),
+                          value_set=type_arr)
+        r = rank_arr.take(idx)
+        packed = pc.add(
+            pc.multiply(b.column("cnt"), pa.scalar(n_types, pa.int64())),
+            pc.subtract(pa.scalar(n_types - 1, pa.int64()), r))
+        return pa.table({"user_id": b.column("user_id"),
+                         "packed": packed})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        packed = b.column("packed")
+        cnt = pc.divide(packed, pa.scalar(n_types, pa.int64()))
+        inv = pc.subtract(packed, pc.multiply(cnt,
+                                              pa.scalar(n_types, pa.int64())))
+        r = pc.subtract(pa.scalar(n_types - 1, pa.int64()), inv)
+        return pa.table({"user_id": b.column("user_id"),
+                         "top_type": type_arr.take(r),
+                         "cnt": cnt})
+
+    return (counts.map_batches(pack, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Max("packed", alias_name="packed"))
+            .map_batches(unpack, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+SQL_EVENTS_USER_TOP_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, cnt
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
