@@ -339,7 +339,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _join_query("waiting_suppliers"),
         "rich_inactive_by_nation": _join_query("rich_inactive_by_nation"),
         "nation_market_share": _join_query("nation_market_share"),
+        "forecast_revenue_change": _join_query("forecast_revenue_change"),
+        "product_type_profit": _join_query("product_type_profit"),
+        "supplier_relation_counts":
+            _join_query("supplier_relation_counts"),
+        "potential_promotion_suppliers":
+            _join_query("potential_promotion_suppliers"),
         "events_user_top_type": _window_query("events_user_top_type"),
+        "events_cohort_retention":
+            _window_query("events_cohort_retention"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -625,7 +633,13 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": joins.SQL_WAITING_SUPPLIERS,
         "rich_inactive_by_nation": joins.SQL_RICH_INACTIVE_BY_NATION,
         "nation_market_share": joins.SQL_NATION_MARKET_SHARE,
+        "forecast_revenue_change": joins.SQL_FORECAST_REVENUE_CHANGE,
+        "product_type_profit": joins.SQL_PRODUCT_TYPE_PROFIT,
+        "supplier_relation_counts": joins.SQL_SUPPLIER_RELATION_COUNTS,
+        "potential_promotion_suppliers":
+            joins.SQL_POTENTIAL_PROMOTION_SUPPLIERS,
         "events_user_top_type": windows.SQL_EVENTS_USER_TOP_TYPE,
+        "events_cohort_retention": windows.SQL_EVENTS_COHORT_RETENTION,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

@@ -1630,3 +1630,322 @@ SELECT o_year, round(sum(rev_n) / sum(rev), 6) AS mkt_share
 FROM region_orders JOIN line_rev ON l_orderkey = o_orderkey
 GROUP BY o_year ORDER BY o_year
 """
+
+
+# -- Q6 shape: forecast revenue change (map-only scalar aggregate) ------------
+
+def forecast_revenue_change(sf_dir: str,
+                            ship_lo: str = "1996-01-01T00:00:00",
+                            ship_hi: str = "1997-01-01T00:00:00",
+                            disc_lo: float = 0.05, disc_hi: float = 0.07,
+                            qty_max: float = 24.0):
+    """Revenue that would be recovered by eliminating small-quantity
+    mid-discount line items in one shipping year — the TPC-H Q6 shape.
+
+    Scale plan: the cheapest possible — a column-pruned lineitem scan
+    folds each block to ONE partial sum row (filter + multiply + sum,
+    all pyarrow kernels), so the only exchange is a ≤#blocks-row
+    aggregate. Zero shuffle, zero driver materialization; at 100 TB this
+    is a pure streaming pass bounded by storage bandwidth."""
+    from ray.data.aggregate import Sum
+
+    lo, hi = _ts(ship_lo), _ts(ship_hi)
+
+    def partial(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("l_discount"),
+                                         pa.scalar(disc_lo)),
+                        pc.less_equal(b.column("l_discount"),
+                                      pa.scalar(disc_hi))),
+                pc.less(b.column("l_quantity"), pa.scalar(qty_max))))
+        b = b.filter(mask)
+        s = pc.sum(pc.multiply(b.column("l_extendedprice"),
+                               b.column("l_discount")))
+        return pa.table({"revenue_change":
+                         pa.array([s.as_py() or 0.0], pa.float64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_extendedprice", "l_discount", "l_quantity",
+                  "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("revenue_change", alias_name="revenue_change")))
+    return pa.table({"revenue_change":
+                     pa.array([round(float(agg["revenue_change"]), 2)],
+                              pa.float64())})
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_change
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# -- Q9 shape: product-type profit by nation and year -------------------------
+
+def product_type_profit(sf_dir: str, name_contains: str = "bolt",
+                        num_partitions: int = 16):
+    """Profit per (supplier nation, order year) for parts whose name
+    contains a substring — the TPC-H Q9 shape (profit measure adapted to
+    the schema at hand: no partsupp table, so profit =
+    l_extendedprice * (1 - l_discount)).
+
+    Scale plan: the part-name predicate resolves to a partkey SET on the
+    dimension side, broadcast once (ray.put) and applied as a vectorized
+    pc.is_in prefilter on the lineitem scan — only the matching slice
+    (~1/vocabulary of rows) ever reaches the shuffle. Supplier→nation
+    name is a second broadcast probe. The one unavoidable exchange is
+    lineitem ⋈ orders on orderkey (both unbounded), hash-partitioned with
+    the orders side projected to (o_orderkey, o_year) BEFORE the join so
+    the shuffle carries two ints per order. Profit partial-aggregates per
+    (nation, year) inside each joined batch; the final groupby is
+    nations×years-sized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pa.concat_tables(ray.get(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]).to_arrow_refs()))
+    match = pc.match_substring(part.column("p_name"), name_contains)
+    part_keys_ref = ray.put(part.column("p_partkey").filter(match)
+                            .combine_chunks())
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = pa.concat_tables(ray.get(
+        _read(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey"]).to_arrow_refs()))
+    s_nation = pa.array([nation_name[int(k)]
+                         for k in supp.column("s_nationkey").to_pylist()])
+    supp_ref = ray.put((supp.column("s_suppkey").combine_chunks(),
+                        s_nation))
+
+    def line_side(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        keys = _ray.get(part_keys_ref)
+        b = b.filter(pc.is_in(b.column("l_partkey"), value_set=keys))
+        skeys, snames = _ray.get(supp_ref)
+        idx = pc.index_in(b.column("l_suppkey").combine_chunks(),
+                          value_set=skeys)
+        profit = pc.multiply(b.column("l_extendedprice"),
+                             pc.subtract(pa.scalar(1.0),
+                                         b.column("l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "nation": snames.take(idx),
+                         "profit": profit})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    joined = lineitem.join(orders, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"nation": b.column("nation"),
+                      "o_year": b.column("o_year"),
+                      "profit": b.column("profit")})
+        return (pa.TableGroupBy(t, ["nation", "o_year"])
+                .aggregate([("profit", "sum")])
+                .rename_columns(["nation", "o_year", "sum_profit"]))
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["nation", "o_year"])
+           .aggregate(Sum("sum_profit", alias_name="sum_profit")))
+    return (out.map_batches(lambda b: _round_col(b, "sum_profit", 2),
+                            batch_format="pyarrow")
+            .sort(["nation", "o_year"], descending=[False, True]))
+
+
+SQL_PRODUCT_TYPE_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# -- Q16 shape: supplier-relationship count-distinct with anti-join ----------
+
+def supplier_relation_counts(sf_dir: str, excl_brand: str = "Brand#13",
+                             excl_type: str = "PROMO",
+                             sizes=(1, 4, 9, 14, 23, 36, 45, 49)):
+    """How many distinct suppliers ship each qualifying (brand, type,
+    size) part class, excluding negative-balance suppliers — the TPC-H
+    Q16 shape (lineitem stands in for partsupp as the part↔supplier
+    relation; the s_acctbal < 0 exclusion stands in for the
+    customer-complaints anti-join, the schema having no s_comment).
+
+    Scale plan: part attributes broadcast once as three partkey probes;
+    the excluded-supplier set is dimension-sized and broadcast the same
+    way (NOT-IN = vectorized is_in + invert — an anti-join with zero
+    shuffle). Each block pre-dedups to its distinct (brand, type, size,
+    suppkey) quads, so the single groupby exchange carries at most
+    |part-class| × |suppliers| rows regardless of lineitem size; the
+    distinct-supplier count folds per group from the pre-deduped quads."""
+    import ray
+    from ray.data.aggregate import Count
+
+    part = pa.concat_tables(ray.get(
+        _read(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_type", "p_size"])
+        .to_arrow_refs()))
+    qual = pc.and_(
+        pc.and_(pc.invert(pc.equal(part.column("p_brand"),
+                                   pa.scalar(excl_brand))),
+                pc.invert(pc.equal(part.column("p_type"),
+                                   pa.scalar(excl_type)))),
+        pc.is_in(part.column("p_size"),
+                 value_set=pa.array(list(sizes),
+                                    type=part.column("p_size").type)))
+    part = part.filter(qual)
+    part_ref = ray.put((part.column("p_partkey").combine_chunks(),
+                        part.column("p_brand").combine_chunks(),
+                        part.column("p_type").combine_chunks(),
+                        part.column("p_size").combine_chunks()))
+
+    supp = pa.concat_tables(ray.get(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .to_arrow_refs()))
+    excl = supp.filter(pc.less(supp.column("s_acctbal"), pa.scalar(0.0)))
+    excl_ref = ray.put(excl.column("s_suppkey").combine_chunks())
+
+    def quads(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        pkeys, brand, ptype, psize = _ray.get(part_ref)
+        bad = _ray.get(excl_ref)
+        b = b.filter(pc.invert(pc.is_in(b.column("l_suppkey"),
+                                        value_set=bad)))
+        idx = pc.index_in(b.column("l_partkey").combine_chunks(),
+                          value_set=pkeys)
+        t = pa.table({"p_brand": brand.take(idx),
+                      "p_type": ptype.take(idx),
+                      "p_size": psize.take(idx),
+                      "l_suppkey": b.column("l_suppkey")})
+        t = t.filter(pc.is_valid(t.column("p_brand")))  # inner join
+        return t.group_by(["p_brand", "p_type", "p_size",
+                           "l_suppkey"]).aggregate([])
+
+    def count_distinct(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "p_brand": [df["p_brand"].iloc[0]],
+            "p_type": [df["p_type"].iloc[0]],
+            "p_size": [df["p_size"].iloc[0]],
+            "supplier_cnt": [int(df["l_suppkey"].nunique())]})
+
+    return (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+            .map_batches(quads, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .map_groups(count_distinct, batch_format="pandas")
+            .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                  descending=[True, False, False, False]))
+
+
+SQL_SUPPLIER_RELATION_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# -- Q20 shape: potential part promotion (grouped-HAVING semi-join) ----------
+
+def potential_promotion_suppliers(sf_dir: str, name_prefix: str = "red ",
+                                  qty_threshold: float = 300.0,
+                                  ship_lo: str = "1996-01-01T00:00:00",
+                                  ship_hi: str = "1997-01-01T00:00:00"):
+    """Suppliers who shipped more than `qty_threshold` units of
+    prefix-named parts in one year — the TPC-H Q20 nested-semi-join
+    shape (lineitem shipped quantity stands in for partsupp availqty).
+
+    Scale plan: the part-name prefix resolves to a broadcast partkey set
+    (pc.is_in prefilter), so the lineitem scan keeps only the matching
+    slice; per-block (suppkey, qty) partials shrink the one exchange to a
+    supplier-cardinality groupby. The HAVING filter and the s_name attach
+    are then dimension-sized map work. Nothing lineitem-sized is ever
+    shuffled or driver-materialized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pa.concat_tables(ray.get(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]).to_arrow_refs()))
+    match = pc.starts_with(part.column("p_name"), name_prefix)
+    part_keys_ref = ray.put(part.column("p_partkey").filter(match)
+                            .combine_chunks())
+    lo, hi = _ts(ship_lo), _ts(ship_hi)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        keys = _ray.get(part_keys_ref)
+        b = b.filter(pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)),
+            pc.is_in(b.column("l_partkey"), value_set=keys)))
+        t = pa.table({"s_suppkey": b.column("l_suppkey"),
+                      "total_qty": b.column("l_quantity")})
+        return (pa.TableGroupBy(t, ["s_suppkey"])
+                .aggregate([("total_qty", "sum")])
+                .rename_columns(["s_suppkey", "total_qty"]))
+
+    qty = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("total_qty", alias_name="total_qty")))
+
+    sname = _broadcast_kv(_read(sf_dir, "supplier",
+                                ["s_suppkey", "s_name"]),
+                          "s_suppkey", "s_name")
+    attach_name = _make_attach(sname, "s_suppkey", "s_name")
+
+    def winners(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("total_qty"),
+                                pa.scalar(qty_threshold)))
+        b = attach_name(b)
+        return pa.table({"s_suppkey": b.column("s_suppkey"),
+                         "s_name": b.column("s_name"),
+                         "total_qty": b.column("total_qty")})
+
+    return (qty.map_batches(winners, batch_format="pyarrow")
+            .sort("s_suppkey"))
+
+
+SQL_POTENTIAL_PROMOTION_SUPPLIERS = """
+SELECT s_suppkey, s_name, total_qty
+FROM supplier JOIN (
+  SELECT l_suppkey, sum(l_quantity) AS total_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'red %')
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey) q ON s_suppkey = l_suppkey
+WHERE total_qty > 300.0
+ORDER BY s_suppkey
+"""

@@ -1260,3 +1260,61 @@ r AS (
 SELECT user_id, event_type AS top_type, cnt
 FROM r WHERE rn = 1 ORDER BY user_id
 """
+
+
+# -- cohort retention matrix (day granularity) --------------------------------
+
+def events_cohort_retention(sf_dir: str):
+    """Classic cohort-retention matrix: users are cohorted by the day of
+    their FIRST event; each cell counts how many of a cohort's users were
+    active `day_offset` days after their cohort day.
+
+    Scale shape: each block first collapses to its distinct (user, day)
+    pairs — per-block dedup shrinks the one real exchange (groupby
+    user_id) to ≤ users × active-days rows regardless of event volume.
+    Inside each user group, the cohort day is the min and the offsets are
+    a vectorized datetime64 diff; each user emits one row per distinct
+    active day, so the final groupby input is the same deduped pair count
+    and the output is the cohorts × offsets matrix (tiny). NULL users are
+    excluded on both engines (the SQL's inner join drops them)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        days = b.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype("datetime64[us]")
+        t = pa.table({"user_id": b.column("user_id"),
+                      "day": pa.array(days)})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(df["day"].to_numpy().astype("datetime64[D]"))
+        cohort = days.min()
+        return pd.DataFrame({
+            "cohort_day": np.full(len(days), cohort.astype("datetime64[us]")),
+            "day_offset": (days - cohort).astype(np.int64)})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Count(alias_name="n_users"))
+            .sort(["cohort_day", "day_offset"]))
+
+
+SQL_EVENTS_COHORT_RETENTION = """
+WITH fd AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+pairs AS (
+  SELECT DISTINCT e.user_id, fd.cohort_day,
+         datediff('day', fd.cohort_day, date_trunc('day', e.ts))
+           AS day_offset
+  FROM events e JOIN fd ON e.user_id = fd.user_id)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM pairs GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""

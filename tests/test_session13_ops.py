@@ -1,0 +1,150 @@
+"""Planted semantics for the session-13 operators: the Q6/Q9/Q16/Q20
+TPC-H-shaped joins (boundary inclusivity, NOT-IN anti-join,
+distinct-count dedup, grouped-HAVING semi-join) and the daily cohort
+retention matrix (cohort assignment, same-day dedup, NULL users).
+sf-scale value parity with DuckDB is swept by test_oracles.py; these
+pin the corner semantics the synthetic corpus can't isolate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from gpml2pvjson_js_ray.pipelines import joins, windows  # noqa: E402
+
+
+def _ts(s):
+    return np.datetime64(s, "us")
+
+
+def _write(d, name, df):
+    df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+
+
+# -- forecast_revenue_change (Q6) ---------------------------------------------
+
+def test_forecast_revenue_boundaries(ray_session, tmp_path):
+    # discount bounds are INCLUSIVE on both ends; quantity bound is
+    # strict; shipdate window is [lo, hi)
+    _write(str(tmp_path), "lineitem", pd.DataFrame({
+        "l_extendedprice": [100.0, 100.0, 100.0, 100.0, 100.0, 100.0],
+        "l_discount":      [0.05,  0.07,  0.049, 0.071, 0.06,  0.06],
+        "l_quantity":      [10.0,  23.0,  10.0,  10.0,  24.0,  10.0],
+        "l_shipdate": [_ts("1996-06-01"), _ts("1996-06-01"),
+                       _ts("1996-06-01"), _ts("1996-06-01"),
+                       _ts("1996-06-01"), _ts("1997-01-01")],
+    }))
+    out = joins.forecast_revenue_change(str(tmp_path)).to_pandas()
+    # rows 0 and 1 qualify: 100*0.05 + 100*0.07 = 12.0
+    assert out["revenue_change"].tolist() == [12.0]
+
+
+# -- product_type_profit (Q9) -------------------------------------------------
+
+def test_product_type_profit_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "part", pd.DataFrame({
+        "p_partkey": [1, 2, 3],
+        "p_name": ["red bolt", "small boltcutter", "red gear"]}))
+    _write(d, "nation", pd.DataFrame({
+        "n_nationkey": [0, 1], "n_name": ["A_LAND", "B_LAND"],
+        "n_regionkey": [0, 0]}))
+    _write(d, "supplier", pd.DataFrame({
+        "s_suppkey": [10, 11], "s_nationkey": [0, 1]}))
+    _write(d, "orders", pd.DataFrame({
+        "o_orderkey": [100, 101],
+        "o_orderdate": [_ts("1996-03-01"), _ts("1997-03-01")]}))
+    # part 3 never matches "bolt"; parts 1 AND 2 both match (substring)
+    _write(d, "lineitem", pd.DataFrame({
+        "l_orderkey": [100, 100, 101, 101],
+        "l_partkey": [1, 3, 2, 1],
+        "l_suppkey": [10, 10, 11, 10],
+        "l_extendedprice": [100.0, 999.0, 200.0, 50.0],
+        "l_discount": [0.1, 0.0, 0.5, 0.0]}))
+    out = joins.product_type_profit(d).to_pandas()
+    got = {(r.nation, r.o_year): r.sum_profit
+           for r in out.itertuples(index=False)}
+    assert got == {("A_LAND", 1996): 90.0,   # 100*(1-0.1)
+                   ("A_LAND", 1997): 50.0,   # part 1 via order 101
+                   ("B_LAND", 1997): 100.0}  # 200*(1-0.5)
+    # Q9 ordering: nation asc, year DESC
+    assert out["nation"].tolist() == ["A_LAND", "A_LAND", "B_LAND"]
+    assert out.loc[out["nation"] == "A_LAND", "o_year"].tolist() == \
+        [1997, 1996]
+
+
+# -- supplier_relation_counts (Q16) -------------------------------------------
+
+def test_supplier_relation_counts_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "part", pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4],
+        "p_brand": ["Brand#1", "Brand#13", "Brand#1", "Brand#1"],
+        "p_type": ["SMALL", "SMALL", "PROMO", "SMALL"],
+        "p_size": [4, 4, 4, 7]}))
+    # part 2 (excluded brand), part 3 (excluded type), part 4 (size not
+    # in the qualifying list) must all vanish
+    _write(d, "supplier", pd.DataFrame({
+        "s_suppkey": [10, 11, 12], "s_acctbal": [5.0, -1.0, 3.0]}))
+    _write(d, "lineitem", pd.DataFrame({
+        # supplier 10 ships part 1 TWICE (distinct-count must dedup),
+        # supplier 11 is negative-balance (NOT IN drops it),
+        # supplier 12 ships part 1 once
+        "l_partkey": [1, 1, 1, 1, 2, 3, 4],
+        "l_suppkey": [10, 10, 11, 12, 10, 10, 10]}))
+    out = joins.supplier_relation_counts(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["p_brand"], r["p_type"], int(r["p_size"]),
+            int(r["supplier_cnt"])) == ("Brand#1", "SMALL", 4, 2)
+
+
+# -- potential_promotion_suppliers (Q20) --------------------------------------
+
+def test_potential_promotion_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "part", pd.DataFrame({
+        "p_partkey": [1, 2],
+        "p_name": ["red widget", "blue widget"]}))
+    _write(d, "supplier", pd.DataFrame({
+        "s_suppkey": [10, 11, 12],
+        "s_name": ["S10", "S11", "S12"]}))
+    _write(d, "lineitem", pd.DataFrame({
+        # supplier 10: 350 red units in-window → qualifies (>300)
+        # supplier 11: 500 units but of the BLUE part → no
+        # supplier 12: 400 red units OUT of the window → no
+        "l_partkey": [1, 1, 2, 1],
+        "l_suppkey": [10, 10, 11, 12],
+        "l_quantity": [200.0, 150.0, 500.0, 400.0],
+        "l_shipdate": [_ts("1996-02-01"), _ts("1996-09-01"),
+                       _ts("1996-02-01"), _ts("1995-02-01")]}))
+    out = joins.potential_promotion_suppliers(d).to_pandas()
+    assert out["s_suppkey"].tolist() == [10]
+    assert out["s_name"].tolist() == ["S10"]
+    assert out["total_qty"].tolist() == [350.0]
+
+
+# -- events_cohort_retention --------------------------------------------------
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "events", pd.DataFrame({
+        "user_id": ["u1", "u1", "u1", "u2", "u2", None],
+        # u1: first day Jan 1 (two events that day dedup to ONE cell
+        # row), active again Jan 3 → offsets {0, 2}
+        # u2: first day Jan 2, active Jan 3 → offsets {0, 1}
+        # NULL user excluded entirely
+        "ts": [_ts("2024-01-01T08:00"), _ts("2024-01-01T20:00"),
+               _ts("2024-01-03T01:00"), _ts("2024-01-02T05:00"),
+               _ts("2024-01-03T23:00"), _ts("2024-01-01T00:00")]}))
+    out = windows.events_cohort_retention(d).to_pandas()
+    got = {(str(np.datetime64(r.cohort_day, "D")), int(r.day_offset)):
+           int(r.n_users) for r in out.itertuples(index=False)}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
