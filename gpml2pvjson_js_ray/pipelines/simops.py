@@ -1255,3 +1255,184 @@ def embeddings_kcenter_coreset(sf_dir: str, k: int = 8):
 
     import pandas as pd
     return pd.DataFrame(selected)
+
+
+# -- PQ (product quantization) ANN --------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011: split each (L2-normalized) vector into m
+# subvectors, k-means each subspace independently, store only the m
+# uint8 centroid codes per vector (m bytes vs 4·dim). Queries score the
+# WHOLE corpus through an m × ksub lookup table (ADC: asymmetric
+# distance computation) — a compressed linear scan whose bandwidth is
+# dim/ m·4 smaller than brute force — then exact-rerank the top
+# candidates from the raw vectors. Complementary to the IVF and LSH
+# indexes above: PQ compresses the scan itself rather than pruning it,
+# and composes with IVF at real scale (IVF-PQ).
+
+
+def _pq_index_dir(sf_dir: str, m: int, ksub: int) -> str:
+    import hashlib
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"pq|{os.path.abspath(src)}|{os.path.getmtime(src)}|{m}|{ksub}|"
+        f"{_SEED}".encode()).hexdigest()[:16]
+    return os.path.join(_ANN_INDEX_ROOT, tag)
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 12,
+               seed: int = _SEED) -> np.ndarray:
+    """Plain (euclidean) k-means on a bounded driver-side sample —
+    PQ subspace codebooks are euclidean, unlike the spherical coarse
+    quantizer (_kmeans_spherical), because subvectors of unit vectors
+    are not themselves unit."""
+    rng = np.random.RandomState(seed)
+    if len(sample) == 0:
+        raise ValueError("PQ training sample is empty")
+    k = min(k, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d = (-2.0 * sample @ centroids.T
+             + (centroids ** 2).sum(axis=1)[None, :])
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _pq_train(src: str, m: int, ksub: int,
+              sample_rows: int = 8192) -> np.ndarray:
+    """Codebooks (m, ksub, dsub) from a deterministic unbiased sample
+    (same seeded-row-indices scheme as the IVF coarse quantizer)."""
+    import pyarrow.dataset as pads
+
+    n_vectors = pads.dataset(src).count_rows()
+    n_sample = min(sample_rows, n_vectors)
+    rng = np.random.RandomState(_SEED)
+    idx = np.sort(rng.choice(n_vectors, size=n_sample, replace=False))
+    arr = pads.dataset(src).take(idx, columns=["embedding"]) \
+        .column("embedding").combine_chunks()
+    sample = (arr.flatten().to_numpy(zero_copy_only=False)
+              .astype(np.float64, copy=False).reshape(len(arr), -1))
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ m={m} must divide dim={dim}")
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    unit = sample / norms[:, None]
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(np.ascontiguousarray(unit[:, j * dsub:(j + 1) * dsub]),
+                   ksub, seed=_SEED + j)
+        for j in range(m)])
+
+
+def build_pq_index(sf_dir: str, m: int = 4,
+                   ksub: int = 256) -> tuple[str, np.ndarray]:
+    """PQ build (once; content-addressed cache): train per-subspace
+    codebooks on a bounded sample, then encode the corpus via a
+    distributed map_batches pass into (vec_id, m uint8 codes) — the
+    stored index is m bytes per vector. Codebooks are re-derived
+    deterministically on reuse (seeded; cheaper than a sidecar file and
+    impossible to desynchronize from the codes)."""
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    codebooks = _pq_train(src, m, ksub)
+    idx_dir = _pq_index_dir(sf_dir, m, ksub)
+    if os.path.isdir(idx_dir):
+        return idx_dir, codebooks
+
+    dsub = codebooks.shape[2]
+    cb_sq = (codebooks ** 2).sum(axis=2)  # (m, ksub)
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        codes = np.empty((len(unit), len(codebooks)), dtype=np.uint8)
+        for j in range(len(codebooks)):
+            sub = unit[:, j * dsub:(j + 1) * dsub]
+            d = -2.0 * sub @ codebooks[j].T + cb_sq[j][None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), type=pa.uint8()),
+                len(codebooks))})
+
+    tmp_dir = idx_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    _read_emb(sf_dir, ["vec_id", "embedding"]) \
+        .map_batches(encode, batch_format="pyarrow") \
+        .write_parquet(tmp_dir)
+    try:
+        os.rename(tmp_dir, idx_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return idx_dir, codebooks
+
+
+def embeddings_ann_pq_top10(sf_dir: str, k: int = 10, m: int = 4,
+                            ksub: int = 256, rerank: int = 50):
+    """Top-k cosine neighbors of vec_id 0 via the PQ codes: ADC lookup
+    table scan over the compressed index (distributed; m bytes/vector of
+    scan bandwidth), per-block top-`rerank` partials, then an exact
+    cosine re-rank of the global candidate pool from the raw vectors.
+    The candidate pool is `rerank`-sized — driver-bounded by a constant,
+    never by the corpus."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    idx_dir, codebooks = build_pq_index(sf_dir, m, ksub)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    q_tbl = pads.dataset(src).to_table(
+        filter=pads.field("vec_id") == 0, columns=["embedding"])
+    q = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    dsub = codebooks.shape[2]
+    # ADC table: lut[j, c] = <q_j, codebook[j][c]> — cosine of unit
+    # vectors decomposes as the sum of per-subspace inner products
+    lut = np.stack([codebooks[j] @ qn[j * dsub:(j + 1) * dsub]
+                    for j in range(len(codebooks))])
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = (b.column("codes").combine_chunks().flatten()
+                 .to_numpy(zero_copy_only=False)
+                 .reshape(len(ids), len(codebooks)))
+        score = np.zeros(len(ids))
+        for j in range(len(codebooks)):
+            score += lut[j][codes[:, j]]
+        keep = ids != 0
+        ids, score = ids[keep], score[keep]
+        top = np.argsort(-score)[:rerank]
+        return pa.table({"vec_id": pa.array(ids[top], type=pa.int64()),
+                         "adc": pa.array(score[top], type=pa.float64())})
+
+    import ray
+    pool = (rd.read_parquet(idx_dir)
+            .map_batches(scan, batch_format="pyarrow")
+            .sort("adc", descending=True)
+            .limit(rerank))
+    cand_ids = pa.concat_tables(
+        ray.get(pool.to_arrow_refs())).column("vec_id").combine_chunks()
+
+    # exact re-rank: read ONLY the candidate rows (predicate pushdown;
+    # at real scale the raw table is vec_id-sorted so this prunes to a
+    # handful of row groups)
+    exact = pads.dataset(src).to_table(
+        filter=pads.field("vec_id").isin(cand_ids),
+        columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(exact)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat @ qn) / norms, 6)
+    order = np.lexsort((ids, -sims))[:k]
+    import pandas as pd
+    return rd.from_pandas(pd.DataFrame({
+        "vec_id": ids[order].astype(np.int64),
+        "sim": sims[order]}))

@@ -148,3 +148,60 @@ def test_cohort_retention_planted(ray_session, tmp_path):
            int(r.n_users) for r in out.itertuples(index=False)}
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
                    ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
+
+
+# -- embeddings_ann_pq_top10 ---------------------------------------------------
+
+def test_ann_pq_recall_and_compression(ray_session):
+    """PQ+exact-rerank must (a) store exactly m uint8 codes per vector,
+    (b) return EXACT cosine sims for everything it returns (rerank reads
+    the raw vectors), (c) retain non-trivial recall vs brute force on
+    uniform-random embeddings (ANN's worst case)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gpml2pvjson_js_ray.pipelines.relational import \
+        embeddings_cosine_top10
+    from gpml2pvjson_js_ray.pipelines.simops import (
+        build_pq_index, embeddings_ann_pq_top10)
+
+    sf = "/root/testdata/sf0.001"
+    idx_dir, codebooks = build_pq_index(sf, m=8)
+    files = glob.glob(os.path.join(idx_dir, "*.parquet"))
+    t = pq.read_table(files[0])
+    assert t.column("codes").type == \
+        __import__("pyarrow").list_(__import__("pyarrow").uint8(), 8)
+
+    brute = embeddings_cosine_top10(sf).to_pandas()
+    ann = embeddings_ann_pq_top10(sf, m=8).to_pandas()
+    assert len(ann) == 10
+    overlap = set(brute["vec_id"]) & set(ann["vec_id"])
+    assert len(overlap) >= 5, f"PQ recall too low: {len(overlap)}/10"
+    b = brute.set_index("vec_id")["sim"]
+    a = ann.set_index("vec_id")["sim"]
+    for vid in overlap:  # sims are exact, not ADC approximations
+        assert abs(a[vid] - b[vid]) < 1e-9
+
+
+def test_ann_pq_planted_cluster(ray_session, tmp_path):
+    """With a tight planted cluster around the query, PQ top-k must be
+    exactly the cluster (ADC candidates + exact rerank find all planted
+    neighbors before any background vector)."""
+    d = str(tmp_path)
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    planted = base[None, :] + 0.01 * rng.standard_normal((10, dim))
+    noise = rng.standard_normal((200, dim))
+    emb = np.vstack([base[None, :], planted, noise]).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in emb],
+        "label": np.zeros(len(emb), dtype=np.int32),
+    }).to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+
+    from gpml2pvjson_js_ray.pipelines.simops import embeddings_ann_pq_top10
+    out = embeddings_ann_pq_top10(d, m=4, ksub=64).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(1, 11))
