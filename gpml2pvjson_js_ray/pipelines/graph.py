@@ -513,101 +513,6 @@ def entity_degree_hist(adjacency):
             .sort("degree"))
 
 
-# -- triangle counting over the kNN similarity graph --------------------------
-
-def embeddings_knn_triangles(sf_dir: str, k: int = 3,
-                             num_partitions: int = 8):
-    """Global triangle count of the symmetrized exact-kNN graph — the
-    standard graph-density / community-structure probe over a
-    similarity graph (clustering-coefficient numerator).
-
-    Plan (all Dataset ops, two hash joins):
-      1. edges: kNN pairs canonicalized to (a=min, b=max), deduped by
-         one groupby (mutual-neighbor pairs appear twice);
-      2. wedges: edges ⋈ edges on the shared LOW endpoint `a`; keeping
-         b1 < b2 names each wedge once, and because every edge already
-         has a < b, the wedge apex is the triangle's MINIMUM vertex —
-         so each triangle is generated by exactly one wedge;
-      3. close: wedges ⋈ edges on (b1, b2) — a match means the third
-         side exists; the count of matches IS the triangle count.
-    Wedge partials pre-aggregate per batch, so the second join's left
-    side carries (b1, b2, multiplicity), not raw wedges.
-
-    Scale note: wedge volume is Σ deg(v)² — bounded by (2k)²·V on a
-    kNN graph (degrees ≤ 2k after symmetrization), i.e. linear in V.
-    On general graphs orient edges low-degree→high-degree first (the
-    classic compact-forward trick); the join layout is unchanged.
-    Returns a 1-row (n_triangles) pyarrow Table."""
-    import ray
-    from ray.data.aggregate import Count, Sum
-
-    from .lexical import embeddings_knn_graph
-
-    knn = embeddings_knn_graph(sf_dir, k=k)
-
-    def canon(b: pa.Table) -> pa.Table:
-        lo = pc.min_element_wise(b.column("vec_id"),
-                                 b.column("neighbor_id"))
-        hi = pc.max_element_wise(b.column("vec_id"),
-                                 b.column("neighbor_id"))
-        t = pa.table({"a": lo, "b": hi})
-        # per-batch dedup: the groupby then sees ≤ one row per (a,b,block)
-        return (pa.TableGroupBy(t, ["a", "b"]).aggregate([([], "count_all")])
-                .rename_columns(["a", "b", "n"]))
-
-    edges = (knn.map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="n"))
-             .select_columns(["a", "b"])
-             .repartition(num_partitions))  # merge empty agg blocks pre-join
-
-    right = edges.map_batches(
-        lambda t: t.rename_columns(["ra", "rb"]), batch_format="pyarrow")
-
-    wedges = edges.join(right, join_type="inner",
-                        num_partitions=num_partitions,
-                        on=("a",), right_on=("ra",))
-
-    def wedge_partial(b: pa.Table) -> pa.Table:
-        keep = b.filter(pc.less(b.column("b"), b.column("rb")))
-        t = pa.table({"w1": keep.column("b"), "w2": keep.column("rb"),
-                      "m": pa.array(np.ones(len(keep), dtype=np.int64))})
-        return (pa.TableGroupBy(t, ["w1", "w2"]).aggregate([("m", "sum")])
-                .rename_columns(["w1", "w2", "m"]))
-
-    closed = (wedges.map_batches(wedge_partial, batch_format="pyarrow")
-              .repartition(num_partitions)
-              .join(edges, join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("w1", "w2"), right_on=("a", "b")))
-
-    total = closed.aggregate(Sum("m", alias_name="n_triangles"))
-    n = total.get("n_triangles") if total else None
-    return pa.table({"n_triangles":
-                     pa.array([int(n or 0)], pa.int64())})
-
-
-SQL_EMBEDDINGS_KNN_TRIANGLES = """
-WITH sims AS (
-  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])), 6)
-             AS cosine
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-ranked AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM sims),
-edges AS (
-  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
-                  greatest(vec_id, neighbor_id) AS b
-  FROM ranked WHERE rank <= 3)
-SELECT CAST(count(*) AS BIGINT) AS n_triangles
-FROM edges e1
-JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
-JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
-"""
-
-
 # -- bucket-pruned graph traversal over the adjacency layout ------------------
 
 def two_hop_from_adjacency(adj_dir: str, seed: str | None = None,
