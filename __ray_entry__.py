@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_ivf_appended_top10":
             simops.embeddings_ann_ivf_appended_top10,
         "embeddings_ann_pq_top10": simops.embeddings_ann_pq_top10,
+        "embeddings_ann_ivfpq_top10": simops.embeddings_ann_ivfpq_top10,
         "embeddings_near_dups": simops.embeddings_near_dups,
         "embeddings_near_dups_exact": simops.embeddings_near_dups_exact,
         "embeddings_label_stats": simops.embeddings_label_stats,

@@ -1302,10 +1302,9 @@ def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 12,
     return centroids
 
 
-def _pq_train(src: str, m: int, ksub: int,
-              sample_rows: int = 8192) -> np.ndarray:
-    """Codebooks (m, ksub, dsub) from a deterministic unbiased sample
-    (same seeded-row-indices scheme as the IVF coarse quantizer)."""
+def _seeded_unit_sample(src: str, sample_rows: int = 8192) -> np.ndarray:
+    """Deterministic unbiased L2-normalized sample (same seeded
+    row-indices scheme as the IVF coarse quantizer)."""
     import pyarrow.dataset as pads
 
     n_vectors = pads.dataset(src).count_rows()
@@ -1316,17 +1315,27 @@ def _pq_train(src: str, m: int, ksub: int,
         .column("embedding").combine_chunks()
     sample = (arr.flatten().to_numpy(zero_copy_only=False)
               .astype(np.float64, copy=False).reshape(len(arr), -1))
-    dim = sample.shape[1]
-    if dim % m:
-        raise ValueError(f"PQ m={m} must divide dim={dim}")
     norms = np.linalg.norm(sample, axis=1)
     norms[norms == 0] = 1.0
-    unit = sample / norms[:, None]
+    return sample / norms[:, None]
+
+
+def _pq_codebooks(unit: np.ndarray, m: int, ksub: int) -> np.ndarray:
+    """Codebooks (m, ksub, dsub) from per-subspace euclidean k-means
+    over the given (already normalized / residualized) sample."""
+    dim = unit.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ m={m} must divide dim={dim}")
     dsub = dim // m
     return np.stack([
         _kmeans_l2(np.ascontiguousarray(unit[:, j * dsub:(j + 1) * dsub]),
                    ksub, seed=_SEED + j)
         for j in range(m)])
+
+
+def _pq_train(src: str, m: int, ksub: int,
+              sample_rows: int = 8192) -> np.ndarray:
+    return _pq_codebooks(_seeded_unit_sample(src, sample_rows), m, ksub)
 
 
 def build_pq_index(sf_dir: str, m: int = 4,
@@ -1421,9 +1430,17 @@ def embeddings_ann_pq_top10(sf_dir: str, k: int = 10, m: int = 4,
     cand_ids = pa.concat_tables(
         ray.get(pool.to_arrow_refs())).column("vec_id").combine_chunks()
 
-    # exact re-rank: read ONLY the candidate rows (predicate pushdown;
-    # at real scale the raw table is vec_id-sorted so this prunes to a
-    # handful of row groups)
+    return _exact_rerank(src, qn, cand_ids, k)
+
+
+def _exact_rerank(src: str, qn: np.ndarray, cand_ids, k: int):
+    """Exact-cosine re-rank of a constant-size candidate pool: read ONLY
+    the candidate rows (predicate pushdown; at real scale the raw table
+    is vec_id-sorted so this prunes to a handful of row groups)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
     exact = pads.dataset(src).to_table(
         filter=pads.field("vec_id").isin(cand_ids),
         columns=["vec_id", "embedding"])
@@ -1432,7 +1449,150 @@ def embeddings_ann_pq_top10(sf_dir: str, k: int = 10, m: int = 4,
     norms[norms == 0] = 1.0
     sims = np.round((mat @ qn) / norms, 6)
     order = np.lexsort((ids, -sims))[:k]
-    import pandas as pd
     return rd.from_pandas(pd.DataFrame({
         "vec_id": ids[order].astype(np.int64),
         "sim": sims[order]}))
+
+
+# -- IVF-PQ: coarse pruning × residual compression -----------------------------
+# The composition actually deployed at 100-TB vector scale (Jégou et
+# al. 2011 §IV; FAISS IVFPQ): the coarse quantizer prunes the scan to
+# nprobe inverted lists, and within each list vectors are PQ-encoded as
+# RESIDUALS from their list centroid — residuals have far less variance
+# than raw vectors, so the same code budget quantizes much finer. Query
+# cost = nprobe × (list length × m byte-lookups) + constant rerank.
+
+
+def _ivfpq_index_dir(sf_dir: str, k: int, m: int, ksub: int) -> str:
+    import hashlib
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha1(
+        f"ivfpq|{os.path.abspath(src)}|{os.path.getmtime(src)}|{k}|{m}|"
+        f"{ksub}|{_SEED}".encode()).hexdigest()[:16]
+    return os.path.join(_ANN_INDEX_ROOT, tag)
+
+
+def build_ivfpq_index(sf_dir: str, m: int = 4, ksub: int = 256,
+                      sample_rows: int = 8192
+                      ) -> tuple[str, np.ndarray, np.ndarray]:
+    """IVF-PQ build (once; content-addressed cache): train the spherical
+    coarse quantizer and the residual PQ codebooks on ONE bounded
+    sample, then one distributed encode pass writes (vec_id, m uint8
+    codes) hive-partitioned by inverted list. Models are re-derived
+    deterministically on cache hits (seeded), so codes and codebooks
+    can't desynchronize."""
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    k, centroids = _train_coarse_quantizer(src, sample_rows)
+    unit = _seeded_unit_sample(src, sample_rows)
+    assign = np.argmax(unit @ centroids.T, axis=1)
+    codebooks = _pq_codebooks(unit - centroids[assign], m, ksub)
+
+    idx_dir = _ivfpq_index_dir(sf_dir, k, m, ksub)
+    if os.path.isdir(idx_dir):
+        return idx_dir, centroids, codebooks
+
+    dsub = codebooks.shape[2]
+    cb_sq = (codebooks ** 2).sum(axis=2)
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        u = mat / norms[:, None]
+        lists = np.argmax(u @ centroids.T, axis=1)
+        resid = u - centroids[lists]
+        codes = np.empty((len(u), len(codebooks)), dtype=np.uint8)
+        for j in range(len(codebooks)):
+            sub = resid[:, j * dsub:(j + 1) * dsub]
+            d = -2.0 * sub @ codebooks[j].T + cb_sq[j][None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "ivf_list": pa.array(lists, type=pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), type=pa.uint8()),
+                len(codebooks))})
+
+    tmp_dir = idx_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    _read_emb(sf_dir, ["vec_id", "embedding"]) \
+        .map_batches(encode, batch_format="pyarrow") \
+        .write_parquet(tmp_dir, partition_cols=["ivf_list"])
+    try:
+        os.rename(tmp_dir, idx_dir)  # atomic publish
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return idx_dir, centroids, codebooks
+
+
+def embeddings_ann_ivfpq_top10(sf_dir: str, k: int = 10, nprobe: int = 6,
+                               m: int = 4, ksub: int = 256,
+                               rerank: int = 50):
+    """Top-k cosine neighbors of vec_id 0 via IVF-PQ: read ONLY the
+    nprobe nearest lists' code partitions, ADC-score their residual
+    codes (score = ⟨q, c_list⟩ + Σ_j lut[j, code_j], the cosine
+    decomposition under residual encoding), keep per-block top-`rerank`
+    partials, exact-rerank the constant-size global pool from the raw
+    vectors. Sublinear probe AND compressed scan."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    idx_dir, centroids, codebooks = build_ivfpq_index(sf_dir, m, ksub)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    q_tbl = pads.dataset(src).to_table(
+        filter=pads.field("vec_id") == 0, columns=["embedding"])
+    q = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cscore = centroids @ qn
+    probe = np.argsort(-cscore)[:nprobe]
+    dsub = codebooks.shape[2]
+    lut = np.stack([codebooks[j] @ qn[j * dsub:(j + 1) * dsub]
+                    for j in range(len(codebooks))])
+    def make_scan(offset: float):
+        # the hive layout strips ivf_list from file contents, but every
+        # file of one list shares the SAME centroid term — bake it into
+        # the per-list scan closure instead of carrying a column
+        def scan(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            codes = (b.column("codes").combine_chunks().flatten()
+                     .to_numpy(zero_copy_only=False)
+                     .reshape(len(ids), len(codebooks)))
+            score = np.full(len(ids), offset)
+            for j in range(len(codebooks)):
+                score += lut[j][codes[:, j]]
+            keep = ids != 0
+            ids, score = ids[keep], score[keep]
+            top = np.argsort(-score)[:rerank]
+            return pa.table({
+                "vec_id": pa.array(ids[top], type=pa.int64()),
+                "adc": pa.array(score[top], type=pa.float64())})
+        return scan
+
+    parts = []
+    for c in probe:
+        files = sorted(glob.glob(
+            os.path.join(idx_dir, f"ivf_list={int(c)}", "*.parquet")))
+        if files:
+            parts.append(rd.read_parquet(files)
+                         .map_batches(make_scan(float(cscore[c])),
+                                      batch_format="pyarrow"))
+    if not parts:
+        import pandas as pd
+        return rd.from_pandas(pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}))
+    pool = parts[0]
+    for p in parts[1:]:
+        pool = pool.union(p)
+    pool = pool.sort("adc", descending=True).limit(rerank)
+    # the pool is ≤ rerank rows by construction — a constant-size
+    # driver materialization (union+limit can emit schema-degenerate
+    # empty blocks, so take_all beats concat of raw block refs here)
+    cand_ids = pa.array([r["vec_id"] for r in pool.take_all()],
+                        type=pa.int64())
+    return _exact_rerank(src, qn, cand_ids, k)

@@ -205,3 +205,48 @@ def test_ann_pq_planted_cluster(ray_session, tmp_path):
     from gpml2pvjson_js_ray.pipelines.simops import embeddings_ann_pq_top10
     out = embeddings_ann_pq_top10(d, m=4, ksub=64).to_pandas()
     assert sorted(out["vec_id"]) == list(range(1, 11))
+
+
+# -- embeddings_ann_ivfpq_top10 ------------------------------------------------
+
+def test_ann_ivfpq_recall_vs_brute_force(ray_session):
+    """IVF-PQ must read only probe partitions, return exact sims for
+    its hits, and keep non-trivial recall on uniform-random vectors."""
+    from gpml2pvjson_js_ray.pipelines.relational import \
+        embeddings_cosine_top10
+    from gpml2pvjson_js_ray.pipelines.simops import \
+        embeddings_ann_ivfpq_top10
+
+    sf = "/root/testdata/sf0.001"
+    brute = embeddings_cosine_top10(sf).to_pandas()
+    ann = embeddings_ann_ivfpq_top10(sf, nprobe=6, m=8).to_pandas()
+    assert len(ann) == 10
+    overlap = set(brute["vec_id"]) & set(ann["vec_id"])
+    assert len(overlap) >= 3, f"IVF-PQ recall too low: {len(overlap)}/10"
+    b = brute.set_index("vec_id")["sim"]
+    a = ann.set_index("vec_id")["sim"]
+    for vid in overlap:  # rerank reads raw vectors → exact sims
+        assert abs(a[vid] - b[vid]) < 1e-9
+
+
+def test_ann_ivfpq_planted_cluster(ray_session, tmp_path):
+    """A tight planted cluster lands in the query's own inverted list,
+    so IVF-PQ must recover it exactly."""
+    d = str(tmp_path)
+    rng = np.random.RandomState(11)
+    dim = 16
+    base = rng.standard_normal(dim)
+    base /= np.linalg.norm(base)
+    planted = base[None, :] + 0.01 * rng.standard_normal((10, dim))
+    noise = rng.standard_normal((150, dim))
+    emb = np.vstack([base[None, :], planted, noise]).astype(np.float32)
+    pd.DataFrame({
+        "vec_id": np.arange(len(emb), dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in emb],
+        "label": np.zeros(len(emb), dtype=np.int32),
+    }).to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+
+    from gpml2pvjson_js_ray.pipelines.simops import \
+        embeddings_ann_ivfpq_top10
+    out = embeddings_ann_ivfpq_top10(d, nprobe=4, m=4, ksub=64).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(1, 11))
