@@ -128,6 +128,16 @@ def _kg_communities(sf_dir: str):
     return graph.entity_communities(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_kcore(sf_dir: str):
+    """k-core decomposition of the KG entity graph via the distributed
+    h-index fixpoint (coreness). Iterative min-fold rounds are not
+    SQL-expressible; correctness is the planted clique/path/bridge
+    pytests in tests/test_session13_ops.py (exact parity with the
+    sequential peeling definition)."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.entity_kcore(_kg_pipeline_output("adjacency")(sf_dir))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance by interaction in-links (PageRank over the
     same entity graph)."""
@@ -382,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _window_query("events_peak_concurrent_users"),
         "events_funnel_3step": _window_query("events_funnel_3step"),
         "kg_entity_communities": _kg_communities,
+        "kg_entity_kcore": _kg_kcore,
         "embeddings_kcenter_coreset": simops.embeddings_kcenter_coreset,
         "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),

@@ -927,3 +927,123 @@ def entity_communities(adjacency, num_partitions: int = 8,
 
     return (rep.map_batches(final_b, batch_format="pyarrow")
             .sort("entity"))
+
+
+# -- k-core decomposition (coreness) -------------------------------------------
+
+def coreness(edges, nodes, src: str, dst: str, max_iters: int = 30,
+             num_partitions: int = 8, num_buckets: int = 32):
+    """Core number of every node — the largest k such that the node
+    survives in the k-core (the maximal subgraph of minimum degree k).
+    The standard density-peeling signal for graph cleanup: coreness 1 =
+    tree fringe, high coreness = dense interaction kernels.
+
+    Algorithm: the distributed h-index fixpoint (Lü et al., "The
+    H-index of a network node and its relation to degree and coreness",
+    Nat. Commun. 2016) — init every node at its degree, then repeatedly
+    set v(u) ← min(v(u), H{v(w) : w∼u}); the sequence is monotone
+    non-increasing and its fixpoint is exactly the coreness. No
+    sequential peeling order is needed, so every round is pure Dataset
+    ops: one co-partitioned edges⋈values hash join emits neighbour
+    values, one bucketed groupby computes the vectorized h-index per
+    node-hash BUCKET (a pandas groupby per bucket, never a task per
+    node), and a left join folds min(old, h) so message-less (isolated)
+    nodes keep value 0. Convergence = integer value-sum fixpoint
+    (values only decrease, so an unchanged sum ⟺ no node moved).
+
+    Returns a Dataset (node, core) with core int64."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.exchange import hash_rows_mod
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(dst), "b": b.column(src)})
+
+    und = (edges.map_batches(fwd, batch_format="pyarrow")
+           .union(edges.map_batches(rev, batch_format="pyarrow"))
+           .repartition(num_partitions)
+           .materialize())
+
+    # repartition merges away the aggregate's empty zero-column blocks,
+    # which break Dataset.join (same pitfall as joins.py rich_churned)
+    deg = (und.map_batches(
+        lambda b: pa.table({"dn": b.column("a")}),
+        batch_format="pyarrow")
+        .groupby("dn").aggregate(Count(alias_name="core"))
+        .repartition(num_partitions))
+    vals = (nodes.map_batches(
+        lambda b: pa.table({"node": b.column(0)}), batch_format="pyarrow")
+        .join(deg, join_type="left_outer", num_partitions=num_partitions,
+              on=("node",), right_on=("dn",))
+        .map_batches(lambda b: pa.table({
+            "node": b.column("node"),
+            "core": pc.fill_null(b.column("core"), 0).cast(pa.int64())}),
+            batch_format="pyarrow")
+        .materialize())
+
+    def msg(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("b"), "nv": b.column("core")})
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = hash_rows_mod(b, ["node"], num_buckets)
+        return b.append_column("bucket", pa.array(ids, type=pa.int32()))
+
+    def h_index(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["node", "nv"], ascending=[True, False],
+                            kind="mergesort")
+        rank = df.groupby("node", sort=False).cumcount() + 1
+        ok = (df["nv"].to_numpy() >= rank.to_numpy()).astype(np.int64)
+        h = pd.DataFrame({"hn": df["node"].to_numpy(), "ok": ok}) \
+            .groupby("hn", sort=False)["ok"].sum().reset_index(name="h")
+        return h
+
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = (und.join(vals, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("a",), right_on=("node",))
+                .map_batches(msg, batch_format="pyarrow"))
+        hvals = (msgs.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(h_index, batch_format="pandas")
+                 .repartition(num_partitions))
+        vals = (vals.join(hvals, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=("node",), right_on=("hn",))
+                .map_batches(lambda b: pa.table({
+                    "node": b.column("node"),
+                    "core": pc.min_element_wise(
+                        b.column("core"),
+                        pc.fill_null(b.column("h"),
+                                     0).cast(pa.int64()))}),
+                    batch_format="pyarrow")
+                .materialize())
+        cur = int(vals.aggregate(Sum("core"))["sum(core)"] or 0)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return vals
+
+
+def entity_kcore(adjacency, num_partitions: int = 8):
+    """Coreness of every KG entity over the deduped interaction graph:
+    which entities sit in dense interaction kernels vs the tree fringe.
+    Returns (entity, core) sorted core desc then entity."""
+    hashed, mapping, nodes = _hashed_entity_edges(adjacency,
+                                                  num_partitions)
+    cores = coreness(hashed, nodes, "sh", "oh",
+                     num_partitions=num_partitions)
+    ent = cores.join(mapping, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("node",), right_on=("h",))
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"entity": b.column("iri"),
+                         "core": b.column("core")})
+
+    return (ent.map_batches(final_b, batch_format="pyarrow")
+            .sort(["core", "entity"], descending=[True, False]))

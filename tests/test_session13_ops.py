@@ -250,3 +250,40 @@ def test_ann_ivfpq_planted_cluster(ray_session, tmp_path):
         embeddings_ann_ivfpq_top10
     out = embeddings_ann_ivfpq_top10(d, nprobe=4, m=4, ksub=64).to_pandas()
     assert sorted(out["vec_id"]) == list(range(1, 11))
+
+
+# -- coreness / kg_entity_kcore -------------------------------------------------
+
+def test_coreness_planted_clique_and_path(ray_session):
+    """4-clique → coreness 3; pendant path off the clique → coreness 1;
+    isolated node → 0. The h-index fixpoint must match the classic
+    peeling definition exactly."""
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines.graph import coreness
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 4), (4, 5)]         # dangles off clique node 3
+    edges = rd.from_items([{"s": a, "o": b} for a, b in clique + path])
+    nodes = rd.from_items([{"node": n} for n in range(7)])  # 6 isolated
+    out = coreness(edges, nodes, "s", "o").to_pandas()
+    got = dict(zip(out["node"], out["core"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 0}
+
+
+def test_coreness_two_triangles_bridge(ray_session):
+    """Two triangles joined by a bridge: every triangle vertex has
+    coreness 2 (the bridge does not raise it), bridge endpoints
+    included."""
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines.graph import coreness
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    edges = rd.from_items([{"s": a, "o": b}
+                           for a, b in tri1 + tri2 + [(2, 3)]])
+    nodes = rd.from_items([{"node": n} for n in range(6)])
+    out = coreness(edges, nodes, "s", "o").to_pandas()
+    assert dict(zip(out["node"], out["core"])) == \
+        {n: 2 for n in range(6)}
