@@ -138,6 +138,15 @@ def _kg_kcore(sf_dir: str):
     return graph.entity_kcore(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_star_join(sf_dir: str):
+    """SPARQL star pattern `?s hasXref ?o1 . ?s isPartOf ?o2` answered
+    from the PSO secondary index: per-arm point lookups + one
+    subject-key intersection groupby. Correctness: full-scan DuckDB
+    intersection parity in tests/test_session13_ops.py."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.star_join_from_layout(_kg_pso_dir(sf_dir))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance by interaction in-links (PageRank over the
     same entity graph)."""
@@ -358,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_top_type": _window_query("events_user_top_type"),
         "events_cohort_retention":
             _window_query("events_cohort_retention"),
+        "events_purchase_followups":
+            _window_query("events_purchase_followups"),
         "events_distinct_users": _sketch_query("events_distinct_users"),
         "events_distinct_users_hll":
             _sketch_query("events_distinct_users_hll"),
@@ -393,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_3step": _window_query("events_funnel_3step"),
         "kg_entity_communities": _kg_communities,
         "kg_entity_kcore": _kg_kcore,
+        "kg_star_join": _kg_star_join,
         "embeddings_kcenter_coreset": simops.embeddings_kcenter_coreset,
         "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),
@@ -653,6 +665,8 @@ def oracle_sql() -> dict[str, str]:
             joins.SQL_POTENTIAL_PROMOTION_SUPPLIERS,
         "events_user_top_type": windows.SQL_EVENTS_USER_TOP_TYPE,
         "events_cohort_retention": windows.SQL_EVENTS_COHORT_RETENTION,
+        "events_purchase_followups":
+            windows.SQL_EVENTS_PURCHASE_FOLLOWUPS,
         "events_distinct_users": sketches.SQL_EVENTS_DISTINCT_USERS,
         "events_top_users": sketches.SQL_EVENTS_TOP_USERS,
         "customers_without_large_orders":

@@ -1047,3 +1047,52 @@ def entity_kcore(adjacency, num_partitions: int = 8):
 
     return (ent.map_batches(final_b, batch_format="pyarrow")
             .sort(["core", "entity"], descending=[True, False]))
+
+
+# -- star join over the PSO layout ---------------------------------------------
+
+def star_join_from_layout(pso_dir: str,
+                          predicates=("hasXref", "isPartOf")):
+    """Subjects that carry ALL the given predicates — the SPARQL
+    star-pattern `?s p1 ?o1 . ?s p2 ?o2 . …` answered from the PSO
+    secondary index: each predicate's edges come from ONE pred-hash
+    bucket (predicate_edges_from_layout's point-lookup I/O), are folded
+    to (subj, n_objs) per predicate, and the star closes with a single
+    subject-key groupby that keeps subjects present in every arm
+    (count == #predicates). I/O is Σ predicate shares, never the
+    triple table; the exchange carries one row per (subj, predicate).
+
+    Returns (canonical_subj, n_edges) — n_edges = total objects across
+    the star's arms — sorted by subject."""
+    from ray.data.aggregate import Count, Sum
+
+    arms = []
+    for p in predicates:
+        edges = predicate_edges_from_layout(pso_dir, p)
+
+        def fold(b: pa.Table) -> pa.Table:
+            t = pa.table({"canonical_subj": b.column("canonical_subj")})
+            return (t.group_by(["canonical_subj"])
+                    .aggregate([([], "count_all")])
+                    .rename_columns(["canonical_subj", "n"]))
+
+        arms.append(edges.map_batches(fold, batch_format="pyarrow")
+                    .groupby("canonical_subj")
+                    .aggregate(Sum("n", alias_name="n"))
+                    .repartition(4))
+    star = arms[0]
+    for a in arms[1:]:
+        star = star.union(a)
+    out = (star.groupby("canonical_subj")
+           .aggregate(Count(alias_name="n_arms"),
+                      Sum("n", alias_name="n_edges")))
+
+    k = len(predicates)
+
+    def close(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("n_arms"), pa.scalar(k)))
+        return pa.table({"canonical_subj": b.column("canonical_subj"),
+                         "n_edges": b.column("n_edges").cast(pa.int64())})
+
+    return (out.map_batches(close, batch_format="pyarrow")
+            .sort("canonical_subj"))

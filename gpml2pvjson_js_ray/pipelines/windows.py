@@ -1318,3 +1318,64 @@ SELECT cohort_day, day_offset, count(*) AS n_users
 FROM pairs GROUP BY cohort_day, day_offset
 ORDER BY cohort_day, day_offset
 """
+
+
+# -- time-window self-join: follow-ups after a purchase ------------------------
+
+def events_purchase_followups(sf_dir: str, window_min: int = 10):
+    """How many events of each type happen within `window_min` minutes
+    AFTER a purchase by the same user (strictly later, inclusive upper
+    bound) — the stream-stream interval-join shape, counted over all
+    (event, purchase) qualifying pairs.
+
+    Plan: one pass tags the stream (no second read); groupby(user_id)
+    co-locates each user's rows; inside a group the purchase timestamps
+    sort once and EVERY event counts its qualifying purchases with two
+    binary searches (searchsorted difference) — O((e+p) log p) per
+    user, never the e×p cross product a naive interval join explodes
+    into. Each group folds to ≤ #types partial rows, so the final
+    exchange is types-sized."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    w = np.timedelta64(int(window_min) * 60, "s").astype("timedelta64[us]")
+
+    def drop_null_users(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("user_id")))
+
+    def count_group(df: pd.DataFrame) -> pd.DataFrame:
+        p_ts = np.sort(
+            df.loc[df["event_type"] == "purchase", "ts"].to_numpy())
+        if len(p_ts) == 0:
+            return pd.DataFrame({"followup_type": pd.Series([], dtype=str),
+                                 "n_followups": pd.Series([],
+                                                          dtype="int64")})
+        t = df["ts"].to_numpy()
+        # purchases p with p.ts < t AND t <= p.ts + w  ⟺  p.ts ∈ [t-w, t)
+        n = (np.searchsorted(p_ts, t, side="left")
+             - np.searchsorted(p_ts, t - w, side="left"))
+        out = pd.DataFrame({"followup_type": df["event_type"].to_numpy(),
+                            "n": n})
+        out = (out.groupby("followup_type", sort=False)["n"].sum()
+               .reset_index(name="n_followups"))
+        return out[out["n_followups"] > 0]
+
+    return (ds.map_batches(drop_null_users, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(count_group, batch_format="pandas")
+            .groupby("followup_type")
+            .aggregate(Sum("n_followups", alias_name="n_followups"))
+            .sort("followup_type"))
+
+
+SQL_EVENTS_PURCHASE_FOLLOWUPS = """
+SELECT e.event_type AS followup_type, count(*) AS n_followups
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND e.ts >  p.ts
+ AND e.ts <= p.ts + INTERVAL 10 MINUTE
+GROUP BY e.event_type
+ORDER BY followup_type
+"""

@@ -287,3 +287,69 @@ def test_coreness_two_triangles_bridge(ray_session):
     out = coreness(edges, nodes, "s", "o").to_pandas()
     assert dict(zip(out["node"], out["core"])) == \
         {n: 2 for n in range(6)}
+
+
+# -- events_purchase_followups ---------------------------------------------------
+
+def test_purchase_followups_boundaries(ray_session, tmp_path):
+    """Strict lower bound (the purchase itself is not its own
+    follow-up), inclusive upper bound (exactly +10min counts), pairs
+    counted per qualifying purchase, cross-user pairs excluded."""
+    d = str(tmp_path)
+    _write(d, "events", pd.DataFrame({
+        "user_id": ["u1", "u1", "u1", "u1", "u1", "u2", "u2"],
+        "event_type": ["purchase", "click", "click", "purchase", "view",
+                       "purchase", "click"],
+        # u1: purchases at 00:00 and 00:05.
+        #   click@00:04 → follows purchase 1 only (1 pair)
+        #   click@00:10 → exactly +10min of p1 (inclusive) AND +5 of p2 → 2
+        #   view@00:15:00.000000 → exactly p2+10min (inclusive) and past
+        #     p1's window → follows p2 only → 1
+        # u2: click@00:20 is 10min after u2's OWN purchase@00:10 → 1;
+        #     u1's purchases must not leak across users
+        "ts": [_ts("2024-01-01T00:00"), _ts("2024-01-01T00:04"),
+               _ts("2024-01-01T00:10"), _ts("2024-01-01T00:05"),
+               _ts("2024-01-01T00:15:00.000000"),
+               _ts("2024-01-01T00:10"), _ts("2024-01-01T00:20")]}))
+    out = windows.events_purchase_followups(d).to_pandas()
+    got = dict(zip(out["followup_type"], out["n_followups"]))
+    # purchase@00:05 follows purchase@00:00 (within 10min) → 1
+    assert got == {"click": 4, "view": 1, "purchase": 1}
+
+
+# -- star_join_from_layout -------------------------------------------------------
+
+def test_star_join_matches_full_scan_intersection(ray_session, tmp_path):
+    """The PSO star join must return exactly the subjects a full-scan
+    intersection finds, with the summed edge counts."""
+    import glob
+
+    import duckdb
+
+    from gpml2pvjson_js_ray.pipelines import graph, kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+    from gpml2pvjson_js_ray.stages.adjacency import write_predicate_layout
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    adj_dir = str(tmp_path / "out" / "adjacency")
+    pso_dir = str(tmp_path / "out" / "pso")
+    write_predicate_layout(adj_dir, pso_dir, num_buckets=8)
+
+    preds = ("hasXref", "isPartOf")
+    got = graph.star_join_from_layout(pso_dir, preds).to_pandas()
+
+    files = sorted(glob.glob(adj_dir + "/**/*.parquet", recursive=True))
+    want = duckdb.sql(f"""
+        WITH t AS (SELECT canonical_subj, pred
+                   FROM read_parquet({files!r})
+                   WHERE pred IN ('hasXref', 'isPartOf'))
+        SELECT canonical_subj, count(*) AS n_edges
+        FROM t GROUP BY canonical_subj
+        HAVING count(DISTINCT pred) = 2
+        ORDER BY canonical_subj
+    """).df()
+    assert len(got) == len(want) and len(got) > 0
+    assert got["canonical_subj"].tolist() == \
+        want["canonical_subj"].tolist()
+    assert got["n_edges"].tolist() == want["n_edges"].tolist()
