@@ -17,6 +17,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 from gpml2pvjson_js_ray.pipelines import joins, windows  # noqa: E402
+from gpml2pvjson_js_ray.pipelines import webgraph as webgraph_mod  # noqa: E402
 
 
 def _ts(s):
@@ -353,3 +354,68 @@ def test_star_join_matches_full_scan_intersection(ray_session, tmp_path):
     assert got["canonical_subj"].tolist() == \
         want["canonical_subj"].tolist()
     assert got["n_edges"].tolist() == want["n_edges"].tolist()
+
+
+# -- host_cocitation --------------------------------------------------------------
+
+def test_host_cocitation_matches_independent_recount(ray_session):
+    """Co-citation counts vs an independent stdlib-re recount: for every
+    pair of hosts, n_cociting = |{src hosts linking to both}|, with the
+    out-degree cap and min_count applied identically."""
+    import itertools
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from gpml2pvjson_js_ray.pipelines import kg, webgraph
+    from gpml2pvjson_js_ray.sources.pages import gen_page
+
+    n = 240
+    path = kg.pages_path(n)
+    got = (webgraph.host_cocitation(
+        kg.read_pages(path, columns=["url", "html"]))
+        .to_pandas())
+
+    href_re = _re.compile(r'href="(https?://[^/"]+)')
+    host_re = _re.compile(r"^https?://([^/]+)")
+    outs = defaultdict(set)
+    for i in range(n):
+        page = gen_page(i)
+        src = host_re.match(page["url"]).group(1)
+        for m in href_re.finditer(page["html"].decode("utf-8")):
+            outs[src].add(m.group(1).split("://", 1)[1])
+    want = Counter()
+    for src, dsts in outs.items():
+        if len(dsts) > 64:
+            continue
+        for a, b in itertools.combinations(sorted(dsts), 2):
+            want[(a, b)] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+
+    got_pairs = {(r.host_a, r.host_b): r.n_cociting
+                 for r in got.itertuples(index=False)}
+    assert got_pairs == want and len(want) > 0
+    # ordering: count desc then pair asc
+    counts = got["n_cociting"].tolist()
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_host_cocitation_caps_directory_pages(ray_session, tmp_path):
+    """A source citing more than max_out_degree hosts is excluded from
+    pairing entirely (documented cap), and min_count prunes 1-source
+    pairs."""
+    import ray.data as rd
+
+    def page(url, hrefs):
+        html = "".join(f'<a href="https://{h}/">x</a>' for h in hrefs)
+        return {"url": url, "html": html.encode()}
+
+    pages = rd.from_items([
+        page("https://s1.test/a", ["x.test", "y.test"]),
+        page("https://s2.test/a", ["x.test", "y.test", "z.test"]),
+        page("https://spam.test/a", [f"h{i}.test" for i in range(80)]),
+    ])
+    out = webgraph_mod.host_cocitation(pages, max_out_degree=64,
+                                       min_count=2).to_pandas()
+    assert {(r.host_a, r.host_b): r.n_cociting
+            for r in out.itertuples(index=False)} == \
+        {("x.test", "y.test"): 2}
