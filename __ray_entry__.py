@@ -543,6 +543,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _maintenance_query("documents_merge_upsert"),
         "events_zorder": _maintenance_query("events_zorder"),
         "documents_bm25_topk": _lexical_query("documents_bm25_topk"),
+        # hybrid retrieval: reciprocal-rank fusion of the BM25 and dense
+        # cosine rankings (both sides distributed top-depth; fusion is
+        # constant-size by construction)
+        "documents_hybrid_rrf_topk":
+            _lexical_query("documents_hybrid_rrf_topk"),
+        # Adamic-Adar link prediction over the customer–part bipartite
+        # graph (inverse-log shared-neighbor weights, in-group pairing)
+        "customers_common_parts_affinity":
+            _join_query("customers_common_parts_affinity"),
         "documents_rag_chunks": _mlprep_query("documents_rag_chunks"),
         # multimodal plumbing (capability-gated decode kernels; rows-only)
         "media_features": lambda sf_dir: __import__(
@@ -593,6 +602,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_host_pagerank": _webgraph_query("host_pagerank"),
         "kg_host_cocitation": _webgraph_query("host_cocitation"),
         "kg_anchor_texts": _webgraph_query("anchor_text_stats"),
+        # directed SCC of the host link graph (trim + F/B min-label
+        # peeling; rows-only — pytest checks planted cycles plus a full
+        # transitive-closure cross-check on the real sf0.001 host graph)
+        "kg_host_scc": _webgraph_query("host_scc"),
     }
 
 
@@ -614,6 +627,10 @@ def oracle_sql() -> dict[str, str]:
         "documents_merge_upsert": maintenance.SQL_DOCUMENTS_MERGE_UPSERT,
         "events_zorder": maintenance.SQL_EVENTS_ZORDER,
         "documents_bm25_topk": lexical.SQL_DOCUMENTS_BM25_TOPK,
+        "documents_hybrid_rrf_topk":
+            lexical.SQL_DOCUMENTS_HYBRID_RRF_TOPK,
+        "customers_common_parts_affinity":
+            joins.SQL_CUSTOMERS_COMMON_PARTS_AFFINITY,
         "documents_rag_chunks": mlprep.SQL_DOCUMENTS_RAG_CHUNKS,
         "documents_langid": textops.SQL_DOCUMENTS_LANGID,
         "documents_ngram_jaccard": textops.SQL_DOCUMENTS_NGRAM_JACCARD,

@@ -1096,3 +1096,193 @@ def star_join_from_layout(pso_dir: str,
 
     return (out.map_batches(close, batch_format="pyarrow")
             .sort("canonical_subj"))
+
+
+# -- strongly connected components (directed) ---------------------------------
+
+def strongly_connected_components(edges, nodes, src: str, dst: str,
+                                  max_outer: int = 30,
+                                  max_inner: int = 30,
+                                  num_partitions: int = 4):
+    """Strongly connected components of a DIRECTED graph — the
+    cycle-detection companion of `connected_components` (which ignores
+    direction): mutual-link cores of a web host graph, circular
+    redirect/citation rings, strongly-cyclic KG predicate clusters.
+
+    Algorithm (trim + forward/backward min-label — the MultiStep shape
+    of Slota/Rajamanickam/Madduri IPDPS'14, with min-label coloring in
+    place of pivot BFS): per outer round over the still-active
+    subgraph,
+
+    1. TRIM — a node with no active in-edge or no active out-edge can
+       sit on no cycle, so it is a singleton SCC: classified at once
+       (two distinct-endpoint sets + semi/anti joins). This eats the
+       DAG fringe that pure label peeling handles slowly.
+    2. Directed min-label fixpoints both ways: F(v) = min node id that
+       REACHES v (labels flow src→dst), B(v) = min node id v reaches
+       (flow dst→src) — each is exactly the `connected_components`
+       round body without the reversed-edge union, with an EXACT
+       changed-row convergence check (node-key join, works for any
+       orderable label type incl. host strings — the int-sum trick
+       doesn't).
+    3. Classify: F(v) == B(v) == m ⟺ m→v and v→m, so
+       {v : F(v) = B(v) = m} is the ENTIRE SCC of m. Emit those, peel
+       them and their edges (semi-joins), repeat. Each weakly-connected
+       region's minimum node always classifies, so every round makes
+       progress and the loop terminates.
+
+    Every step is a co-partitioned hash join or groupby-min on the same
+    node key; nothing dataset-sized gathers on the driver. Known
+    adversary: a long CHAIN of SCCs peels O(chain) rounds — real
+    web/KG graphs are shallow (one giant mutual core + DAG fringe,
+    which TRIM eats); for adversarial diameters swap step 2 for FW-BW
+    pivot BFS on the same layout. Returns (node, scc), scc = min node
+    id of the component; isolated nodes are their own SCC."""
+    from ray.data.aggregate import Count, Min
+
+    def _nodes_init(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0)})
+
+    def _edges_init(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    def _self_scc(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "scc": b.column("node")})
+
+    active = (nodes.map_batches(_nodes_init, batch_format="pyarrow")
+              .repartition(num_partitions).materialize())
+    e = (edges.map_batches(_edges_init, batch_format="pyarrow")
+         .repartition(num_partitions).materialize())
+    done = []                       # materialized (node, scc) fragments
+
+    def _distinct(ds, col):
+        def proj(b: pa.Table) -> pa.Table:
+            return (pa.table({"node": b.column(col)})
+                    .group_by(["node"]).aggregate([]))
+        # repartition+materialize merges away the aggregate's empty
+        # zero-column blocks, which would break the per-partition
+        # pa.Table.join downstream (same hazard as connected_components)
+        return (ds.map_batches(proj, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_n"))
+                .repartition(num_partitions).materialize())
+
+    def _semi(left, right, key):
+        return (left.join(right, join_type="left_semi",
+                          num_partitions=num_partitions,
+                          on=(key,), right_on=("node",))
+                .repartition(num_partitions).materialize())
+
+    def _restrict_edges(e, active):
+        return _semi(_semi(e, active, "a"), active, "b")
+
+    def _changed(new, old, col):
+        """Exact count of moved labels (co-partitioned node-key join)."""
+        def ren(b: pa.Table) -> pa.Table:
+            return pa.table({"_node": b.column("node"),
+                             "_old": b.column(col)})
+
+        def diff(b: pa.Table) -> pa.Table:
+            n = pc.sum(pc.invert(pc.equal(
+                b.column(col), b.column("_old")))).as_py() or 0
+            return pa.table({"n": pa.array([n], type=pa.int64())})
+
+        return (new.join(old.map_batches(ren, batch_format="pyarrow"),
+                         join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("node",), right_on=("_node",))
+                .map_batches(diff, batch_format="pyarrow")
+                .sum("n"))
+
+    for _ in range(max_outer):
+        if active.count() == 0:
+            break
+
+        # ---- 1. TRIM --------------------------------------------------
+        if e.count() == 0:
+            done.append(active.map_batches(
+                _self_scc, batch_format="pyarrow").materialize())
+            break
+        both = _semi(_distinct(e, "a"), _distinct(e, "b"), "node")
+        if both.count() == 0:
+            # no node has both an in- and an out-edge → the active
+            # subgraph is cycle-free: every node is a singleton SCC
+            # (also dodges joining against an empty schema-less side)
+            done.append(active.map_batches(
+                _self_scc, batch_format="pyarrow").materialize())
+            break
+        trimmed = (active.join(both, join_type="left_anti",
+                               num_partitions=num_partitions,
+                               on=("node",), right_on=("node",))
+                   .map_batches(_self_scc, batch_format="pyarrow")
+                   .repartition(num_partitions).materialize())
+        if trimmed.count() > 0:
+            done.append(trimmed)
+            active = _semi(active, both, "node")
+            if active.count() == 0:
+                break
+            e = _restrict_edges(e, active)
+            if e.count() == 0:
+                continue            # next round trims the remainder
+
+        # ---- 2. F / B min-label fixpoints -----------------------------
+        fixed = {}
+        for col, flow_from, flow_to in (("f", "a", "b"),
+                                        ("b_", "b", "a")):
+            lab = active.map_batches(
+                lambda b, c=col: pa.table({"node": b.column("node"),
+                                           c: b.column("node")}),
+                batch_format="pyarrow").materialize()
+            for _i in range(max_inner):
+                msgs = (e.join(lab, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=(flow_from,), right_on=("node",))
+                        .map_batches(
+                            lambda b, c=col, t=flow_to: pa.table(
+                                {"node": b.column(t),
+                                 c: b.column(c)}),
+                            batch_format="pyarrow"))
+                new = (lab.union(msgs).groupby("node")
+                       .aggregate(Min(col, alias_name=col))
+                       .repartition(num_partitions).materialize())
+                moved = _changed(new, lab, col)
+                lab = new
+                if not moved:
+                    break
+            fixed[col] = lab
+
+        # ---- 3. classify F == B ---------------------------------------
+        fb = (fixed["f"].join(fixed["b_"], join_type="inner",
+                              num_partitions=num_partitions,
+                              on=("node",), right_on=("node",))
+              .repartition(num_partitions).materialize())
+
+        def classified(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("f"), b.column("b_")))
+            return pa.table({"node": t.column("node"),
+                             "scc": t.column("f")})
+
+        def unclassified(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.invert(pc.equal(b.column("f"),
+                                            b.column("b_"))))
+            return pa.table({"node": t.column("node")})
+
+        done.append(fb.map_batches(classified,
+                                   batch_format="pyarrow").materialize())
+        active = (fb.map_batches(unclassified, batch_format="pyarrow")
+                  .repartition(num_partitions).materialize())
+        if active.count() == 0:
+            break
+        e = _restrict_edges(e, active)
+    else:
+        raise RuntimeError(
+            "strongly_connected_components: did not converge within "
+            f"max_outer={max_outer} rounds (chain-of-SCCs adversary? "
+            "raise max_outer or swap step 2 for pivot BFS)")
+
+    if not done:                    # empty node domain
+        return active.map_batches(_self_scc, batch_format="pyarrow")
+    out = done[0]
+    for d in done[1:]:
+        out = out.union(d)
+    return out

@@ -1949,3 +1949,107 @@ FROM supplier JOIN (
 WHERE total_qty > 300.0
 ORDER BY s_suppkey
 """
+
+
+# -- Adamic-Adar link prediction over the customer–part bipartite graph ------
+
+def customers_common_parts_affinity(sf_dir: str, k: int = 100,
+                                    num_partitions: int = 16):
+    """Top-k customer pairs by Adamic-Adar affinity over the
+    customer–part bipartite graph (Adamic & Adar 2003, "Friends and
+    neighbors on the Web"): two customers are similar when they buy
+    the same parts, and a shared NICHE part (few buyers) is stronger
+    evidence than a shared commodity part —
+
+        score(a, b) = Σ_{p ∈ parts(a) ∩ parts(b)} 1 / ln(|buyers(p)|)
+
+    the canonical link-prediction / record-linkage scorer, here the
+    KG-side analogue of webgraph.host_cocitation with the inverse-log
+    degree weight instead of a raw count.
+
+    Scale shape: one unavoidable lineitem ⋈ orders exchange on
+    orderkey (both sides projected to two ints) resolves custkey; the
+    (custkey, partkey) stream then hash-co-locates by PART, so pair
+    generation is vectorized triu inside each part group and the
+    weight 1/ln(degree) closes in-group (the group IS the distinct
+    buyer set — np.unique dedups re-orders and multi-line orders, so
+    no global distinct pass is needed). Single-buyer parts contribute
+    nothing (and ln(1)=0 would blow up) — skipped in-group, HAVING
+    count>=2 in the oracle. Pair volume is Σ_p deg(p)², bounded here
+    by the schema's uniform part degree; a skewed corpus would cap
+    hot-part degree exactly like host_cocitation.max_out_degree
+    (webgraph.py:182) — a documented semantic both sides would share.
+    The final (cust_a, cust_b) groupby is pre-shrunk by per-block
+    partial sums."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def line_dedup(b: pa.Table) -> pa.Table:
+        # per-block (orderkey, partkey) dedup — pure shuffle shrink
+        # (multi-line orders repeat pairs); exactness comes from the
+        # in-group np.unique below
+        return (pa.table({"l_orderkey": b.column("l_orderkey"),
+                          "l_partkey": b.column("l_partkey")})
+                .group_by(["l_orderkey", "l_partkey"]).aggregate([]))
+
+    joined = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+              .map_batches(line_dedup, batch_format="pyarrow")
+              .join(orders, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",)))
+
+    def cp(b: pa.Table) -> pa.Table:
+        return (pa.table({"custkey": b.column("o_custkey"),
+                          "partkey": b.column("l_partkey")})
+                .group_by(["custkey", "partkey"]).aggregate([]))
+
+    _empty = pd.DataFrame({"cust_a": pd.Series([], dtype="int64"),
+                           "cust_b": pd.Series([], dtype="int64"),
+                           "w": pd.Series([], dtype="float64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        buyers = np.unique(df["custkey"].to_numpy())
+        if len(buyers) < 2:
+            return _empty
+        w = 1.0 / np.log(float(len(buyers)))
+        i, j = np.triu_indices(len(buyers), k=1)
+        return pd.DataFrame({"cust_a": buyers[i], "cust_b": buyers[j],
+                             "w": np.full(len(i), w)})
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (pa.TableGroupBy(b.select(["cust_a", "cust_b", "w"]),
+                                ["cust_a", "cust_b"])
+                .aggregate([("w", "sum")])
+                .rename_columns(["cust_a", "cust_b", "w"]))
+
+    scored = (joined.map_batches(cp, batch_format="pyarrow")
+              .groupby("partkey")
+              .map_groups(pairs, batch_format="pandas")
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["cust_a", "cust_b"])
+              .aggregate(Sum("w", alias_name="aa_score")))
+
+    return (scored.map_batches(lambda b: _round_col(b, "aa_score", 6),
+                               batch_format="pyarrow")
+            .sort(["aa_score", "cust_a", "cust_b"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
+SQL_CUSTOMERS_COMMON_PARTS_AFFINITY = """
+WITH cp AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+pw AS (
+  SELECT p, 1.0 / ln(count(*)) AS w
+  FROM cp GROUP BY p HAVING count(*) >= 2)
+SELECT a.c AS cust_a, b.c AS cust_b,
+       round(sum(pw.w), 6) AS aa_score
+FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+JOIN pw ON pw.p = a.p
+GROUP BY 1, 2
+ORDER BY aa_score DESC, cust_a, cust_b
+LIMIT 100
+"""

@@ -582,3 +582,126 @@ FROM pairs p JOIN df da ON da.term = p.term_a
              JOIN df db ON db.term = p.term_b
 ORDER BY term_a, term_b
 """
+
+
+# -- hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine ----------
+
+def documents_hybrid_rrf_topk(sf_dir: str,
+                              terms: tuple[str, ...] = _BM25_TERMS,
+                              query_id: int = 0, k: int = 10,
+                              depth: int = 50, rrf_c: int = 60):
+    """Hybrid search: fuse the lexical (Okapi BM25, documents_bm25_topk)
+    and dense (embedding cosine vs the query_id vector) rankings by
+    Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+
+        rrf(d) = Σ_side 1 / (rrf_c + rank_side(d)),  rank ∈ 1..depth
+
+    the standard production hybrid-retrieval combiner (rank-based, so
+    the two score scales never need calibration — contrast
+    simops.documents_related_topk, the weighted SCORE fusion).
+
+    Scale shape: each side is its own distributed top-`depth` retrieval
+    — BM25's two passes with exact per-block partial top-k, and one
+    map-only cosine matvec per batch with the same partial-top-k cut —
+    so the fusion input is 2×depth rows no matter the corpus size; the
+    RRF join itself is constant-size driver work by construction
+    (exactly like the reference's driver-side final fold of constant
+    outputs). Both per-side ranks order by (rounded score desc, id asc)
+    — the same total order the oracle's row_number() uses, making every
+    rank, both rank lists' depth cuts, and the final k-boundary
+    cross-engine deterministic. Absent-side ranks surface as 0 (never a
+    valid rank) and contribute no RRF term."""
+    import pyarrow.dataset as pads
+
+    # -- lexical side: BM25 top-`depth` (already (score desc, id) order)
+    lex = documents_bm25_topk(sf_dir, terms=terms, k=depth).to_pandas()
+    lex_rank = {int(d): r + 1 for r, d in enumerate(lex["doc_id"])}
+
+    # -- dense side: cosine-vs-query top-`depth`, metadata-path query row
+    qt = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")) \
+        .to_table(columns=["embedding"],
+                  filter=pads.field("vec_id") == query_id)
+    qv = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+
+    def cos_partial(b: pa.Table) -> pa.Table:
+        from .simops import _emb_matrix
+        ids, mat = _emb_matrix(b)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        s = np.round((mat @ qv) / norms, 6)
+        order = np.lexsort((ids, -s))[:depth]   # exact cut: same total order
+        return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                         "sim": pa.array(s[order], type=pa.float64())})
+
+    vec = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .map_batches(cos_partial, batch_format="pyarrow")
+           .sort(["sim", "doc_id"], descending=[True, False])
+           .limit(depth).to_pandas())
+    vec_rank = {int(d): r + 1 for r, d in enumerate(vec["doc_id"])}
+
+    # -- constant-size fusion (≤ 2·depth candidates) ---------------------
+    cand = sorted(set(lex_rank) | set(vec_rank))
+    rl = np.array([lex_rank.get(d, 0) for d in cand], dtype=np.int64)
+    rv = np.array([vec_rank.get(d, 0) for d in cand], dtype=np.int64)
+    # term order (lex + vec) mirrors the oracle's coalesce(..)+coalesce(..)
+    rrf = (np.where(rl > 0, 1.0 / (rrf_c + rl), 0.0)
+           + np.where(rv > 0, 1.0 / (rrf_c + rv), 0.0))
+    ids = np.array(cand, dtype=np.int64)
+    order = np.lexsort((ids, -rrf))[:k]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "rrf": pa.array(rrf[order], type=pa.float64()),
+                     "rank_lex": pa.array(rl[order]),
+                     "rank_vec": pa.array(rv[order])})
+
+
+SQL_DOCUMENTS_HYBRID_RRF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-zA-ZÀ-ÿ]+') AS toks
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1
+                       ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(sum(CASE WHEN list_contains(toks, 'window') THEN 1
+                       ELSE 0 END) AS DOUBLE) AS df1
+  FROM toks),
+scored AS (
+  SELECT t.doc_id,
+    floor((
+      ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+        * len(list_filter(t.toks, x -> x = 'merge')) * 2.2
+        / (len(list_filter(t.toks, x -> x = 'merge'))
+           + 1.2 * (0.25 + 0.75 * len(t.toks) / s.avgdl))
+      + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+        * len(list_filter(t.toks, x -> x = 'window')) * 2.2
+        / (len(list_filter(t.toks, x -> x = 'window'))
+           + 1.2 * (0.25 + 0.75 * len(t.toks) / s.avgdl))
+    ) * 10000.0 + 0.5) * 0.0001 AS score
+  FROM toks t, stats s),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50),
+sims AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)), 6) AS sim
+  FROM embeddings),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+  FROM sims ORDER BY sim DESC, doc_id ASC LIMIT 50)
+SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       coalesce(1.0 / (60 + l.r), 0.0)
+         + coalesce(1.0 / (60 + v.r), 0.0) AS rrf,
+       coalesce(l.r, 0) AS rank_lex,
+       coalesce(v.r, 0) AS rank_vec
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""

@@ -231,3 +231,48 @@ def host_cocitation(pages, max_out_degree: int = 64, min_count: int = 2):
             .map_batches(finish, batch_format="pyarrow")
             .sort(["n_cociting", "host_a", "host_b"],
                   descending=[True, False, False]))
+
+
+def host_scc(pages, num_partitions: int = 4):
+    """Strongly connected components of the directed host link graph —
+    the mutual-reachability cores (link rings, partner networks,
+    mirror clusters) that co-citation and PageRank treat as one unit;
+    the directed refinement of the undirected components the entity
+    resolver uses. Host-level SCC is the classic web-graph structure
+    probe (Broder et al. 2000's bow-tie: one giant SCC + IN/OUT DAG
+    fringe — exactly the shape the operator's TRIM step exploits).
+
+    Plan: the distinct host edge list (constant-size host exchange,
+    same as host_pagerank) feeds graph.strongly_connected_components;
+    nodes = every host seen on either side, so link-less hosts label
+    themselves. Returns (host, scc) sorted by (scc, host), scc = the
+    lexicographically smallest host of the component."""
+    from ray.data.aggregate import Count
+
+    from .graph import strongly_connected_components
+
+    g = (pages.map_batches(host_link_edges_batch, batch_format="pyarrow")
+         .map_batches(lambda b: pa.table({"src_host": b.column("src_host"),
+                                          "dst_host": b.column("dst_host")})
+                      .group_by(["src_host", "dst_host"]).aggregate([]),
+                      batch_format="pyarrow")
+         .repartition(num_partitions).materialize())
+    nodes = (g.map_batches(lambda b: pa.table({"h": b.column("src_host")}),
+                           batch_format="pyarrow")
+             .union(g.map_batches(
+                 lambda b: pa.table({"h": b.column("dst_host")}),
+                 batch_format="pyarrow"))
+             .map_batches(lambda b: b.group_by(["h"]).aggregate([]),
+                          batch_format="pyarrow")
+             # global distinct: key column lands first in the output,
+             # which is exactly what scc's nodes contract (column 0) reads
+             .groupby("h").aggregate(Count(alias_name="_n")))
+    scc = strongly_connected_components(g, nodes, "src_host", "dst_host",
+                                        num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "scc": b.column("scc")})
+
+    return (scc.map_batches(rename, batch_format="pyarrow")
+            .sort(["scc", "host"]))

@@ -1,0 +1,169 @@
+"""Planted semantics for the session-14 operators: Adamic-Adar
+customer-pair affinity (inverse-log weights, distinct-buyer dedup,
+degree-1 exclusion), hybrid RRF retrieval (per-side rank assignment,
+absent-side zero term, fusion order), and directed strongly connected
+components (cycle detection, trim of the DAG fringe, chain adversary,
+plus a full transitive-closure cross-check on the real host graph).
+sf-scale value parity with DuckDB for the two oracled ops is swept by
+test_oracles.py; these pin the corner semantics."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import ray.data as rd  # noqa: E402
+
+from gpml2pvjson_js_ray.pipelines import joins, lexical  # noqa: E402
+from gpml2pvjson_js_ray.pipelines import webgraph as webgraph_mod  # noqa: E402
+from gpml2pvjson_js_ray.pipelines.graph import (  # noqa: E402
+    strongly_connected_components,
+)
+
+
+def _write(d, name, df):
+    df.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+
+
+# -- customers_common_parts_affinity ------------------------------------------
+
+def test_adamic_adar_planted_weights(ray_session, tmp_path):
+    d = str(tmp_path)
+    # orders: customer c owns order 10c
+    _write(d, "orders", pd.DataFrame({
+        "o_orderkey": [10, 20, 30, 11],
+        "o_custkey":  [1,  2,  3,  1]}))
+    # part 100: buyers {1, 2} (w = 1/ln 2); part 200: buyers {1, 2, 3}
+    # (w = 1/ln 3); part 300: single buyer → contributes nothing.
+    # customer 1 buys part 100 twice in order 10 AND again in order 11:
+    # the distinct-buyer dedup must count it once.
+    _write(d, "lineitem", pd.DataFrame({
+        "l_orderkey": [10, 10, 11, 20, 10, 20, 30, 30],
+        "l_partkey":  [100, 100, 100, 100, 200, 200, 200, 300]}))
+    out = (joins.customers_common_parts_affinity(d).to_pandas()
+           .sort_values(["cust_a", "cust_b"]).reset_index(drop=True))
+    w2, w3 = 1.0 / math.log(2.0), 1.0 / math.log(3.0)
+    assert out["cust_a"].tolist() == [1, 1, 2]
+    assert out["cust_b"].tolist() == [2, 3, 3]
+    assert out["aa_score"].tolist() == [
+        round(w2 + w3, 6), round(w3, 6), round(w3, 6)]
+
+
+def test_adamic_adar_topk_order_and_cut(ray_session, tmp_path):
+    d = str(tmp_path)
+    # parts: 100 shared by (1,2) [w=1/ln2, strongest], 200 by (3,4,5)
+    _write(d, "orders", pd.DataFrame({
+        "o_orderkey": [10, 20, 30, 40, 50],
+        "o_custkey":  [1, 2, 3, 4, 5]}))
+    _write(d, "lineitem", pd.DataFrame({
+        "l_orderkey": [10, 20, 30, 40, 50],
+        "l_partkey":  [100, 100, 200, 200, 200]}))
+    out = joins.customers_common_parts_affinity(d, k=2).to_pandas()
+    # ranked: (1,2) at 1/ln2 ≈ 1.4427, then the 1/ln3 ties broken by
+    # (cust_a, cust_b) asc → (3,4) beats (3,5)/(4,5) at the k-cut
+    assert out["cust_a"].tolist() == [1, 3]
+    assert out["cust_b"].tolist() == [2, 4]
+
+
+# -- documents_hybrid_rrf_topk -------------------------------------------------
+
+def test_hybrid_rrf_fusion_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    # lexical ranking (terms merge/window): doc 0 strongest, then 1;
+    # docs 2 and 3 never mention the terms but doc 2 has more tokens
+    # (score 0 ties break by doc_id: 2 then 3).
+    _write(d, "documents", pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["merge window merge", "merge apples",
+                 "plain filler words here", "nothing"]}))
+    # dense ranking vs vec 0: doc 3 is the query's twin, doc 2 next,
+    # doc 1 orthogonal-ish, doc 0 is the query itself (rank 1).
+    _write(d, "embeddings", pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 1.0],
+                      [0.8, 0.6], [0.999, 0.01]]}))
+    out = (lexical.documents_hybrid_rrf_topk(d, k=4, depth=2)
+           .to_pandas())
+    # lexical top-2: doc 0 (r1), doc 1 (r2); dense top-2: doc 0 (r1,
+    # cos=1), doc 3 (r2, cos≈0.9999)
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[0, "rank_lex"] == 1 and by_id.loc[0, "rank_vec"] == 1
+    assert by_id.loc[1, "rank_lex"] == 2 and by_id.loc[1, "rank_vec"] == 0
+    assert by_id.loc[3, "rank_lex"] == 0 and by_id.loc[3, "rank_vec"] == 2
+    assert 2 not in by_id.index          # outside both depth-2 lists
+    assert by_id.loc[0, "rrf"] == 1.0 / 61 + 1.0 / 61
+    assert by_id.loc[1, "rrf"] == 1.0 / 62
+    assert by_id.loc[3, "rrf"] == 1.0 / 62
+    # fused order: doc 0 first; 1 vs 3 tie on rrf breaks by doc_id
+    assert out["doc_id"].tolist() == [0, 1, 3]
+
+
+# -- strongly connected components ---------------------------------------------
+
+def test_scc_planted_cycles_bridge_tail(ray_session):
+    # cycle {1,2,3} → one-way bridge → cycle {4,5}; tail 6→7 off the
+    # second cycle; isolated node 8
+    edges = rd.from_pandas(pd.DataFrame({
+        "s": [1, 2, 3, 4, 5, 3, 6, 5],
+        "d": [2, 3, 1, 5, 4, 4, 7, 6]}))
+    nodes = rd.from_pandas(pd.DataFrame({"n": [1, 2, 3, 4, 5, 6, 7, 8]}))
+    out = strongly_connected_components(edges, nodes, "s", "d").to_pandas()
+    got = dict(zip(out["node"], out["scc"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
+
+
+def test_scc_chain_adversary_all_singletons(ray_session):
+    # pure DAG chain: the worst case for label peeling — TRIM (or the
+    # cycle-free early exit) must classify it without O(n) outer rounds
+    edges = rd.from_pandas(pd.DataFrame(
+        {"s": [1, 2, 3, 4, 5], "d": [2, 3, 4, 5, 6]}))
+    nodes = rd.from_pandas(pd.DataFrame({"n": [1, 2, 3, 4, 5, 6]}))
+    out = (strongly_connected_components(edges, nodes, "s", "d")
+           .to_pandas().sort_values("node"))
+    assert (out["node"].to_numpy() == out["scc"].to_numpy()).all()
+
+
+def test_scc_string_labels_nested(ray_session):
+    # host-shaped string node ids; SCC {b,c} hangs off source a and
+    # drains to sink d — trim peels a/d, labels classify {b,c}
+    edges = rd.from_pandas(pd.DataFrame({
+        "s": ["a", "b", "c", "c"],
+        "d": ["b", "c", "b", "d"]}))
+    nodes = rd.from_pandas(pd.DataFrame({"n": ["a", "b", "c", "d"]}))
+    out = strongly_connected_components(edges, nodes, "s", "d").to_pandas()
+    got = dict(zip(out["node"], out["scc"]))
+    assert got == {"a": "a", "b": "b", "c": "b", "d": "d"}
+
+
+def test_host_scc_matches_transitive_closure(ray_session):
+    """Full independent oracle on the real sf0.001 host graph: SCC ids
+    from the distributed operator must equal the ones derived from a
+    dense Floyd-Warshall reachability closure."""
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    pages = kg.read_pages(path, columns=["url", "html"])
+    out = webgraph_mod.host_scc(pages).to_pandas()
+
+    g = webgraph_mod.host_link_graph(
+        kg.read_pages(path, columns=["url", "html"])).to_pandas()
+    hosts = sorted(set(g["src_host"]) | set(g["dst_host"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    reach = np.eye(n, dtype=bool)
+    for s, t in zip(g["src_host"], g["dst_host"]):
+        reach[idx[s], idx[t]] = True
+    for mid in range(n):
+        reach |= np.outer(reach[:, mid], reach[mid, :])
+    expect = {h: min(hosts[j] for j in range(n)
+                     if reach[idx[h], j] and reach[j, idx[h]])
+              for h in hosts}
+    got = dict(zip(out["host"], out["scc"]))
+    assert got == expect
+    assert len(out) == n
