@@ -512,6 +512,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_fingerprint": textops.documents_fingerprint,
         "documents_minhash_dups": textops.documents_minhash_dups,
         "documents_ngram_jaccard": textops.documents_ngram_jaccard,
+        # prefix-filtered exact set-similarity join — LOSSLESS candidate
+        # generation (oracle is the blocking-free brute-force self-join,
+        # so parity proves zero missed pairs)
+        "documents_setsim_join": textops.documents_setsim_join,
         "documents_simhash": textops.documents_simhash,
         "documents_simhash_dups": textops.documents_simhash_dups,
         # similarity search over embeddings
@@ -634,6 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_rag_chunks": mlprep.SQL_DOCUMENTS_RAG_CHUNKS,
         "documents_langid": textops.SQL_DOCUMENTS_LANGID,
         "documents_ngram_jaccard": textops.SQL_DOCUMENTS_NGRAM_JACCARD,
+        "documents_setsim_join": textops.SQL_DOCUMENTS_SETSIM_JOIN,
         "lineitem_pricing_summary": rel.SQL_LINEITEM_PRICING_SUMMARY,
         "orders_by_segment": rel.SQL_ORDERS_BY_SEGMENT,
         "top10_customers": rel.SQL_TOP10_CUSTOMERS,

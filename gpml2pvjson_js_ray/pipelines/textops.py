@@ -1359,3 +1359,175 @@ FROM documents d1 JOIN documents d2
                  substr(d2.text, 1, {_ED_PREFIX})) <= {_ED_MAX}
 ORDER BY doc_a, doc_b
 """
+
+
+# -- prefix-filtered exact set-similarity join (PPJoin-lite) -------------------
+
+def documents_setsim_join(sf_dir: str, threshold: float = 0.3,
+                          num_partitions: int = 8):
+    """Exact word-3-gram Jaccard join with PREFIX FILTERING (Chaudhuri
+    et al. ICDE'06; Xiao et al. WWW'08 PPJoin) — the LOSSLESS
+    candidate-generation alternative to documents_ngram_jaccard's
+    (lang, length-band) blocking and MinHash's probabilistic banding:
+    order every document's shingle set by global rarity (df asc,
+    shingle asc) and emit only its first |x| - ceil(t·|x|) + 1
+    shingles; any pair with J ≥ t MUST collide on at least one emitted
+    prefix shingle, so parity with the blocking-free brute-force SQL
+    oracle proves zero missed pairs (the band-blocked variant can in
+    principle drop a cross-band pair; this one cannot).
+
+    Scale shape, four bounded exchanges: (1) per-block shingle-set
+    explode → groupby(shingle) document frequencies (combinable
+    counts); (2) shingle-keyed join ships each (doc, shingle) row its
+    df — the ordering is distributed, NEVER a driver/broadcast
+    vocabulary; (3) groupby(doc).map_groups sorts in-doc by (df,
+    shingle) and cuts the prefix — output rows shrink to ~(1-t)·|x|
+    per doc; (4) groupby(prefix shingle) pairs docs in-group
+    (vectorized triu + the |y| ≥ t·|x| length filter — rare-first
+    ordering keeps these groups tiny: a df-1 shingle pairs nothing, a
+    stopword shingle almost never survives into a prefix). The
+    candidate set is near-dup-sized, so exact verification reuses the
+    MinHash fast path: distinct candidate ids broadcast → semi-filter
+    docs → one map over the pair list with broadcast texts (the
+    union+groupby join of documents_minhash_dups remains the
+    documented fallback for adversarial candidate volumes)."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, shs, sizes = [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            s = _shingles(txt)
+            if not s:
+                continue
+            n = len(s)
+            for sh in s:
+                ids.append(did)
+                shs.append(sh)
+                sizes.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(shs, pa.string()),
+                         "size": pa.array(sizes, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    tok = (docs.map_batches(explode, batch_format="pyarrow")
+           .repartition(num_partitions).materialize())
+    dfreq = (tok.groupby("sh").aggregate(Count(alias_name="df"))
+             .repartition(num_partitions))
+    ranked = tok.join(dfreq, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("sh",), right_on=("sh",))
+
+    def prefix(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["df", "sh"], kind="mergesort")
+        n = int(g["size"].iloc[0])
+        p = n - int(math.ceil(threshold * n)) + 1
+        return g.head(p)[["sh", "doc_id", "size"]]
+
+    import pandas as pd
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sz = g["size"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(ids), k=1)
+        # length filter: J(x,y) ≥ t ⇒ t·|y| ≤ |x| (|x| ≤ |y|)
+        keep = np.minimum(sz[i], sz[j]) >= threshold * np.maximum(
+            sz[i], sz[j])
+        keep &= ids[i] != ids[j]
+        return pd.DataFrame({"doc_a": ids[i][keep],
+                             "doc_b": ids[j][keep]}).drop_duplicates()
+
+    cand = (ranked.groupby("doc_id")
+            .map_groups(prefix, batch_format="pandas")
+            .groupby("sh")
+            .map_groups(pairs, batch_format="pandas"))
+
+    # ---- exact verify over the (small) candidate set -----------------
+    ptbl = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    empty = pa.Table.from_pydict({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64())})
+    if len(ptbl) == 0:
+        return rd.from_arrow(empty)
+    cand_ids = np.unique(np.concatenate(
+        [ptbl["doc_a"].to_numpy(), ptbl["doc_b"].to_numpy()]))
+    ids_ref = ray.put(pa.array(cand_ids, type=pa.int64()))
+
+    def filter_docs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return b.filter(_pc.is_in(b.column("doc_id"),
+                                  value_set=ray.get(ids_ref)))
+
+    parts = [t for t in ray.get(
+        docs.map_batches(filter_docs,
+                         batch_format="pyarrow").to_arrow_refs())
+             if len(t)]
+    texts_ref = ray.put(pa.concat_tables(parts))
+    pair_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(ptbl["doc_a"].to_numpy(), pa.int64()),
+        "doc_b": pa.array(ptbl["doc_b"].to_numpy(), pa.int64())}))
+
+    def verify(b: pa.Table) -> pa.Table:
+        tt = ray.get(texts_ref)
+        text_of = dict(zip(tt.column("doc_id").to_pylist(),
+                           tt.column("text").to_pylist()))
+        memo: dict = {}
+
+        def sh_of(d):
+            if d not in memo:
+                memo[d] = _shingles(text_of.get(d, ""))
+            return memo[d]
+
+        ra, rb, rj = [], [], []
+        for a, b2 in zip(b.column("doc_a").to_pylist(),
+                         b.column("doc_b").to_pylist()):
+            sa, sb = sh_of(a), sh_of(b2)
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= threshold:
+                ra.append(a)
+                rb.append(b2)
+                # half-away rounding (SQL round()); np.round half-even
+                # would diverge on exact .5 ulp boundaries of the
+                # small-integer ratio
+                rj.append(np.floor(j * 1e6 + 0.5) * 1e-6)
+        return pa.table({"doc_a": pa.array(ra, pa.int64()),
+                         "doc_b": pa.array(rb, pa.int64()),
+                         "jaccard": pa.array(rj, pa.float64())})
+
+    return (pair_ds.map_batches(verify, batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))
+
+
+SQL_DOCUMENTS_SETSIM_JOIN = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS sh
+  FROM documents,
+       LATERAL (SELECT regexp_extract_all(lower(text),
+             '[^' || chr(9) || chr(10) || chr(12) || chr(13) || ' ]+')
+         AS toks)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / nullif(len(list_distinct(a.sh || b.sh)), 0), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / nullif(len(list_distinct(a.sh || b.sh)), 0) >= 0.3
+ORDER BY doc_a, doc_b
+"""

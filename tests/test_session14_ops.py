@@ -167,3 +167,47 @@ def test_host_scc_matches_transitive_closure(ray_session):
     got = dict(zip(out["host"], out["scc"]))
     assert got == expect
     assert len(out) == n
+
+
+# -- documents_setsim_join (prefix-filtered exact Jaccard) ----------------------
+
+def test_setsim_join_planted_boundary(ray_session, tmp_path):
+    from gpml2pvjson_js_ray.pipelines import textops
+
+    d = str(tmp_path)
+    # doc 0/1: identical 12-token texts → 10 shared 3-grams, J = 1.0
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    # doc 2: shares a 6-token half with doc 3 → J below 0.3? build an
+    # exact boundary instead: doc2 has 4 shingles {s1..s4}, doc3 has
+    # {s1, x2, x3, x4}: inter=1, union=7, J=1/7 < 0.3 → excluded
+    d2 = "one two three four five six"
+    d3 = "one two three aaa bbb ccc"
+    # doc 4/5: 3 of 4 shingles shared → J = 3/5 = 0.6 ≥ 0.3 → included
+    d4 = "p q r s t u"            # shingles: pqr qrs rst stu
+    d5 = "p q r s t zz"           # shingles: pqr qrs rst st-zz
+    _write(d, "documents", pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [twin, twin, d2, d3, d4, d5]}))
+    out = (textops.documents_setsim_join(d).to_pandas()
+           .reset_index(drop=True))
+    got = {(a, b): j for a, b, j in
+           zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (4, 5) in got and got[(4, 5)] == 0.6
+    assert (2, 3) not in got
+    assert set(got) == {(0, 1), (4, 5)}
+
+
+def test_setsim_join_empty_and_tiny_docs(ray_session, tmp_path):
+    from gpml2pvjson_js_ray.pipelines import textops
+
+    d = str(tmp_path)
+    # sub-3-token docs collapse to a single joined shingle (the SQL
+    # CASE branch); empty docs emit nothing and can never pair
+    _write(d, "documents", pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["hello world", "hello world", "", None]}))
+    out = textops.documents_setsim_join(d).to_pandas()
+    assert out["doc_a"].tolist() == [0]
+    assert out["doc_b"].tolist() == [1]
+    assert out["jaccard"].tolist() == [1.0]
