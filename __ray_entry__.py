@@ -610,6 +610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # peeling; rows-only — pytest checks planted cycles plus a full
         # transitive-closure cross-check on the real sf0.001 host graph)
         "kg_host_scc": _webgraph_query("host_scc"),
+        # SCC-condensation DAG depth per host (rows-only; planted
+        # bow-tie pytest pins levels, SCC correctness is kg_host_scc's)
+        "kg_host_levels": _webgraph_query("host_condensation_levels"),
     }
 
 

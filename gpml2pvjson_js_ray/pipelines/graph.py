@@ -1286,3 +1286,107 @@ def strongly_connected_components(edges, nodes, src: str, dst: str,
     for d in done[1:]:
         out = out.union(d)
     return out
+
+
+def condensation_levels(edges, nodes, src: str, dst: str,
+                        max_levels: int = 64, num_partitions: int = 4):
+    """Topological depth of every node's SCC in the condensation DAG —
+    collapse each strongly connected component to one super-node (the
+    condensation is always acyclic), then level(C) = length of the
+    longest path from any source component to C. The classic web-graph
+    stratification (how "deep" into the crawl frontier a mirror
+    cluster sits) and the scheduling depth of a cyclic dependency
+    graph after cycle collapse.
+
+    Plan: reuse strongly_connected_components for (node, scc); two
+    scc-keyed joins rewrite each edge to (scc_a, scc_b), self-loops
+    drop and duplicates collapse (per-block distinct + groupby — the
+    condensed edge set is ≤ the original, usually ≪). Levels then run
+    the longest-path fixpoint: per round one co-partitioned join ships
+    level(s)+1 along condensed edges and a groupby-max folds, exactly
+    the CC round body with Max for Min; levels only grow and are
+    bounded by the DAG depth, so the integer-sum fixpoint check is
+    exact. Returns (node, scc, level); source/isolated components are
+    level 0."""
+    from ray.data.aggregate import Count, Max
+
+    scc = strongly_connected_components(
+        edges, nodes, src, dst,
+        num_partitions=num_partitions).materialize()
+    if scc.count() == 0:            # empty node domain
+        return scc.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "scc": b.column("scc"),
+                                "level": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    def eproj(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    e = (edges.map_batches(eproj, batch_format="pyarrow")
+         .repartition(num_partitions).materialize())
+
+    def scc_as(node_col, scc_col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({node_col: b.column("node"),
+                             scc_col: b.column("scc")})
+        return scc.map_batches(f, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+
+    ce = (e.join(scc_as("_a", "scc_a"), join_type="inner",
+                 num_partitions=num_partitions,
+                 on=("a",), right_on=("_a",))
+          .join(scc_as("_b", "scc_b"), join_type="inner",
+                num_partitions=num_partitions,
+                on=("b",), right_on=("_b",))
+          .map_batches(lambda b: (
+              pa.table({"scc_a": b.column("scc_a"),
+                        "scc_b": b.column("scc_b")})
+              .filter(pc.invert(pc.equal(b.column("scc_a"),
+                                         b.column("scc_b"))))
+              .group_by(["scc_a", "scc_b"]).aggregate([])),
+              batch_format="pyarrow")
+          .repartition(num_partitions).materialize())
+
+    comps = (scc.map_batches(
+        lambda b: pa.table({"c": b.column("scc")})
+        .group_by(["c"]).aggregate([]), batch_format="pyarrow")
+        .groupby("c").aggregate(Count(alias_name="_n"))
+        .map_batches(lambda b: pa.table(
+            {"c": b.column("c"),
+             "level": pa.array(np.zeros(len(b), dtype=np.int64))}),
+            batch_format="pyarrow")
+        .repartition(num_partitions).materialize())
+
+    levels = comps
+    prev = levels.sum("level")
+    if ce.count() > 0:
+        for _ in range(max_levels):
+            msgs = (ce.join(levels, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("scc_a",), right_on=("c",))
+                    .map_batches(lambda b: pa.table(
+                        {"c": b.column("scc_b"),
+                         "level": pc.add(b.column("level"),
+                                         pa.scalar(1, pa.int64()))}),
+                        batch_format="pyarrow"))
+            levels = (levels.union(msgs).groupby("c")
+                      .aggregate(Max("level", alias_name="level"))
+                      .repartition(num_partitions).materialize())
+            cur = levels.sum("level")
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                "condensation_levels: depth exceeds max_levels "
+                f"({max_levels}) — not a finite-depth DAG?")
+
+    out = scc.join(levels, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("scc",), right_on=("c",))
+    return out.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "scc": b.column("scc"),
+                            "level": b.column("level")}),
+        batch_format="pyarrow")

@@ -276,3 +276,42 @@ def host_scc(pages, num_partitions: int = 4):
 
     return (scc.map_batches(rename, batch_format="pyarrow")
             .sort(["scc", "host"]))
+
+
+def host_condensation_levels(pages, num_partitions: int = 4):
+    """Crawl-frontier stratification of the host graph: collapse SCCs
+    (mirror rings, mutual-link cores) and report each host's depth in
+    the acyclic condensation — level 0 = source components nothing
+    links into, level k = longest condensed link chain from any
+    source. The bow-tie IN→SCC→OUT picture of Broder et al. 2000 as a
+    per-host integer. Same distinct host edge list as host_scc; see
+    graph.condensation_levels for the fixpoint shape. Returns (host,
+    scc, level) sorted by (level, scc, host)."""
+    from ray.data.aggregate import Count
+
+    from .graph import condensation_levels
+
+    g = (pages.map_batches(host_link_edges_batch, batch_format="pyarrow")
+         .map_batches(lambda b: pa.table({"src_host": b.column("src_host"),
+                                          "dst_host": b.column("dst_host")})
+                      .group_by(["src_host", "dst_host"]).aggregate([]),
+                      batch_format="pyarrow")
+         .repartition(num_partitions).materialize())
+    nodes = (g.map_batches(lambda b: pa.table({"h": b.column("src_host")}),
+                           batch_format="pyarrow")
+             .union(g.map_batches(
+                 lambda b: pa.table({"h": b.column("dst_host")}),
+                 batch_format="pyarrow"))
+             .map_batches(lambda b: b.group_by(["h"]).aggregate([]),
+                          batch_format="pyarrow")
+             .groupby("h").aggregate(Count(alias_name="_n")))
+    lv = condensation_levels(g, nodes, "src_host", "dst_host",
+                             num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "scc": b.column("scc"),
+                         "level": b.column("level")})
+
+    return (lv.map_batches(rename, batch_format="pyarrow")
+            .sort(["level", "scc", "host"]))

@@ -211,3 +211,35 @@ def test_setsim_join_empty_and_tiny_docs(ray_session, tmp_path):
     assert out["doc_a"].tolist() == [0]
     assert out["doc_b"].tolist() == [1]
     assert out["jaccard"].tolist() == [1.0]
+
+
+# -- condensation levels ---------------------------------------------------------
+
+def test_condensation_levels_planted_bowtie(ray_session):
+    from gpml2pvjson_js_ray.pipelines.graph import condensation_levels
+
+    # IN (6) → SCC {1,2,3} → bridge → SCC {4,5} → OUT chain 7→8;
+    # isolated 9. Levels: {6}=0, {1,2,3}=1, {4,5}=2, {7}=3, {8}=4, {9}=0
+    edges = rd.from_pandas(pd.DataFrame({
+        "s": [6, 1, 2, 3, 3, 4, 5, 5, 7],
+        "d": [1, 2, 3, 1, 4, 5, 4, 7, 8]}))
+    nodes = rd.from_pandas(pd.DataFrame(
+        {"n": [1, 2, 3, 4, 5, 6, 7, 8, 9]}))
+    out = condensation_levels(edges, nodes, "s", "d").to_pandas()
+    lv = dict(zip(out["node"], out["level"]))
+    assert lv == {6: 0, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 7: 3, 8: 4, 9: 0}
+    sc = dict(zip(out["node"], out["scc"]))
+    assert sc[1] == sc[2] == sc[3] == 1 and sc[4] == sc[5] == 4
+
+
+def test_host_condensation_levels_runs(ray_session):
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    pages = kg.read_pages(path, columns=["url", "html"])
+    out = webgraph_mod.host_condensation_levels(pages).to_pandas()
+    assert len(out) == 27                      # every host labeled
+    assert (out["level"] >= 0).all()
+    # a host's level must be ≥ its in-neighbors' SCC levels... minimal
+    # invariant: at least one level-0 source component exists
+    assert (out["level"] == 0).any()
