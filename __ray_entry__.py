@@ -365,6 +365,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "potential_promotion_suppliers":
             _join_query("potential_promotion_suppliers"),
         "events_user_top_type": _window_query("events_user_top_type"),
+        # per-user event-type Shannon entropy (behavioral diversity)
+        "events_user_type_entropy":
+            _window_query("events_user_type_entropy"),
+        # YoY growth: LAG over the (nation, year) aggregated series
+        "nation_revenue_yoy": _join_query("nation_revenue_yoy"),
         "events_cohort_retention":
             _window_query("events_cohort_retention"),
         "events_purchase_followups":
@@ -690,6 +695,9 @@ def oracle_sql() -> dict[str, str]:
         "potential_promotion_suppliers":
             joins.SQL_POTENTIAL_PROMOTION_SUPPLIERS,
         "events_user_top_type": windows.SQL_EVENTS_USER_TOP_TYPE,
+        "events_user_type_entropy":
+            windows.SQL_EVENTS_USER_TYPE_ENTROPY,
+        "nation_revenue_yoy": joins.SQL_NATION_REVENUE_YOY,
         "events_cohort_retention": windows.SQL_EVENTS_COHORT_RETENTION,
         "events_purchase_followups":
             windows.SQL_EVENTS_PURCHASE_FOLLOWUPS,

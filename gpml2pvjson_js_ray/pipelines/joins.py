@@ -2053,3 +2053,90 @@ GROUP BY 1, 2
 ORDER BY aa_score DESC, cust_a, cust_b
 LIMIT 100
 """
+
+
+# -- nation revenue year-over-year growth (LAG over an aggregated series) -----
+
+def nation_revenue_yoy(sf_dir: str, num_partitions: int = 8):
+    """Year-over-year revenue growth per customer nation — the
+    dashboard staple whose shape is a WINDOW OVER AN AGGREGATE: first
+    reduce orders to the (nation, year) revenue series, then a LAG
+    within each nation ordered by year. First-year rows (no prior year
+    to compare) are excluded, matching the oracle's IS NOT NULL.
+
+    Scale shape: customer→nation is a broadcast probe (dimension-sized,
+    ray.put once); per-block (nation, year) revenue partials close
+    inside each orders batch, so the one exchange carries
+    nations × years rows. The LAG then runs inside
+    groupby(nation).map_groups on that already-tiny series — the
+    standard two-stage 'aggregate, then window the aggregate' plan that
+    avoids ever sorting the fact table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust = _broadcast_kv(_read(sf_dir, "customer",
+                               ["c_custkey", "c_nationkey"]),
+                         "c_custkey", "c_nationkey")
+    attach = _make_attach(cust, "o_custkey", "c_nationkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = attach(b)
+        t = pa.table({
+            "c_nationkey": b.column("c_nationkey"),
+            "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+            "revenue": b.column("o_totalprice")})
+        return (pa.TableGroupBy(t, ["c_nationkey", "o_year"])
+                .aggregate([("revenue", "sum")])
+                .rename_columns(["c_nationkey", "o_year", "revenue"]))
+
+    series = (_read(sf_dir, "orders",
+                    ["o_custkey", "o_orderdate", "o_totalprice"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["c_nationkey", "o_year"])
+              .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def lag_growth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_year")
+        rev = g["revenue"].to_numpy()
+        yr = g["o_year"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({
+                "nation": pd.Series([], dtype=str),
+                "o_year": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+                "yoy_growth": pd.Series([], dtype="float64")})
+        growth = rev[1:] / rev[:-1] - 1.0
+        return pd.DataFrame({
+            "nation": nname[int(g["c_nationkey"].iloc[0])],
+            "o_year": yr[1:],
+            "revenue": np.round(rev[1:], 2),
+            # np.round returns the canonical nearest-6dp double (the
+            # sign·floor(|x|·1e6+.5)·1e-6 construction lands 1 ulp off
+            # the double DuckDB's round emits); growth is a ratio of
+            # noisy float sums, so exact .5-ulp ties cannot arise. The
+            # + 0.0 clears IEEE -0.0 for tiny negatives rounding to 0.
+            "yoy_growth": np.round(growth, 6) + 0.0})
+
+    return (series.groupby("c_nationkey")
+            .map_groups(lag_growth, batch_format="pandas")
+            .sort(["nation", "o_year"]))
+
+
+SQL_NATION_REVENUE_YOY = """
+WITH series AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2)
+SELECT nation, o_year, round(rev, 2) AS revenue,
+       round(rev / lag(rev) OVER (PARTITION BY nation ORDER BY o_year)
+             - 1.0, 6) + 0 AS yoy_growth
+FROM series
+QUALIFY yoy_growth IS NOT NULL
+ORDER BY nation, o_year
+"""

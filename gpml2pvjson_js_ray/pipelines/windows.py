@@ -1379,3 +1379,65 @@ FROM events e JOIN events p
 GROUP BY e.event_type
 ORDER BY followup_type
 """
+
+
+# -- per-user event-type Shannon entropy ---------------------------------------
+
+def events_user_type_entropy(sf_dir: str):
+    """Behavioral-diversity feature: Shannon entropy (nats) of each
+    user's event-type distribution — H(u) = -Σ_t p_t·ln(p_t),
+    p_t = n_{u,t}/n_u. The information-theoretic cousin of
+    events_user_top_type (mode) and the standard bot/spam signal
+    (near-zero entropy = single-action automation).
+
+    Scale shape: per-block (user, type) count partials close most of
+    the volume before ONE (user, type) groupby; the per-user fold then
+    co-locates the ≤|types| rows of each user (groupby(user_id)
+    .map_groups) and computes the entropy vectorized. The exchange
+    carries count rows bounded by users × types, never events. NULL
+    users are excluded (matching the oracle's WHERE); the `+ 0.0`
+    normalizes IEEE -0.0 (a single-type user's -Σ is negative zero,
+    which would hash-differ from the oracle's sign)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("user_id")))
+        return (pa.TableGroupBy(t, ["user_id", "event_type"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["user_id", "event_type", "n"]))
+
+    counts = (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy().astype(np.float64)
+        total = n.sum()
+        p = n / total
+        h = float(-(p * np.log(p)).sum() + 0.0)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [int(total)],
+            "entropy": [np.floor(h * 1e6 + 0.5) * 1e-6]})
+
+    return (counts.groupby("user_id")
+            .map_groups(entropy, batch_format="pandas")
+            .sort("user_id"))
+
+
+SQL_EVENTS_USER_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2),
+u AS (SELECT user_id, sum(n) AS total FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(u.total AS BIGINT) AS n_events,
+       round(-sum((n / CAST(total AS DOUBLE))
+                  * ln(n / CAST(total AS DOUBLE))) + 0, 6) AS entropy
+FROM c JOIN u USING (user_id)
+GROUP BY c.user_id, u.total
+ORDER BY user_id
+"""

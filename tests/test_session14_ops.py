@@ -243,3 +243,56 @@ def test_host_condensation_levels_runs(ray_session):
     # a host's level must be ≥ its in-neighbors' SCC levels... minimal
     # invariant: at least one level-0 source component exists
     assert (out["level"] == 0).any()
+
+
+# -- events_user_type_entropy ----------------------------------------------------
+
+def test_user_type_entropy_planted(ray_session, tmp_path):
+    from gpml2pvjson_js_ray.pipelines import windows as win
+
+    d = str(tmp_path)
+    ts = pd.Timestamp("2024-01-01")
+    # user 1: uniform over 2 types → ln 2; user 2: single type → 0.0
+    # (and MUST be +0.0, not -0.0); user 3: 3:1 split; NULL user dropped
+    _write(d, "events", pd.DataFrame({
+        "user_id": pd.array([1, 1, 2, 3, 3, 3, 3, None],
+                            dtype="Int64"),
+        "event_type": ["a", "b", "a", "a", "a", "a", "b", "a"],
+        "ts": [ts] * 8}))
+    out = (win.events_user_type_entropy(d).to_pandas()
+           .set_index("user_id"))
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "entropy"] == round(math.log(2.0), 6)
+    assert out.loc[2, "entropy"] == 0.0
+    assert math.copysign(1.0, out.loc[2, "entropy"]) == 1.0   # +0.0
+    p = np.array([0.75, 0.25])
+    assert out.loc[3, "entropy"] == np.floor(
+        -(p * np.log(p)).sum() * 1e6 + 0.5) * 1e-6
+    assert out.loc[3, "n_events"] == 4
+
+
+# -- nation_revenue_yoy ----------------------------------------------------------
+
+def test_nation_revenue_yoy_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "nation", pd.DataFrame({
+        "n_nationkey": [0, 1], "n_name": ["A_LAND", "B_LAND"],
+        "n_regionkey": [0, 0]}))
+    _write(d, "customer", pd.DataFrame({
+        "c_custkey": [1, 2], "c_nationkey": [0, 1]}))
+    # A_LAND: 100 → 150 (+0.5) → 120 (-0.2); B_LAND: single year → no row
+    _write(d, "orders", pd.DataFrame({
+        "o_custkey": [1, 1, 1, 1, 2],
+        "o_totalprice": [60.0, 40.0, 150.0, 120.0, 99.0],
+        "o_orderdate": [_ts("1996-03-01"), _ts("1996-09-01"),
+                        _ts("1997-02-01"), _ts("1998-05-01"),
+                        _ts("1996-01-01")]}))
+    out = joins.nation_revenue_yoy(d).to_pandas()
+    assert out["nation"].tolist() == ["A_LAND", "A_LAND"]
+    assert out["o_year"].tolist() == [1997, 1998]
+    assert out["revenue"].tolist() == [150.0, 120.0]
+    assert out["yoy_growth"].tolist() == [0.5, -0.2]
+
+
+def _ts(s):
+    return np.datetime64(s, "us")
