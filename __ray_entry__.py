@@ -43,6 +43,16 @@ def _kg_query(fn_name):
     return q
 
 
+def _kg_ntriples(sf_dir: str):
+    import os as _os
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf(sf_dir)
+    out = _os.path.join("/tmp/gpml2pvjson_ntriples",
+                        _os.path.basename(_os.path.normpath(sf_dir)))
+    return kg.write_ntriples(kg.read_pages(path), out)
+
+
 def _kg_docs(sf_dir: str):
     from gpml2pvjson_js_ray.pipelines import kg
     path = kg.pages_path_for_sf(sf_dir)
@@ -618,6 +628,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCC-condensation DAG depth per host (rows-only; planted
         # bow-tie pytest pins levels, SCC correctness is kg_host_scc's)
         "kg_host_levels": _webgraph_query("host_condensation_levels"),
+        # N-Triples RDF sink: sharded content-addressed export of the
+        # deduped triples; returns the shard manifest (rows-only —
+        # pytest validates grammar per line, count parity, idempotence)
+        "kg_ntriples": _kg_ntriples,
     }
 
 

@@ -89,6 +89,27 @@ def cmd_jsonld(args) -> int:
     return 0
 
 
+def cmd_ntriples(args) -> int:
+    """Export the pages corpus's deduped triples as sharded N-Triples
+    (the RDF bulk-load sink; see functions/ntriples.py for the
+    term-mapping convention)."""
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        from .pipelines.kg import read_pages, write_ntriples
+        manifest = write_ntriples(read_pages(args.pages), args.out)
+        shards = manifest.to_pandas()
+        print(json.dumps({"shards": len(shards),
+                          "triples": int(shards["n_triples"].sum()),
+                          "out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def cmd_compare(args) -> int:
     """Distributed regression-compare harness: convert every GPML file
     in --gpml and field-diff it against the same-stem golden JSON in
@@ -197,6 +218,13 @@ def main(argv=None) -> int:
     p_jsonld.add_argument("--out", required=True)
     p_jsonld.add_argument("--num-cpus", type=int, default=8)
     p_jsonld.set_defaults(fn=cmd_jsonld)
+
+    p_nt = sub.add_parser(
+        "ntriples", help="pages corpus → sharded N-Triples export")
+    p_nt.add_argument("--pages", required=True)
+    p_nt.add_argument("--out", required=True)
+    p_nt.add_argument("--num-cpus", type=int, default=8)
+    p_nt.set_defaults(fn=cmd_ntriples)
 
     p_cmp = sub.add_parser(
         "compare", help="regression-compare GPML corpus vs golden JSON")

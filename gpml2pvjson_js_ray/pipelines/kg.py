@@ -616,3 +616,40 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     stats["triples_deduped"] = sum(adj_counts)
     stats["entities"] = sum(ent_counts)
     return stats
+
+
+def write_ntriples(pages, out_dir: str, xref_ref=None):
+    """Materialize the deduped triple stream as sharded N-Triples — the
+    bulk-load RDF sink next to the JSON-LD one (functions/ntriples.py
+    documents the term-mapping convention). Each task formats its block
+    and writes ONE shard under a content-addressed name
+    (sha1 of the block's lines → idempotent under task retry, same
+    write discipline as the docs checkpoint, stages/convert.py:72);
+    shards land in `out_dir` directly so a resumed/re-run export
+    overwrites byte-identical files instead of duplicating. Returns the
+    shard manifest as a Dataset (shard, n_triples) — constant-size per
+    task, nothing dataset-sized on the driver."""
+    import hashlib
+    import os as _os
+
+    from ..functions.ntriples import lines_batch, xref_iri_factory
+
+    _os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(b: "pa.Table") -> "pa.Table":
+        import pyarrow as _pa
+        resolve = xref_iri_factory()
+        lines = lines_batch(b, xref_iri_of=resolve).column("line")
+        payload = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
+        key = hashlib.sha1(payload).hexdigest()[:16]
+        path = _os.path.join(out_dir, f"part-{key}.nt")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, path)          # atomic publish
+        return _pa.table({"shard": _pa.array([f"part-{key}.nt"]),
+                          "n_triples": _pa.array([len(lines)],
+                                                 _pa.int64())})
+
+    return deduped_triples_dataset(pages, xref_ref).map_batches(
+        write_shard, batch_format="pyarrow")

@@ -296,3 +296,65 @@ def test_nation_revenue_yoy_planted(ray_session, tmp_path):
 
 def _ts(s):
     return np.datetime64(s, "us")
+
+
+# -- N-Triples sink ---------------------------------------------------------------
+
+def test_ntriples_term_mapping_and_escaping():
+    import pyarrow as pa
+
+    from gpml2pvjson_js_ray.functions.ntriples import (
+        BIOPAX_NS, RDF_NS, WP_NS, lines_batch, xref_iri_factory)
+
+    b = pa.table({
+        "subj": ["n1", "n1", "dn2", "m3", "weird id!", "m3"],
+        "pred": ["rdf:type", "hasXref", "textContent", "isPartOf",
+                 "cites", "hasXref"],
+        "obj": ["Complex", "Ensembl:ENSG000001",
+                'say "hi"\n\tback\\slash', "g9",
+                "px7", "NotADb:XYZ"],
+        "obj_is_node": [False, False, False, True, True, False]})
+    lines = lines_batch(b, xref_iri_of=xref_iri_factory()) \
+        .column("line").to_pylist()
+    assert lines[0] == f"_:n1 <{RDF_NS}type> <{BIOPAX_NS}Complex> ."
+    assert lines[1] == (f"_:n1 <{WP_NS}hasXref> "
+                        "<http://identifiers.org/ensembl/ENSG000001> .")
+    assert lines[2] == (f'_:dn2 <{WP_NS}textContent> '
+                        '"say \\"hi\\"\\n\\tback\\\\slash" .')
+    assert lines[3] == f"_:m3 <{WP_NS}isPartOf> _:g9 ."
+    assert lines[4].startswith("_:xweirdid") and lines[4].endswith("_:px7 .")
+    assert lines[5] == f'_:m3 <{WP_NS}hasXref> "NotADb:XYZ" .'
+
+
+def test_ntriples_blank_sanitize_is_collision_proof():
+    from gpml2pvjson_js_ray.functions.ntriples import _blank
+
+    a, b = _blank("a b"), _blank("a:b")          # both sanitize to "ab"
+    assert a != b
+    assert _blank("ok123") == "_:ok123"
+
+
+def test_ntriples_export_grammar_count_idempotent(ray_session, tmp_path):
+    import re
+
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    out = str(tmp_path / "nt")
+    man = kg.write_ntriples(kg.read_pages(path), out).to_pandas()
+    n_expected = kg.deduped_triples_dataset(kg.read_pages(path)).count()
+    assert int(man["n_triples"].sum()) == n_expected
+
+    term = r'(?:<[^ >]+>|_:[A-Za-z][A-Za-z0-9]*|"(?:[^"\\]|\\.)*")'
+    line_re = re.compile(rf"^{term} {term} {term} \.$")
+    n_lines = 0
+    for shard in man["shard"]:
+        with open(os.path.join(out, shard), encoding="utf-8") as f:
+            for line in f:
+                assert line_re.match(line.rstrip("\n")), line
+                n_lines += 1
+    assert n_lines == n_expected
+
+    # idempotence: a re-run rewrites the same content-addressed shards
+    man2 = kg.write_ntriples(kg.read_pages(path), out).to_pandas()
+    assert sorted(man2["shard"]) == sorted(man["shard"])
