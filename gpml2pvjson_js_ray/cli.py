@@ -100,7 +100,8 @@ def cmd_ntriples(args) -> int:
                  logging_level="ERROR")
     try:
         from .pipelines.kg import read_pages, write_ntriples
-        manifest = write_ntriples(read_pages(args.pages), args.out)
+        manifest = write_ntriples(read_pages(args.pages), args.out,
+                                  quads=args.quads)
         shards = manifest.to_pandas()
         print(json.dumps({"shards": len(shards),
                           "triples": int(shards["n_triples"].sum()),
@@ -223,6 +224,9 @@ def main(argv=None) -> int:
         "ntriples", help="pages corpus → sharded N-Triples export")
     p_nt.add_argument("--pages", required=True)
     p_nt.add_argument("--out", required=True)
+    p_nt.add_argument("--quads", action="store_true",
+                      help="N-Quads with the crawl URL as graph label "
+                           "(pre-dedup provenance)")
     p_nt.add_argument("--num-cpus", type=int, default=8)
     p_nt.set_defaults(fn=cmd_ntriples)
 

@@ -80,9 +80,20 @@ def _pred_iri(pred: str) -> str:
     return WP_NS + "p" + h
 
 
-def lines_batch(b: pa.Table, xref_iri_of=None) -> pa.Table:
+def _iri_term(iri: str) -> str:
+    # IRIREF forbids space, quotes, angle brackets and controls — the
+    # page-url graph labels come from untrusted HTML, so escape them
+    return "<" + re.sub(r'[\x00-\x20<>"{}|^`\\]',
+                        lambda m: "%%%02X" % ord(m.group()), iri) + ">"
+
+
+def lines_batch(b: pa.Table, xref_iri_of=None,
+                graph_col: str | None = None) -> pa.Table:
     """(subj, pred, obj[, obj_is_node]) batch → single-column `line`
-    table of N-Triples lines. `xref_iri_of`: optional callable
+    table of N-Triples lines — or N-QUADS when `graph_col` names a
+    column of graph-label IRIs (the per-page provenance export: the
+    crawl URL each triple was extracted from, the lineage RDF stores
+    query with GRAPH ?g). `xref_iri_of`: optional callable
     "DataSource:ID" → IRI or None (the linker's namespace table);
     when absent, hasXref objects stay literals."""
     subs = b.column("subj").to_pylist()
@@ -92,9 +103,11 @@ def lines_batch(b: pa.Table, xref_iri_of=None) -> pa.Table:
         is_node = b.column("obj_is_node").to_pylist()
     else:
         is_node = [False] * len(subs)
+    graphs = (b.column(graph_col).to_pylist() if graph_col is not None
+              else [None] * len(subs))
 
     lines = []
-    for s, p, o, node in zip(subs, preds, objs, is_node):
+    for s, p, o, node, g in zip(subs, preds, objs, is_node, graphs):
         st = _blank(s)
         pt = f"<{_pred_iri(p)}>"
         if p == "rdf:type":
@@ -106,7 +119,10 @@ def lines_batch(b: pa.Table, xref_iri_of=None) -> pa.Table:
             iri = xref_iri_of(o) if (xref_iri_of is not None
                                      and p == "hasXref") else None
             ot = f"<{iri}>" if iri else f'"{_escape_literal(o)}"'
-        lines.append(f"{st} {pt} {ot} .")
+        if g is None:
+            lines.append(f"{st} {pt} {ot} .")
+        else:
+            lines.append(f"{st} {pt} {ot} {_iri_term(g)} .")
     return pa.table({"line": pa.array(lines, pa.string())})
 
 

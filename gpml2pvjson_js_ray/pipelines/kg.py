@@ -618,7 +618,8 @@ def run_kg_pipeline(pages_dir: str, out_dir: str,
     return stats
 
 
-def write_ntriples(pages, out_dir: str, xref_ref=None):
+def write_ntriples(pages, out_dir: str, xref_ref=None,
+                   quads: bool = False):
     """Materialize the deduped triple stream as sharded N-Triples — the
     bulk-load RDF sink next to the JSON-LD one (functions/ntriples.py
     documents the term-mapping convention). Each task formats its block
@@ -628,28 +629,37 @@ def write_ntriples(pages, out_dir: str, xref_ref=None):
     shards land in `out_dir` directly so a resumed/re-run export
     overwrites byte-identical files instead of duplicating. Returns the
     shard manifest as a Dataset (shard, n_triples) — constant-size per
-    task, nothing dataset-sized on the driver."""
+    task, nothing dataset-sized on the driver.
+
+    `quads=True` exports N-QUADS with the crawl URL as each statement's
+    graph label — per-page provenance, which only exists BEFORE global
+    dedup, so the quad stream is the linked (pre-dedup) one; the triple
+    stream stays the deduped canonical set."""
     import hashlib
     import os as _os
 
     from ..functions.ntriples import lines_batch, xref_iri_factory
 
     _os.makedirs(out_dir, exist_ok=True)
+    graph_col = "url" if quads else None
+    ext = "nq" if quads else "nt"
 
     def write_shard(b: "pa.Table") -> "pa.Table":
         import pyarrow as _pa
         resolve = xref_iri_factory()
-        lines = lines_batch(b, xref_iri_of=resolve).column("line")
+        lines = lines_batch(b, xref_iri_of=resolve,
+                            graph_col=graph_col).column("line")
         payload = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
         key = hashlib.sha1(payload).hexdigest()[:16]
-        path = _os.path.join(out_dir, f"part-{key}.nt")
+        path = _os.path.join(out_dir, f"part-{key}.{ext}")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
         _os.replace(tmp, path)          # atomic publish
-        return _pa.table({"shard": _pa.array([f"part-{key}.nt"]),
+        return _pa.table({"shard": _pa.array([f"part-{key}.{ext}"]),
                           "n_triples": _pa.array([len(lines)],
                                                  _pa.int64())})
 
-    return deduped_triples_dataset(pages, xref_ref).map_batches(
-        write_shard, batch_format="pyarrow")
+    src = (linked_triples_dataset(pages, xref_ref) if quads
+           else deduped_triples_dataset(pages, xref_ref))
+    return src.map_batches(write_shard, batch_format="pyarrow")

@@ -358,3 +358,29 @@ def test_ntriples_export_grammar_count_idempotent(ray_session, tmp_path):
     # idempotence: a re-run rewrites the same content-addressed shards
     man2 = kg.write_ntriples(kg.read_pages(path), out).to_pandas()
     assert sorted(man2["shard"]) == sorted(man["shard"])
+
+
+def test_nquads_provenance_export(ray_session, tmp_path):
+    import re
+
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    out = str(tmp_path / "nq")
+    man = kg.write_ntriples(kg.read_pages(path), out, quads=True) \
+        .to_pandas()
+    # quads carry pre-dedup provenance: one statement per LINKED triple
+    n_expected = kg.linked_triples_dataset(kg.read_pages(path)).count()
+    assert int(man["n_triples"].sum()) == n_expected
+
+    term = r'(?:<[^ >]+>|_:[A-Za-z][A-Za-z0-9]*|"(?:[^"\\]|\\.)*")'
+    quad_re = re.compile(rf"^{term} {term} {term} <[^ >]+> \.$")
+    checked = 0
+    for shard in man["shard"]:
+        assert shard.endswith(".nq")
+        with open(os.path.join(out, shard), encoding="utf-8") as f:
+            for line in f:
+                assert quad_re.match(line.rstrip("\n")), line
+                checked += 1
+                assert "http" in line.rsplit("<", 1)[1]  # graph = crawl url
+    assert checked == n_expected
