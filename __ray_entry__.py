@@ -148,6 +148,15 @@ def _kg_kcore(sf_dir: str):
     return graph.entity_kcore(_kg_pipeline_output("adjacency")(sf_dir))
 
 
+def _kg_optional_join(sf_dir: str):
+    """SPARQL OPTIONAL `?s hasXref ?o . OPTIONAL { ?s isPartOf ?o2 }`
+    answered from the PSO secondary index (left-join dual of the star
+    join). Correctness: full-scan DuckDB LEFT JOIN parity in
+    tests/test_session14_ops.py."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.optional_join_from_layout(_kg_pso_dir(sf_dir))
+
+
 def _kg_star_join(sf_dir: str):
     """SPARQL star pattern `?s hasXref ?o1 . ?s isPartOf ?o2` answered
     from the PSO secondary index: per-arm point lookups + one
@@ -420,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_communities": _kg_communities,
         "kg_entity_kcore": _kg_kcore,
         "kg_star_join": _kg_star_join,
+        "kg_optional_join": _kg_optional_join,
         "embeddings_kcenter_coreset": simops.embeddings_kcenter_coreset,
         "documents_editdist_dups": textops.documents_editdist_dups,
         "events_mad_outliers": _quantile_query("events_mad_outliers"),

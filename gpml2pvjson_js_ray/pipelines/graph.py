@@ -1390,3 +1390,49 @@ def condensation_levels(edges, nodes, src: str, dst: str,
                             "scc": b.column("scc"),
                             "level": b.column("level")}),
         batch_format="pyarrow")
+
+
+def optional_join_from_layout(pso_dir: str, required: str = "hasXref",
+                              optional: str = "isPartOf"):
+    """SPARQL OPTIONAL answered from the PSO secondary index:
+    `?s <required> ?o . OPTIONAL { ?s <optional> ?o2 }` — every subject
+    carrying the required predicate, with its optional-predicate edge
+    count attached LEFT-JOIN style (0 when the optional pattern has no
+    match; the star join's mandatory-arms dual). Same I/O shape as
+    star_join_from_layout: each predicate reads ONE pred-hash bucket,
+    folds to (subj, count) per arm, and the left join closes in a
+    single subject-key groupby — the required arm tags n_req, the
+    optional arm n_opt, and subjects missing the required tag drop.
+
+    Returns (canonical_subj, n_required, n_optional) sorted by
+    subject."""
+    from ray.data.aggregate import Sum
+
+    def arm(pred, col):
+        edges = predicate_edges_from_layout(pso_dir, pred)
+
+        def fold(b: pa.Table) -> pa.Table:
+            t = pa.table({"canonical_subj": b.column("canonical_subj")})
+            g = (t.group_by(["canonical_subj"])
+                 .aggregate([([], "count_all")]))
+            g = g.rename_columns(["canonical_subj", col])
+            other = "n_optional" if col == "n_required" else "n_required"
+            return g.append_column(
+                other, pa.array(np.zeros(len(g), dtype=np.int64)))
+
+        return edges.map_batches(fold, batch_format="pyarrow")
+
+    both = (arm(required, "n_required").union(arm(optional, "n_optional"))
+            .groupby("canonical_subj")
+            .aggregate(Sum("n_required", alias_name="n_required"),
+                       Sum("n_optional", alias_name="n_optional")))
+
+    def close(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("n_required"), pa.scalar(0)))
+        return pa.table({
+            "canonical_subj": b.column("canonical_subj"),
+            "n_required": b.column("n_required").cast(pa.int64()),
+            "n_optional": b.column("n_optional").cast(pa.int64())})
+
+    return (both.map_batches(close, batch_format="pyarrow")
+            .sort("canonical_subj"))

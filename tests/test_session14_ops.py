@@ -384,3 +384,47 @@ def test_nquads_provenance_export(ray_session, tmp_path):
                 checked += 1
                 assert "http" in line.rsplit("<", 1)[1]  # graph = crawl url
     assert checked == n_expected
+
+
+# -- optional_join_from_layout -----------------------------------------------------
+
+def test_optional_join_matches_full_scan_left_join(ray_session, tmp_path):
+    """The PSO OPTIONAL join must equal a full-scan LEFT JOIN: every
+    subject with the required predicate, optional count 0 when
+    absent."""
+    import glob
+
+    import duckdb
+
+    from gpml2pvjson_js_ray.pipelines import graph, kg
+    from gpml2pvjson_js_ray.sources.pages import write_pages_parquet
+    from gpml2pvjson_js_ray.stages.adjacency import write_predicate_layout
+
+    write_pages_parquet(str(tmp_path / "pages"), 60)
+    kg.run_kg_pipeline(str(tmp_path / "pages"), str(tmp_path / "out"))
+    adj_dir = str(tmp_path / "out" / "adjacency")
+    pso_dir = str(tmp_path / "out" / "pso")
+    write_predicate_layout(adj_dir, pso_dir, num_buckets=8)
+
+    got = graph.optional_join_from_layout(
+        pso_dir, "hasXref", "isPartOf").to_pandas()
+
+    files = sorted(glob.glob(adj_dir + "/**/*.parquet", recursive=True))
+    want = duckdb.sql(f"""
+        WITH req AS (SELECT canonical_subj, count(*) AS n_required
+                     FROM read_parquet({files!r})
+                     WHERE pred = 'hasXref' GROUP BY 1),
+        opt AS (SELECT canonical_subj, count(*) AS n_optional
+                FROM read_parquet({files!r})
+                WHERE pred = 'isPartOf' GROUP BY 1)
+        SELECT req.canonical_subj, req.n_required,
+               coalesce(opt.n_optional, 0) AS n_optional
+        FROM req LEFT JOIN opt USING (canonical_subj)
+        ORDER BY canonical_subj
+    """).df()
+    assert len(got) == len(want) and len(got) > 0
+    assert got["canonical_subj"].tolist() == want["canonical_subj"].tolist()
+    assert got["n_required"].tolist() == want["n_required"].tolist()
+    assert got["n_optional"].tolist() == want["n_optional"].tolist()
+    # OPTIONAL must preserve required-only subjects (else it's an inner join)
+    assert (got["n_optional"] == 0).any()
