@@ -541,6 +541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generation (oracle is the blocking-free brute-force self-join,
         # so parity proves zero missed pairs)
         "documents_setsim_join": textops.documents_setsim_join,
+        # winnowing (MOSS) local-overlap near-dup pairs (rows-only;
+        # pytest pins the w+k-1 shared-run guarantee)
+        "documents_winnowing_dups": textops.documents_winnowing_dups,
         "documents_simhash": textops.documents_simhash,
         "documents_simhash_dups": textops.documents_simhash_dups,
         # similarity search over embeddings

@@ -428,3 +428,50 @@ def test_optional_join_matches_full_scan_left_join(ray_session, tmp_path):
     assert got["n_optional"].tolist() == want["n_optional"].tolist()
     # OPTIONAL must preserve required-only subjects (else it's an inner join)
     assert (got["n_optional"] == 0).any()
+
+
+# -- documents_winnowing_dups -------------------------------------------------------
+
+def test_winnowing_guarantee_catches_local_overlap(ray_session, tmp_path):
+    """The winnowing guarantee: a shared verbatim run of ≥ w+k-1 tokens
+    must produce a shared fingerprint — even when the surrounding
+    documents are completely different (the case whole-doc MinHash
+    dilutes away)."""
+    from gpml2pvjson_js_ray.pipelines import textops
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def prose(n):
+        return " ".join(rng.choice(vocab, size=n))
+
+    shared = ("copied passage tokens " + " ".join(
+        f"c{i}" for i in range(30))).strip()          # 33-token run
+    texts = [prose(200) + " " + shared + " " + prose(200),
+             prose(200) + " " + shared + " " + prose(200),
+             prose(400), prose(400)]
+    _write(d, "documents", pd.DataFrame({
+        "doc_id": [0, 1, 2, 3], "text": texts}))
+    out = textops.documents_winnowing_dups(d, min_shared=2).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)               # no false pairs
+
+
+def test_winnowing_rightmost_tie_and_density():
+    import pyarrow as pa
+
+    from gpml2pvjson_js_ray.pipelines.textops import _winnow_batch
+
+    b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b c d e f g h i j k l m n"])})
+    out = _winnow_batch(b, w=4)
+    # density: ~2/(w+1) of the k-gram count; at minimum ≥1 per window
+    assert 1 <= out.num_rows <= 10
+    # identical docs → identical fingerprint sets regardless of block
+    b2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["a b c d e f g h i j k l m n"] * 2)})
+    out2 = _winnow_batch(b2, w=4)
+    fps = out2.to_pandas().groupby("doc_id")["fp"].apply(set)
+    assert fps[1] == fps[2]
