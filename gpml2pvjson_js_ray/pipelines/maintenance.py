@@ -527,3 +527,51 @@ SQL_EVENTS_ZORDER = """
 SELECT event_id, ts, user_id, event_type, value, props
 FROM events ORDER BY event_id
 """
+
+
+# -- vacuum: reclaim orphaned data files -------------------------------------
+
+def vacuum_orphans(data_dir: str, manifest_files, *,
+                   suffixes: tuple[str, ...] = (".parquet", ".nt", ".nq"),
+                   dry_run: bool = False) -> "pa.Table":
+    """Delete data files in `data_dir` that no manifest references —
+    the lakehouse VACUUM: content-addressed writers (the docs
+    checkpoints, the N-Triples shards, compact/zorder outputs) are
+    idempotent but a writer that died between write and manifest
+    commit, or a re-run after a code change that shifted block
+    boundaries, leaves orphan files that never get read again yet cost
+    storage and list() time forever at 10^12-document scale.
+
+    Safety rules (each one is the difference between VACUUM and rm):
+    - only files with a known data suffix are candidates — manifests,
+      `_manifest/` state and dotfiles are never touched;
+    - in-flight `.tmp` files are skipped (the atomic-publish writers
+      rename over them; a concurrent writer's tmp is not an orphan);
+    - `dry_run=True` reports without deleting — run it first, always.
+
+    Driver-side by design: the file LISTING (one row per file) is the
+    small side at any scale — 10^12 docs in 256 MiB shards is ~10^6
+    manifest rows per partition dir, listed once; the data bytes never
+    move. Returns a table (file, size_bytes, action) sorted by file."""
+    import glob as _glob
+
+    keep = {os.path.basename(f) for f in manifest_files}
+    files, sizes, actions = [], [], []
+    for path in sorted(_glob.glob(os.path.join(data_dir, "*"))):
+        name = os.path.basename(path)
+        if not name.endswith(suffixes) or name.endswith(".tmp"):
+            continue
+        size = os.path.getsize(path)
+        if name in keep:
+            action = "kept"
+        elif dry_run:
+            action = "orphan"
+        else:
+            os.remove(path)
+            action = "deleted"
+        files.append(name)
+        sizes.append(size)
+        actions.append(action)
+    return pa.table({"file": pa.array(files, pa.string()),
+                     "size_bytes": pa.array(sizes, pa.int64()),
+                     "action": pa.array(actions, pa.string())})

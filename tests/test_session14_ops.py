@@ -475,3 +475,54 @@ def test_winnowing_rightmost_tie_and_density():
     out2 = _winnow_batch(b2, w=4)
     fps = out2.to_pandas().groupby("doc_id")["fp"].apply(set)
     assert fps[1] == fps[2]
+
+
+# -- vacuum_orphans ----------------------------------------------------------------
+
+def test_vacuum_orphans_safety_rules(tmp_path):
+    from gpml2pvjson_js_ray.pipelines import maintenance
+
+    d = str(tmp_path)
+    for name, body in [("part-aa.nt", b"x"), ("part-bb.nt", b"yy"),
+                       ("part-cc.parquet", b"zzz"),
+                       ("part-dd.nt.tmp", b"inflight"),
+                       ("_manifest.json", b"{}"),
+                       ("notes.txt", b"hello")]:
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(body)
+
+    # dry run: reports the orphans, deletes nothing
+    rep = maintenance.vacuum_orphans(
+        d, ["part-aa.nt"], dry_run=True).to_pandas()
+    acts = dict(zip(rep["file"], rep["action"]))
+    assert acts == {"part-aa.nt": "kept", "part-bb.nt": "orphan",
+                    "part-cc.parquet": "orphan"}
+    assert os.path.exists(os.path.join(d, "part-bb.nt"))
+
+    # real run: orphans deleted; manifest-listed, tmp, non-data survive
+    rep2 = maintenance.vacuum_orphans(d, ["part-aa.nt"]).to_pandas()
+    acts2 = dict(zip(rep2["file"], rep2["action"]))
+    assert acts2["part-bb.nt"] == "deleted"
+    assert acts2["part-cc.parquet"] == "deleted"
+    assert not os.path.exists(os.path.join(d, "part-bb.nt"))
+    for survivor in ["part-aa.nt", "part-dd.nt.tmp",
+                     "_manifest.json", "notes.txt"]:
+        assert os.path.exists(os.path.join(d, survivor)), survivor
+
+
+def test_vacuum_after_ntriples_rerun(ray_session, tmp_path):
+    """End-to-end: an export whose shard set changed (simulated stale
+    shard) vacuums down to exactly the manifest's files."""
+    from gpml2pvjson_js_ray.pipelines import kg, maintenance
+
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    out = str(tmp_path / "nt")
+    man = kg.write_ntriples(kg.read_pages(path), out).to_pandas()
+    stale = os.path.join(out, "part-deadbeef00000000.nt")
+    with open(stale, "w") as f:
+        f.write("_:a <urn:p> \"v\" .\n")
+    rep = maintenance.vacuum_orphans(out, list(man["shard"])).to_pandas()
+    assert dict(zip(rep["file"], rep["action"]))[
+        "part-deadbeef00000000.nt"] == "deleted"
+    assert sorted(f for f in os.listdir(out) if f.endswith(".nt")) \
+        == sorted(man["shard"])
