@@ -632,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # independent stdlib-re recount over the same corpus)
         "kg_host_link_graph": _webgraph_query("host_link_graph"),
         "kg_host_pagerank": _webgraph_query("host_pagerank"),
+        # personalized (seed-rooted) PageRank: related-hosts ranking
+        "kg_host_ppr": _webgraph_query("host_ppr"),
         "kg_host_cocitation": _webgraph_query("host_cocitation"),
         "kg_anchor_texts": _webgraph_query("anchor_text_stats"),
         # directed SCC of the host link graph (trim + F/B min-label

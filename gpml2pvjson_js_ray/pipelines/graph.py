@@ -1436,3 +1436,82 @@ def optional_join_from_layout(pso_dir: str, required: str = "hasXref",
 
     return (both.map_batches(close, batch_format="pyarrow")
             .sort("canonical_subj"))
+
+
+
+def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
+                          damping: float = 0.85, iters: int = 8,
+                          num_partitions: int = 8):
+    """Personalized PageRank: the random walk restarts at the SEED set
+    instead of uniformly — the standard related-entity / local-ranking
+    primitive (Jeh & Widom WWW'03 rooted PageRank; what "similar
+    hosts to X" and seed-expanded entity salience run on). Identical
+    per-round dataflow to `pagerank` (one co-partitioned join + one
+    groupby-sum; dangling mass also returns to the seeds), only the
+    teleport vector changes: (1-d+d·dangling) lands entirely on
+    `seeds`, uniformly across them. Σrank stays 1; non-seed nodes
+    reachable only via the seeds' out-links get mass ∝ walk length."""
+    from ray.data.aggregate import Count, Sum
+
+    seeds = sorted(set(seeds))
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src), "dst": b.column(dst)})
+
+    ed = edges.map_batches(e_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    deg = (ed.groupby("src").aggregate(Count(alias_name="deg"))
+           .repartition(num_partitions))
+    ed = (ed.join(deg, join_type="inner", num_partitions=num_partitions,
+                  on=("src",), right_on=("src",))
+          .repartition(num_partitions).materialize())
+
+    def n_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0)})
+
+    base = nodes.map_batches(n_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    n_seeds = len(seeds)
+    seed_set = set(seeds)
+
+    def init_r(b: pa.Table) -> pa.Table:
+        vals = [1.0 / n_seeds if v in seed_set else 0.0
+                for v in b.column("node").to_pylist()]
+        return b.append_column("r", pa.array(np.array(vals)))
+
+    ranks = base.map_batches(init_r, batch_format="pyarrow").materialize()
+
+    def contrib_b(b: pa.Table) -> pa.Table:
+        c = pc.divide(b.column("r"),
+                      pc.cast(b.column("deg"), pa.float64()))
+        return pa.table({"node": b.column("dst"), "r": c})
+
+    def zero_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "r": pa.array(np.zeros(len(b)))})
+
+    for _ in range(iters):
+        msgs = (ed.join(ranks, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("src",), right_on=("node",))
+                .map_batches(contrib_b, batch_format="pyarrow")
+                .materialize())
+        emitted = msgs.sum("r") or 0.0
+        teleport = (1.0 - damping) + damping * max(0.0, 1.0 - emitted)
+        add_seed = teleport / n_seeds
+
+        def finish_b(b: pa.Table, _a=add_seed) -> pa.Table:
+            r = pc.multiply(b.column("r"), pa.scalar(damping))
+            bump = [_a if v in seed_set else 0.0
+                    for v in b.column("node").to_pylist()]
+            return pa.table({"node": b.column("node"),
+                             "r": pc.add(r, pa.array(np.array(bump)))})
+
+        ranks = (msgs.union(base.map_batches(zero_b,
+                                             batch_format="pyarrow"))
+                 .groupby("node")
+                 .aggregate(Sum("r", alias_name="r"))
+                 .map_batches(finish_b, batch_format="pyarrow")
+                 .repartition(num_partitions)
+                 .materialize())
+    return ranks

@@ -315,3 +315,48 @@ def host_condensation_levels(pages, num_partitions: int = 4):
 
     return (lv.map_batches(rename, batch_format="pyarrow")
             .sort(["level", "scc", "host"]))
+
+
+
+def host_ppr(pages, seed_host: str | None = None, damping: float = 0.85,
+             iters: int = 8, num_partitions: int = 4):
+    """Personalized PageRank from a seed host — "hosts most related to
+    X" by random-walk-with-restart over the distinct host link graph
+    (the local-ranking dual of the global host_pagerank). Default seed:
+    the lexicographically smallest linking host, so the query is
+    deterministic without configuration. Returns (host, rank) sorted
+    by rank desc then host; Σrank = 1."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .graph import personalized_pagerank
+
+    g = host_link_graph(pages).materialize()
+    if seed_host is None:
+        seed_host = min(
+            t["src_host"]
+            for t in g.select_columns(["src_host"]).take_all())
+
+    def side(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"n": b.column(col)})
+        return f
+
+    nodes = (g.map_batches(side("src_host"), batch_format="pyarrow")
+             .union(g.map_batches(side("dst_host"),
+                                  batch_format="pyarrow"))
+             .groupby("n").aggregate(Count(alias_name="c"))
+             .map_batches(lambda b: b.select(["n"]),
+                          batch_format="pyarrow"))
+
+    ranks = personalized_pagerank(g, nodes, "src_host", "dst_host",
+                                  seeds=[seed_host], damping=damping,
+                                  iters=iters,
+                                  num_partitions=num_partitions)
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "rank": pc.round(b.column("r"), ndigits=10)})
+
+    return (ranks.map_batches(final_b, batch_format="pyarrow")
+            .sort(["rank", "host"], descending=[True, False]))

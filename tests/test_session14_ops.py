@@ -526,3 +526,33 @@ def test_vacuum_after_ntriples_rerun(ray_session, tmp_path):
         "part-deadbeef00000000.nt"] == "deleted"
     assert sorted(f for f in os.listdir(out) if f.endswith(".nt")) \
         == sorted(man["shard"])
+
+
+# -- personalized pagerank -----------------------------------------------------------
+
+def test_ppr_mass_concentrates_at_seed(ray_session):
+    from gpml2pvjson_js_ray.pipelines.graph import personalized_pagerank
+
+    # star: seed 1 links to 2,3,4; 2,3,4 link back to 1
+    edges = rd.from_pandas(pd.DataFrame({
+        "s": [1, 1, 1, 2, 3, 4], "d": [2, 3, 4, 1, 1, 1]}))
+    nodes = rd.from_pandas(pd.DataFrame({"n": [1, 2, 3, 4, 5]}))
+    out = personalized_pagerank(edges, nodes, "s", "d",
+                                seeds=[1]).to_pandas()
+    r = dict(zip(out["node"], out["r"]))
+    assert abs(sum(r.values()) - 1.0) < 1e-9          # mass conserved
+    assert r[1] > r[2] > 0                            # seed dominates
+    assert abs(r[2] - r[3]) < 1e-12 and abs(r[3] - r[4]) < 1e-12
+    assert r[5] == 0.0                                # unreachable: no mass
+
+
+def test_host_ppr_runs_and_sums_to_one(ray_session):
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    path = kg.pages_path_for_sf("/root/testdata/sf0.001")
+    out = webgraph_mod.host_ppr(
+        kg.read_pages(path, columns=["url", "html"])).to_pandas()
+    assert len(out) == 27
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    # the seed (smallest linking host) must hold the largest rank
+    assert out.iloc[0]["rank"] == out["rank"].max()
