@@ -580,6 +580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # constant-size by construction)
         "documents_hybrid_rrf_topk":
             _lexical_query("documents_hybrid_rrf_topk"),
+        # sparse tf-idf query-by-document retrieval via the postings join
+        "documents_tfidf_related_topk":
+            _lexical_query("documents_tfidf_related_topk"),
         # Adamic-Adar link prediction over the customer–part bipartite
         # graph (inverse-log shared-neighbor weights, in-group pairing)
         "customers_common_parts_affinity":
@@ -670,6 +673,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_bm25_topk": lexical.SQL_DOCUMENTS_BM25_TOPK,
         "documents_hybrid_rrf_topk":
             lexical.SQL_DOCUMENTS_HYBRID_RRF_TOPK,
+        "documents_tfidf_related_topk":
+            lexical.SQL_DOCUMENTS_TFIDF_RELATED_TOPK,
         "customers_common_parts_affinity":
             joins.SQL_CUSTOMERS_COMMON_PARTS_AFFINITY,
         "documents_rag_chunks": mlprep.SQL_DOCUMENTS_RAG_CHUNKS,

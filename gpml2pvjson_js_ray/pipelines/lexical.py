@@ -705,3 +705,135 @@ FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
 ORDER BY rrf DESC, doc_id ASC
 LIMIT 10
 """
+
+
+# -- sparse TF-IDF related-document retrieval (postings-join plan) ------------
+
+def documents_tfidf_related_topk(sf_dir: str, query_id: int = 0,
+                                 k: int = 10, num_partitions: int = 8):
+    """Top-k documents most similar to a query DOCUMENT by tf-idf
+    cosine, computed the sparse-IR way — through an inverted-postings
+    join, never a dense vector: the third retrieval plan shape next to
+    BM25 (fixed-term probabilistic) and the dense matvec
+    (embeddings_cosine_top10). tf = raw in-doc term count,
+    idf = ln(N/df), score = <q,d> / (|q||d|).
+
+    Scale shape: (1) per-block explode to (doc_id, term, tf) — term
+    counts close in-block because a document is one row; (2) ONE
+    term-keyed exchange: groupby(term) document frequencies, then the
+    postings join ships each (doc, term, tf) row its df — exactly an
+    inverted-index walk, the vocabulary is never driver-side;
+    (3) map: weight = tf·idf, dot partial against the BROADCAST query
+    weight vector (|q| terms, tiny); (4) groupby(doc_id) folds
+    norm² = Σw² and dot = Σ w·w_q — constant columns out; score, sort,
+    limit. The query doc is excluded (its score is 1 by definition),
+    matching the oracle."""
+    import math
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as pads
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")).count_rows())
+
+    def explode(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        df = (pl.from_arrow(b.select(["doc_id", "text"]))
+              .with_columns(term=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(_TERM_RE))
+              .drop("text").explode("term").drop_nulls()
+              .group_by(["doc_id", "term"])
+              .agg(pl.len().cast(pl.Int64).alias("tf")))
+        return df.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("term", pa.string()),
+            ("tf", pa.int64())]))
+
+    from ray.data.aggregate import Sum
+
+    tok = (docs.map_batches(explode, batch_format="pyarrow")
+           .repartition(num_partitions).materialize())
+    dfreq = (tok.map_batches(
+        lambda b: pa.table({"term": b.column("term")})
+        .group_by(["term"]).aggregate([([], "count_all")])
+        .rename_columns(["term", "df"]), batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+        .repartition(num_partitions))
+
+    # broadcast query weight vector: |q| terms, driver-tiny by definition
+    qt = (tok.filter(expr=f"doc_id == {int(query_id)}")).to_pandas()
+    q_tf = dict(zip(qt["term"], qt["tf"]))
+
+    ranked = tok.join(dfreq, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("term",), right_on=("term",))
+
+    def weights(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pylist()
+        tf = b.column("tf").to_numpy().astype(np.float64)
+        dfv = b.column("df").to_numpy().astype(np.float64)
+        idf = np.log(n_docs / dfv)
+        w = tf * idf
+        wq = np.array([q_tf.get(t, 0) for t in terms],
+                      dtype=np.float64) * idf
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "w2": pa.array(w * w),
+                         "dot": pa.array(w * wq)})
+
+    folded = (ranked.map_batches(weights, batch_format="pyarrow")
+              .groupby("doc_id")
+              .aggregate(Sum("w2", alias_name="norm2"),
+                         Sum("dot", alias_name="dot")))
+
+    # query norm from the same folded table (one tiny driver filter)
+    qrow = folded.filter(expr=f"doc_id == {int(query_id)}").to_pandas()
+    qnorm = math.sqrt(float(qrow["norm2"].iloc[0])) if len(qrow) else 1.0
+
+    def score(b: pa.Table) -> pa.Table:
+        b = b.filter(_pc.invert(_pc.equal(b.column("doc_id"),
+                                          pa.scalar(query_id))))
+        n2 = b.column("norm2").to_numpy()
+        dot = b.column("dot").to_numpy()
+        s = np.where(n2 > 0, dot / (np.sqrt(n2) * qnorm), 0.0)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "score": pa.array(np.round(s, 6) + 0.0)})
+
+    return (folded.map_batches(score, batch_format="pyarrow")
+            .sort(["score", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+SQL_DOCUMENTS_TFIDF_RELATED_TOPK = """
+WITH tok AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents,
+       UNNEST(regexp_extract_all(lower(coalesce(text, '')),
+                                 '[a-zA-ZÀ-ÿ]+')) AS t(term)
+  GROUP BY doc_id, t.term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tok
+          GROUP BY term),
+w AS (
+  SELECT tok.doc_id, tok.term,
+         tok.tf * ln(n.n_docs / dfreq.df) AS wt
+  FROM tok JOIN dfreq USING (term) CROSS JOIN n),
+q AS (SELECT term, wt FROM w WHERE doc_id = 0),
+folded AS (
+  SELECT w.doc_id,
+         sum(w.wt * w.wt) AS norm2,
+         sum(w.wt * coalesce(q.wt, 0)) AS dot
+  FROM w LEFT JOIN q USING (term)
+  GROUP BY w.doc_id),
+qn AS (SELECT sqrt(norm2) AS qnorm FROM folded WHERE doc_id = 0)
+SELECT f.doc_id,
+       round(CASE WHEN f.norm2 > 0
+                  THEN f.dot / (sqrt(f.norm2) * qn.qnorm)
+                  ELSE 0 END, 6) + 0 AS score
+FROM folded f CROSS JOIN qn
+WHERE f.doc_id != 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""

@@ -556,3 +556,29 @@ def test_host_ppr_runs_and_sums_to_one(ray_session):
     assert abs(out["rank"].sum() - 1.0) < 1e-6
     # the seed (smallest linking host) must hold the largest rank
     assert out.iloc[0]["rank"] == out["rank"].max()
+
+
+# -- documents_tfidf_related_topk ----------------------------------------------------
+
+def test_tfidf_related_prefers_rare_term_overlap(ray_session, tmp_path):
+    """tf-idf must rank overlap on a RARE term above overlap on a
+    corpus-wide term — the property raw token-count cosine lacks."""
+    from gpml2pvjson_js_ray.pipelines import lexical
+
+    d = str(tmp_path)
+    # every doc shares 'common'; docs 0 and 1 share the rare 'zephyr';
+    # docs 0 and 2 share only 'common' (plus equal filler mass)
+    _write(d, "documents", pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["common zephyr alpha beta",
+                 "common zephyr gamma delta",
+                 "common epsilon zeta eta",
+                 "common theta iota kappa"]}))
+    out = lexical.documents_tfidf_related_topk(d, query_id=0, k=3) \
+        .to_pandas()
+    assert out.iloc[0]["doc_id"] == 1            # rare-term partner first
+    assert out.iloc[0]["score"] > out.iloc[1]["score"]
+    assert 0 not in set(out["doc_id"])           # query excluded
+    # docs 2 and 3 overlap q only on 'common' (df = N → idf = 0): score 0
+    tail = out.set_index("doc_id")["score"]
+    assert tail[2] == 0.0 and tail[3] == 0.0
