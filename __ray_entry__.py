@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _window_query("events_user_type_entropy"),
         # YoY growth: LAG over the (nation, year) aggregated series
         "nation_revenue_yoy": _join_query("nation_revenue_yoy"),
+        # trailing 3-month ROWS-frame sum over the aggregated series
+        "nation_revenue_rolling3": _join_query("nation_revenue_rolling3"),
         "events_cohort_retention":
             _window_query("events_cohort_retention"),
         "events_purchase_followups":
@@ -732,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_type_entropy":
             windows.SQL_EVENTS_USER_TYPE_ENTROPY,
         "nation_revenue_yoy": joins.SQL_NATION_REVENUE_YOY,
+        "nation_revenue_rolling3": joins.SQL_NATION_REVENUE_ROLLING3,
         "events_cohort_retention": windows.SQL_EVENTS_COHORT_RETENTION,
         "events_purchase_followups":
             windows.SQL_EVENTS_PURCHASE_FOLLOWUPS,

@@ -2140,3 +2140,82 @@ FROM series
 QUALIFY yoy_growth IS NOT NULL
 ORDER BY nation, o_year
 """
+
+
+# -- trailing 3-month revenue (ROWS frame over an aggregated series) ----------
+
+def nation_revenue_rolling3(sf_dir: str, num_partitions: int = 8):
+    """Trailing 3-month revenue per customer nation — SUM OVER a ROWS
+    BETWEEN 2 PRECEDING frame on the (nation, month) aggregated
+    series; the moving-window companion of nation_revenue_yoy's LAG.
+    Same two-stage plan: broadcast dimension probe + per-block
+    (nation, month) partials close the fact table down to
+    nations × months rows, then the frame runs vectorized inside
+    groupby(nation).map_groups (cumsum difference — exact float
+    parity with the oracle needs the SAME left-to-right accumulation,
+    so the window sums are computed as a + b + c per row, not as
+    cumsum deltas whose subtraction reorders the additions)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust = _broadcast_kv(_read(sf_dir, "customer",
+                               ["c_custkey", "c_nationkey"]),
+                         "c_custkey", "c_nationkey")
+    attach = _make_attach(cust, "o_custkey", "c_nationkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = attach(b)
+        ym = pc.add(pc.multiply(pc.year(b.column("o_orderdate")),
+                                pa.scalar(100)),
+                    pc.month(b.column("o_orderdate")))
+        t = pa.table({"c_nationkey": b.column("c_nationkey"),
+                      "o_month": ym.cast(pa.int64()),
+                      "revenue": b.column("o_totalprice")})
+        return (pa.TableGroupBy(t, ["c_nationkey", "o_month"])
+                .aggregate([("revenue", "sum")])
+                .rename_columns(["c_nationkey", "o_month", "revenue"]))
+
+    series = (_read(sf_dir, "orders",
+                    ["o_custkey", "o_orderdate", "o_totalprice"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["c_nationkey", "o_month"])
+              .aggregate(Sum("revenue", alias_name="revenue")))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_month")
+        rev = g["revenue"].to_numpy()
+        # left-to-right 3-term sums, matching the engine's frame order
+        r3 = rev.copy()
+        if len(rev) > 1:
+            r3[1:] = rev[:-1] + rev[1:]
+        if len(rev) > 2:
+            r3[2:] = (rev[:-2] + rev[1:-1]) + rev[2:]
+        return pd.DataFrame({
+            "nation": nname[int(g["c_nationkey"].iloc[0])],
+            "o_month": g["o_month"].to_numpy(),
+            "revenue_3mo": np.round(r3, 2) + 0.0})
+
+    return (series.groupby("c_nationkey")
+            .map_groups(roll, batch_format="pandas")
+            .sort(["nation", "o_month"]))
+
+
+SQL_NATION_REVENUE_ROLLING3 = """
+WITH series AS (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+             AS o_month,
+         sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2)
+SELECT nation, o_month,
+       round(sum(rev) OVER (PARTITION BY nation ORDER BY o_month
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             2) + 0 AS revenue_3mo
+FROM series
+ORDER BY nation, o_month
+"""

@@ -582,3 +582,23 @@ def test_tfidf_related_prefers_rare_term_overlap(ray_session, tmp_path):
     # docs 2 and 3 overlap q only on 'common' (df = N → idf = 0): score 0
     tail = out.set_index("doc_id")["score"]
     assert tail[2] == 0.0 and tail[3] == 0.0
+
+
+# -- nation_revenue_rolling3 ---------------------------------------------------------
+
+def test_rolling3_frame_boundaries(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write(d, "nation", pd.DataFrame({
+        "n_nationkey": [0], "n_name": ["A_LAND"], "n_regionkey": [0]}))
+    _write(d, "customer", pd.DataFrame({
+        "c_custkey": [1], "c_nationkey": [0]}))
+    # four months 10/20/30/40: frames [10], [10,20], [10,20,30],
+    # [20,30,40] — the first two rows exercise the short-frame edge
+    _write(d, "orders", pd.DataFrame({
+        "o_custkey": [1, 1, 1, 1],
+        "o_totalprice": [10.0, 20.0, 30.0, 40.0],
+        "o_orderdate": [_ts("1996-01-05"), _ts("1996-02-05"),
+                        _ts("1996-03-05"), _ts("1996-04-05")]}))
+    out = joins.nation_revenue_rolling3(d).to_pandas()
+    assert out["o_month"].tolist() == [199601, 199602, 199603, 199604]
+    assert out["revenue_3mo"].tolist() == [10.0, 30.0, 60.0, 90.0]
