@@ -448,7 +448,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _sampling_query("documents_uniform_k_sample"),
         "documents_similarity_components": _graph_query(
             "documents_similarity_components"),
-        "embeddings_knn_triangles": _graph_query("embeddings_knn_triangles"),
         "documents_mixture_interleave":
             _sampling_query("documents_mixture_interleave"),
         "documents_dedup_survivors":
@@ -585,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sparse tf-idf query-by-document retrieval via the postings join
         "documents_tfidf_related_topk":
             _lexical_query("documents_tfidf_related_topk"),
+        # global clustering coefficient of the exact-kNN graph
+        "embeddings_knn_transitivity": _graph_query(
+            "embeddings_knn_transitivity"),
         # Adamic-Adar link prediction over the customer–part bipartite
         # graph (inverse-log shared-neighbor weights, in-group pairing)
         "customers_common_parts_affinity":
@@ -750,6 +752,8 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_counts": windows.SQL_EVENTS_DECAYED_COUNTS,
         "events_late_arrivals": windows.SQL_EVENTS_LATE_ARRIVALS,
         "embeddings_knn_triangles": graph.SQL_EMBEDDINGS_KNN_TRIANGLES,
+        "embeddings_knn_transitivity":
+            graph.SQL_EMBEDDINGS_KNN_TRANSITIVITY,
         "events_anomaly_bursts": windows.SQL_EVENTS_ANOMALY_BURSTS,
         "documents_top_per_lang": windows.SQL_DOCUMENTS_TOP_PER_LANG,
         "events_cumulative_value": windows.SQL_EVENTS_CUMULATIVE_VALUE,
@@ -774,7 +778,6 @@ def oracle_sql() -> dict[str, str]:
         "events_user_features": windows.SQL_EVENTS_USER_FEATURES,
         "documents_uniform_k_sample":
             sampling.SQL_DOCUMENTS_UNIFORM_K_SAMPLE,
-        "embeddings_knn_triangles": graph.SQL_EMBEDDINGS_KNN_TRIANGLES,
         "documents_similarity_components":
             graph.SQL_DOCUMENTS_SIMILARITY_COMPONENTS,
         "documents_mixture_interleave":

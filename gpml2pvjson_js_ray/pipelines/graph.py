@@ -714,13 +714,21 @@ def embeddings_knn_triangles(sf_dir: str, k: int = 3,
     same broadcast regime as the op's own exact-kNN baseline (one
     int per node); at index-backed candidate-generation scale it
     becomes a co-partitioned degree join. Output: (n_triangles)."""
-    import pandas as pd
-    import ray
+    # materialize (inside the helper): the edge table (≤ N·k rows —
+    # tiny relative to the corpus) feeds the degree count, the wedge
+    # build AND the membership probe; without it the brute-force kNN
+    # scan would execute three times
+    edges = _knn_undirected_edges(sf_dir, k)
+    n_tri, _ = _triangle_census(edges, num_buckets)
+    return pa.table({"n_triangles": pa.array([n_tri], pa.int64())})
 
-    from ..stages.exchange import hash_rows_mod, polars_capped
+
+def _knn_undirected_edges(sf_dir: str, k: int = 3):
+    """Materialized deduped undirected edge set of the exact-kNN graph
+    (shared by the triangle count and the transitivity op)."""
+    from ray.data.aggregate import Count
+
     from .lexical import embeddings_knn_graph
-
-    knn = embeddings_knn_graph(sf_dir, k=k)
 
     def undirect(b: pa.Table) -> pa.Table:
         u = b.column("vec_id").to_numpy(zero_copy_only=False)
@@ -729,15 +737,78 @@ def embeddings_knn_triangles(sf_dir: str, k: int = 3,
             "a": pa.array(np.minimum(u, v).astype(np.int64)),
             "b": pa.array(np.maximum(u, v).astype(np.int64))})
 
+    return (embeddings_knn_graph(sf_dir, k=k)
+            .map_batches(undirect, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+            .materialize())
+
+
+def embeddings_knn_transitivity(sf_dir: str, k: int = 3,
+                                num_buckets: int = 32):
+    """Global clustering coefficient (transitivity) of the exact-kNN
+    graph: C = 3·triangles / wedges, wedges = Σ_v deg(v)·(deg(v)-1)/2 —
+    the one-number clumping audit of a corpus similarity graph (topic
+    clusters and near-dup families push C up; a random geometric kNN
+    graph sits low). Triangles reuse _triangle_census (degree-ordered
+    wedge probe); the wedge total folds from the census's own degree
+    table — driver-side over the NODE-sized degree list, never edges.
+    DuckDB-oracled end to end (count + ratio)."""
+    edges = _knn_undirected_edges(sf_dir, k)
+    n_tri, deg_df = _triangle_census(edges, num_buckets)
+    d = deg_df["deg"].to_numpy().astype(np.int64)
+    n_wed = int((d * (d - 1) // 2).sum())
+    trans = (3.0 * n_tri / n_wed) if n_wed else 0.0
+    return pa.table({
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "n_wedges": pa.array([n_wed], pa.int64()),
+        "transitivity": pa.array([float(np.round(trans, 6) + 0.0)])})
+
+
+SQL_EMBEDDINGS_KNN_TRANSITIVITY = """
+WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM sims),
+knn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3),
+e AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+         greatest(vec_id, neighbor_id) AS b
+  FROM knn),
+tri AS (
+  SELECT count(*) AS n_tri
+  FROM e ab JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node),
+w AS (SELECT sum(d * (d - 1) // 2) AS n_wed FROM deg)
+SELECT CAST(tri.n_tri AS BIGINT) AS n_triangles,
+       CAST(w.n_wed AS BIGINT) AS n_wedges,
+       round(3.0 * tri.n_tri / w.n_wed, 6) + 0 AS transitivity
+FROM tri CROSS JOIN w
+"""
+
+
+def _triangle_census(edges, num_buckets: int = 32):
+    """Shared triangle-count core over a MATERIALIZED undirected deduped
+    (a, b) edge Dataset: degree-ordered orientation, in-group wedge
+    generation, one hash-bucket wedge∩edge probe (see
+    embeddings_knn_triangles for the full scale argument). Returns
+    (n_triangles, degree DataFrame) — the degree table is a by-product
+    every census consumer (transitivity, degeneracy audits) also needs."""
+    import pandas as pd
+    import ray
     from ray.data.aggregate import Count
-    # materialize: the edge table (≤ N·k rows — tiny relative to the
-    # corpus) feeds the degree count, the wedge build AND the
-    # membership probe; without this the brute-force kNN scan would
-    # execute three times
-    edges = (knn.map_batches(undirect, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
-             .drop_columns(["_n"])
-             .materialize())
+
+    from ..stages.exchange import hash_rows_mod, polars_capped
 
     def ends(b: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays([
@@ -801,8 +872,7 @@ def embeddings_knn_triangles(sf_dir: str, k: int = 3,
              .groupby("bucket")
              .map_groups(count_hits, batch_format="pyarrow")
              .to_pandas())
-    return pa.table({
-        "n_triangles": pa.array([int(parts["part"].sum())], pa.int64())})
+    return int(parts["part"].sum()), deg_df
 
 
 SQL_EMBEDDINGS_KNN_TRIANGLES = """
