@@ -23,6 +23,33 @@ def _biopax_types_of(entity) -> list:
             if t in PVJSON_TO_BIOPAX]
 
 
+# /root/reference/src/pvjsonToBioPAX/Group.ts:9-14 — static style table
+GPML2013A_GROUP_STYLE_TO_BIOPAX = {
+    "None": "Pathway",
+    "Group": "Pathway",
+    "Complex": "Complex",
+    "Pathway": "Pathway",
+}
+
+
+def assign_group_biopax_type(contained_entities: list, group: dict) -> dict:
+    """BioPAX-compliant group typing
+    (/root/reference/src/pvjsonToBioPAX/Group.ts:16-42): BioPAX knows
+    only two group classes — a group that contains an edge (an entity
+    with `points`, gpml-utilities.ts:91-93 isPvjsonEdge) is a Pathway,
+    otherwise a Complex. Union the winner into `group["type"]` and
+    filter the loser out. Mutates and returns `group`. Lives in the
+    triple-emission pass, not the pvjson conversion, matching where
+    the reference applies it (the pvjson fixtures are unaffected)."""
+    contains_edge = any("points" in e for e in contained_entities
+                        if isinstance(e, dict))
+    winner, loser = (("Pathway", "Complex") if contains_edge
+                     else ("Complex", "Pathway"))
+    group["type"] = [t for t in union_lsv(group.get("type"), winner)
+                     if t != loser]
+    return group
+
+
 def _convert_conversion_to_generic(conversion: dict) -> dict:
     left, right = conversion.get("left"), conversion.get("right")
     for key in ("left", "right", "conversionDirection", "sboInteractionType",

@@ -7,10 +7,21 @@ both).
 Term-mapping convention (documented, lossless, mirrors the JSON-LD
 @context roles):
 
-- subjects / node objects: document-local graph ids → blank nodes
-  `_:<id>` (ids are GraphIdManager output — alnum, already valid
-  blank-node labels; anything else is sanitized with a collision-proof
-  hash suffix);
+- subjects / node objects: the linker's collision-free
+  `canonical_subj` / `canonical_obj` (identifiers.org IRI, or the
+  doc-scoped `pathwayId#localId` form for nodes without an xref) when
+  those columns are present. Blank-node labels are FILE-scoped in
+  N-Triples, and the dedup shuffle scatters one entity's triples
+  across content-addressed shards — raw GraphIdManager ids (which
+  repeat per document) would merge distinct entities within a shard
+  and break co-reference across shards on bulk load. IRIs pass
+  through; the doc-scoped form is skolemized into a stable
+  `urn:wp:genid:<pathwayId>:<localId>` IRI (RDF 1.1 §3.5 skolem-IRI
+  convention, URN-shaped because this engine has no HTTP authority),
+  matching the per-document scoping the reference's JSON-LD relies
+  on. Batches WITHOUT canonical columns (unit-level use) fall back to
+  document-local blank nodes `_:<id>` (sanitized with a
+  collision-proof hash suffix when outside the safe label alphabet);
 - predicates: `rdf:type` → the rdf namespace; every other predicate is
   a wp-vocabulary term → `http://vocabularies.wikipathways.org/wp#`
   (the same vocabulary the reference's JSON-LD context resolves
@@ -87,6 +98,24 @@ def _iri_term(iri: str) -> str:
                         lambda m: "%%%02X" % ord(m.group()), iri) + ">"
 
 
+SKOLEM_PREFIX = "urn:wp:genid:"
+
+
+def _node_term(canonical: str) -> str:
+    """Canonical node id → N-Triples term. The linker emits exactly
+    three shapes (stages/link.py _canonical): an identifiers.org /
+    wikidata IRI, an `unknown:<DataSource:ID>` URN for unmatched
+    xrefs, or the doc-scoped `pathwayId#localId` form for nodes with
+    no xref. The first two are IRIs already; the doc-scoped form is
+    skolemized (pathway ids are hex, local ids alnum — neither
+    contains ':', so the rewrite cannot collide across documents)."""
+    if canonical.startswith(("http://", "https://", "urn:", "unknown:")):
+        return _iri_term(canonical)
+    if "#" in canonical:
+        return _iri_term(SKOLEM_PREFIX + canonical.replace("#", ":", 1))
+    return _blank(canonical)
+
+
 def lines_batch(b: pa.Table, xref_iri_of=None,
                 graph_col: str | None = None) -> pa.Table:
     """(subj, pred, obj[, obj_is_node]) batch → single-column `line`
@@ -95,28 +124,50 @@ def lines_batch(b: pa.Table, xref_iri_of=None,
     crawl URL each triple was extracted from, the lineage RDF stores
     query with GRAPH ?g). `xref_iri_of`: optional callable
     "DataSource:ID" → IRI or None (the linker's namespace table);
-    when absent, hasXref objects stay literals."""
-    subs = b.column("subj").to_pylist()
+    when absent, hasXref objects stay literals.
+
+    When the linker's `canonical_subj`/`canonical_obj` columns are
+    present (every corpus-level export path), node terms come from
+    THEM via `_node_term` — blank-node labels are file-scoped, so the
+    raw doc-local ids cannot survive the corpus-level dedup shuffle
+    (see module docstring). The raw-id blank-node path remains for
+    canonical-less unit batches."""
+    names = b.schema.names
+    canonical = "canonical_subj" in names and "canonical_obj" in names
+    subs = b.column("canonical_subj" if canonical else "subj").to_pylist()
     preds = b.column("pred").to_pylist()
     objs = b.column("obj").to_pylist()
-    if "obj_is_node" in b.schema.names:
+    cobjs = b.column("canonical_obj").to_pylist() if canonical else objs
+    if "obj_is_node" in names:
         is_node = b.column("obj_is_node").to_pylist()
     else:
         is_node = [False] * len(subs)
+    if canonical and "obj_xref" in names:
+        oxrefs = b.column("obj_xref").to_pylist()
+    else:
+        oxrefs = [""] * len(subs)
     graphs = (b.column(graph_col).to_pylist() if graph_col is not None
               else [None] * len(subs))
 
+    subj_term = _node_term if canonical else _blank
     lines = []
-    for s, p, o, node, g in zip(subs, preds, objs, is_node, graphs):
-        st = _blank(s)
+    for s, p, o, co, ox, node, g in zip(subs, preds, objs, cobjs,
+                                        oxrefs, is_node, graphs):
+        st = subj_term(s)
         pt = f"<{_pred_iri(p)}>"
         if p == "rdf:type":
             ot = f"<{BIOPAX_NS}{o}>" if _PNAME_OK.match(o) \
                 else f'"{_escape_literal(o)}"'
         elif node:
-            ot = _blank(o)
+            ot = _node_term(co) if canonical else _blank(o)
+        elif ox:
+            # xref-valued object (hasXref): the linker already resolved
+            # it — canonical_obj is the identifiers.org IRI or the
+            # unknown: URN; both serialize as IRIs
+            ot = _node_term(co)
         else:
             iri = xref_iri_of(o) if (xref_iri_of is not None
+                                     and not canonical
                                      and p == "hasXref") else None
             ot = f"<{iri}>" if iri else f'"{_escape_literal(o)}"'
         if g is None:

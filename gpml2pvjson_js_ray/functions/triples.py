@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from copy import deepcopy
 
-from .biopax import assign_interaction_roles
+from .biopax import assign_group_biopax_type, assign_interaction_roles
 from .jsonld import arrayify
 
 
@@ -90,6 +90,17 @@ def emit_triples(pvjson: dict, url: str = "",
             biopax_class = PVJSON_TO_BIOPAX.get(wp_type)
             if biopax_class:
                 emit(eid, "rdf:type", biopax_class, eid)
+
+        # group typing (pvjsonToBioPAX/Group.ts:16-42): contains an
+        # edge ⇒ Pathway, else Complex — groups carry no wpType, so
+        # this is their only rdf:type source
+        if kaavio_type == "Group":
+            members = [enriched.get(cid)
+                       for cid in (entity.get("contains") or [])]
+            assign_group_biopax_type([m for m in members if m], entity)
+            group_class = ("Pathway" if "Pathway" in (entity["type"] or [])
+                           else "Complex")
+            emit(eid, "rdf:type", group_class, eid)
 
         # burr attachment
         if kaavio_type == "Burr":

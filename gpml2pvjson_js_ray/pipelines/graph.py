@@ -1265,7 +1265,8 @@ def strongly_connected_components(edges, nodes, src: str, dst: str,
                 .sum("n"))
 
     for _ in range(max_outer):
-        if active.count() == 0:
+        n_active = active.count()
+        if n_active == 0:
             break
 
         # ---- 1. TRIM --------------------------------------------------
@@ -1303,7 +1304,15 @@ def strongly_connected_components(edges, nodes, src: str, dst: str,
                 lambda b, c=col: pa.table({"node": b.column("node"),
                                            c: b.column("node")}),
                 batch_format="pyarrow").materialize()
-            for _i in range(max_inner):
+            # Min-label propagation converges in <= n_active rounds
+            # (label path length is bounded by the node count), so
+            # sizing the inner bound to the live subgraph makes silent
+            # truncation impossible: classifying from UNconverged
+            # labels splits one SCC into many with no error signal
+            # (a 40-node cycle once came back as 19 "components").
+            inner_bound = max(max_inner, n_active)
+            moved = 0
+            for _i in range(inner_bound):
                 msgs = (e.join(lab, join_type="inner",
                                num_partitions=num_partitions,
                                on=(flow_from,), right_on=("node",))
@@ -1319,6 +1328,13 @@ def strongly_connected_components(edges, nodes, src: str, dst: str,
                 lab = new
                 if not moved:
                     break
+            if moved:
+                # mirrors the max_outer guard below: NEVER classify
+                # from unconverged labels
+                raise RuntimeError(
+                    f"strongly_connected_components: {col} min-label "
+                    f"fixpoint did not converge in {inner_bound} rounds "
+                    f"over {n_active} active nodes")
             fixed[col] = lab
 
         # ---- 3. classify F == B ---------------------------------------

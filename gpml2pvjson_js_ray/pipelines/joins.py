@@ -1189,10 +1189,10 @@ def lineitem_priority_counts(sf_dir: str,
 
 SQL_LINEITEM_PRIORITY_COUNTS = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1493,7 +1493,7 @@ def rich_inactive_by_nation(sf_dir: str, big: float = 300_000.0,
 SQL_RICH_INACTIVE_BY_NATION = """
 WITH ab AS (SELECT avg(c_acctbal) AS cut FROM customer
             WHERE c_acctbal > 0.0)
-SELECT c_nationkey, count(*) AS numcust,
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer, ab
 WHERE c_acctbal > cut

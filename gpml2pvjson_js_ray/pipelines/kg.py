@@ -646,6 +646,12 @@ def write_ntriples(pages, out_dir: str, xref_ref=None,
 
     def write_shard(b: "pa.Table") -> "pa.Table":
         import pyarrow as _pa
+        if b.num_rows == 0:
+            # a zero-row block would otherwise publish a shard holding
+            # one blank line — invalid under the one-triple-per-line
+            # grammar — so it contributes nothing to the manifest
+            return _pa.table({"shard": _pa.array([], _pa.string()),
+                              "n_triples": _pa.array([], _pa.int64())})
         resolve = xref_iri_factory()
         lines = lines_batch(b, xref_iri_of=resolve,
                             graph_col=graph_col).column("line")
@@ -662,4 +668,10 @@ def write_ntriples(pages, out_dir: str, xref_ref=None,
 
     src = (linked_triples_dataset(pages, xref_ref) if quads
            else deduped_triples_dataset(pages, xref_ref))
-    return src.map_batches(write_shard, batch_format="pyarrow")
+    manifest = src.map_batches(write_shard, batch_format="pyarrow")
+    # two identical-payload blocks content-address to the SAME file but
+    # would append two manifest rows, double-counting shards/triples —
+    # collapse by shard name (the manifest is tiny: one row per block)
+    from ray.data.aggregate import Max
+    return (manifest.groupby("shard")
+            .aggregate(Max("n_triples", alias_name="n_triples")))

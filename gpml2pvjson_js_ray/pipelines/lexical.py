@@ -783,10 +783,14 @@ def documents_tfidf_related_topk(sf_dir: str, query_id: int = 0,
                          "w2": pa.array(w * w),
                          "dot": pa.array(w * wq)})
 
+    # materialize: the qnorm filter below and the score scan both
+    # consume this — without the pin, the whole token/join/groupby
+    # pipeline re-executes a second time for one driver-tiny row
     folded = (ranked.map_batches(weights, batch_format="pyarrow")
               .groupby("doc_id")
               .aggregate(Sum("w2", alias_name="norm2"),
-                         Sum("dot", alias_name="dot")))
+                         Sum("dot", alias_name="dot"))
+              .materialize())
 
     # query norm from the same folded table (one tiny driver filter)
     qrow = folded.filter(expr=f"doc_id == {int(query_id)}").to_pandas()
@@ -797,7 +801,13 @@ def documents_tfidf_related_topk(sf_dir: str, query_id: int = 0,
                                           pa.scalar(query_id))))
         n2 = b.column("norm2").to_numpy()
         dot = b.column("dot").to_numpy()
-        s = np.where(n2 > 0, dot / (np.sqrt(n2) * qnorm), 0.0)
+        # masked assignment, not np.where: the divide branch must not
+        # run where n2 == 0 (and a zero-norm query — every query term
+        # idf 0 — scores everything 0 instead of NaN)
+        s = np.zeros(len(n2), dtype=np.float64)
+        if qnorm > 0:
+            m = n2 > 0
+            s[m] = dot[m] / (np.sqrt(n2[m]) * qnorm)
         return pa.table({"doc_id": b.column("doc_id"),
                          "score": pa.array(np.round(s, 6) + 0.0)})
 

@@ -436,7 +436,11 @@ def documents_normalize(sf_dir: str):
         t = pc.utf8_trim_whitespace(t)
         return pa.table({"doc_id": b.column("doc_id"),
                          "norm_text": t,
-                         "n_chars_norm": pc.utf8_length(t)})
+                         # int64 to match the oracle's length() dtype —
+                         # the driver hashes value bytes, so int32 here
+                         # would hash-mismatch on identical values
+                         "n_chars_norm": pc.cast(pc.utf8_length(t),
+                                                 pa.int64())})
 
     return (docs.map_batches(norm, batch_format="pyarrow")
             .sort("doc_id"))

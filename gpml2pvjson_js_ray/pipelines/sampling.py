@@ -324,9 +324,10 @@ WITH scanned AS (
   FROM documents
 )
 SELECT doc_id,
-       start_pos // 4096 AS chunk_start,
-       (start_pos + greatest(n_chars, 1) - 1) // 4096 AS chunk_end,
-       start_pos % 4096 AS chunk_offset
+       CAST(start_pos // 4096 AS BIGINT) AS chunk_start,
+       CAST((start_pos + greatest(n_chars, 1) - 1) // 4096 AS BIGINT)
+           AS chunk_end,
+       CAST(start_pos % 4096 AS BIGINT) AS chunk_offset
 FROM scanned ORDER BY doc_id
 """
 

@@ -289,7 +289,7 @@ def embeddings_label_stats(sf_dir: str):
 
 
 SQL_EMBEDDINGS_LABEL_STATS = """
-SELECT label, count(*) AS n_vectors,
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
        round(avg(sqrt(list_sum(list_transform(
            CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
 FROM embeddings GROUP BY label

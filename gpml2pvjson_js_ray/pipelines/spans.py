@@ -153,7 +153,8 @@ counts AS (
 )
 SELECT g.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS n_cross_dup_grams
+       CAST(sum(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cross_dup_grams
 FROM grams g JOIN counts c USING (gram)
 GROUP BY g.doc_id ORDER BY g.doc_id
 """
@@ -208,7 +209,7 @@ WITH toks AS (
 ),
 wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
 SELECT doc_id,
-       sum(c) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_words,
        count(*) AS n_distinct_words,
        max(c) AS top_word_count,
        1.0 - count(*) / (1.0 * sum(c)) AS dup_word_frac,
@@ -368,7 +369,7 @@ WITH toks AS (
 ),
 wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
 agg AS (
-  SELECT doc_id, sum(c) AS n_words,
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
          1.0 - count(*) / (1.0 * sum(c)) AS dup_word_frac,
          max(c) / (1.0 * sum(c)) AS top_word_frac
   FROM wc GROUP BY doc_id)

@@ -828,12 +828,17 @@ def events_late_arrivals(sf_dir: str, num_buckets: int = 32):
         is_late = prior_max.notna() & (
             df["ts_us"] < prior_max - _LATENESS_US)
         g = df.assign(is_late=is_late).groupby("user_id", dropna=False)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "user_id": pd.array(
                 [None if pd.isna(u) else int(u)
                  for u in g.size().index], dtype="Int64"),
             "n_events": g.size().to_numpy().astype("int64"),
             "n_late": g["is_late"].sum().to_numpy().astype("int64")})
+        if not out["user_id"].isna().any():
+            # plain int64 when no NULL users (dtype parity with the
+            # oracle; see events_type_islands)
+            out["user_id"] = out["user_id"].astype("int64")
+        return out
 
     return (events.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("user_bucket")
@@ -892,7 +897,7 @@ def events_type_islands(sf_dir: str, num_buckets: int = 32):
         new_type = df["event_type"].ne(df["event_type"].shift())
         isl = (new_user | new_type).cumsum()
         g = df.groupby(isl, sort=False)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             # nullable Int64: a NULL-user island must stay NULL without
             # dragging the whole column to float64
             "user_id": pd.array(g["user_id"].first(), dtype="Int64"),
@@ -901,6 +906,12 @@ def events_type_islands(sf_dir: str, num_buckets: int = 32):
             "start_ts": g["ts"].first(),
             "end_ts": g["ts"].last(),
             "n_events": g.size().astype("int64")}).reset_index(drop=True)
+        if not out["user_id"].isna().any():
+            # plain int64 when no NULL users: matches the oracle's
+            # dtype (the driver hashes value bytes, and DuckDB only
+            # widens on actual NULLs too)
+            out["user_id"] = out["user_id"].astype("int64")
+        return out
 
     return (events.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("user_bucket")

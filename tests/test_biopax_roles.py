@@ -108,3 +108,47 @@ def test_unconnected_interaction_gets_no_roles():
                   "points": [{"x": 0, "y": 0}, {"x": 1, "y": 1}]}}
     out = assign_interaction_roles(ents, ents["e"])
     assert "participants" not in out and "controller" not in out
+
+
+# -- group typing (pvjsonToBioPAX/Group.ts:16-42) ---------------------------
+
+def test_group_with_edge_is_pathway_else_complex():
+    from gpml2pvjson_js_ray.functions.biopax import assign_group_biopax_type
+
+    edge = {"id": "e", "points": [{"x": 0, "y": 0}]}
+    node = {"id": "n", "width": 10, "height": 10}
+
+    g = {"id": "g", "type": ["Group", "GroupComplex", "Complex"]}
+    assign_group_biopax_type([node, edge], g)
+    assert "Pathway" in g["type"] and "Complex" not in g["type"]
+
+    g2 = {"id": "g2", "type": ["Group", "GroupPathway", "Pathway"]}
+    assign_group_biopax_type([node], g2)
+    assert "Complex" in g2["type"] and "Pathway" not in g2["type"]
+
+
+def test_groups_fixture_emits_group_rdf_type_triples():
+    """The groups fixture: every group gets exactly one rdf:type triple,
+    Pathway iff it contains an edge (Group.ts:16-42); the pvjson output
+    itself stays untyped (the rule lives in the BioPAX emission pass)."""
+    import json
+
+    from tests.fixture_inverse import expected_to_gpml
+    from gpml2pvjson_js_ray.functions.convert import convert_island
+    from gpml2pvjson_js_ray.functions.triples import emit_triples
+
+    exp = json.load(open("/root/reference/test/expected/groups.json"))
+    out = convert_island(expected_to_gpml(exp))
+    ents = out["entitiesById"]
+    triples = emit_triples(out, "u")
+    typed = {t["subj"]: t["obj"] for t in triples if t["pred"] == "rdf:type"
+             and ents.get(t["subj"], {}).get("kaavioType") == "Group"}
+    groups = {eid: e for eid, e in ents.items()
+              if e.get("kaavioType") == "Group"}
+    assert set(typed) == set(groups)
+    for gid, g in groups.items():
+        has_edge = any("points" in ents[cid]
+                       for cid in g.get("contains", []) if cid in ents)
+        assert typed[gid] == ("Pathway" if has_edge else "Complex"), gid
+        # conversion output unmutated: still the static style types
+        assert g["type"][0] == "Group"

@@ -118,6 +118,21 @@ def test_scc_planted_cycles_bridge_tail(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
 
 
+def test_scc_long_cycle_single_component(ray_session):
+    # 40-node directed cycle: needs ~40 min-label rounds, i.e. MORE
+    # than the default max_inner=30. Regression for the silent inner
+    # truncation that classified this as 19 components: the inner
+    # bound is now sized to the active node count (and raises rather
+    # than classify unconverged).
+    n = 40
+    edges = rd.from_pandas(pd.DataFrame(
+        {"s": list(range(n)), "d": [(i + 1) % n for i in range(n)]}))
+    nodes = rd.from_pandas(pd.DataFrame({"n": list(range(n))}))
+    out = strongly_connected_components(edges, nodes, "s", "d").to_pandas()
+    assert len(out) == n
+    assert set(out["scc"]) == {0}
+
+
 def test_scc_chain_adversary_all_singletons(ray_session):
     # pure DAG chain: the worst case for label peeling — TRIM (or the
     # cycle-free early exit) must classify it without O(n) outer rounds
