@@ -43,6 +43,33 @@ def _kg_query(fn_name):
     return q
 
 
+def _ensure_kg_ckpt(sf_dir: str) -> str:
+    """Run the resumable KG pipeline (manifest-cached: a no-op when the
+    checkpoint already exists) and return its output root — the
+    kg_* oracle SQL reads the phase-1 triples parquet under it."""
+    import os
+
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf(sf_dir)
+    out = kg.kg_checkpoint_dir_for_sf(sf_dir)
+    kg.run_kg_pipeline(path, out)
+    return out
+
+
+def _kg_oracled_query(fn_name, columns=None):
+    """Like _kg_query, but (a) guarantees the checkpoint the oracle SQL
+    reads exists, and (b) optionally projects to the oracle's column
+    set (e.g. the dedup keeps full rows; the oracle checks the
+    (s, p, o) key + min-url provenance)."""
+    def q(sf_dir: str):
+        from gpml2pvjson_js_ray.pipelines import kg
+        _ensure_kg_ckpt(sf_dir)
+        pages = kg.read_pages(kg.pages_path_for_sf(sf_dir))
+        ds = getattr(kg, fn_name)(pages)
+        return ds.select_columns(columns) if columns else ds
+    return q
+
+
 def _kg_ntriples(sf_dir: str):
     import os as _os
 
@@ -86,7 +113,7 @@ def _kg_pipeline_output(which: str):
         import ray.data as rd
         from gpml2pvjson_js_ray.pipelines import kg
         path = kg.pages_path_for_sf(sf_dir)
-        out = f"/tmp/gpml2pvjson_kgq_{os.path.basename(path)}"
+        out = kg.kg_checkpoint_dir_for_sf(sf_dir)
         kg.run_kg_pipeline(path, out)
         sub = os.path.join(out, which)
         files = []
@@ -121,7 +148,7 @@ def _kg_two_hop(sf_dir: str):
 
     from gpml2pvjson_js_ray.pipelines import graph, kg
     path = kg.pages_path_for_sf(sf_dir)
-    out = f"/tmp/gpml2pvjson_kgq_{os.path.basename(path)}"
+    out = kg.kg_checkpoint_dir_for_sf(sf_dir)
     kg.run_kg_pipeline(path, out)
     return graph.two_hop_from_adjacency(os.path.join(out, "adjacency"))
 
@@ -223,7 +250,7 @@ def _kg_pso_dir(sf_dir: str) -> str:
     from gpml2pvjson_js_ray.pipelines import kg
     from gpml2pvjson_js_ray.stages.adjacency import write_predicate_layout
     path = kg.pages_path_for_sf(sf_dir)
-    out = f"/tmp/gpml2pvjson_kgq_{os.path.basename(path)}"
+    out = kg.kg_checkpoint_dir_for_sf(sf_dir)
     kg.run_kg_pipeline(path, out)
     pso = os.path.join(out, "pso")
     if not os.path.exists(os.path.join(pso, "_pso_layout.json")):
@@ -620,9 +647,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_pages_latest": _kg_pages_latest,
-        "kg_linked_triples": _kg_query("linked_triples_from_pages"),
-        "kg_deduped_triples": _kg_query("deduped_triples_from_pages"),
-        "kg_canonical_entities": _kg_query("canonical_entities_from_pages"),
+        "kg_linked_triples": _kg_oracled_query("linked_triples_from_pages"),
+        "kg_deduped_triples": _kg_oracled_query(
+            "deduped_triples_from_pages",
+            columns=["canonical_subj", "pred", "canonical_obj", "url"]),
+        "kg_canonical_entities":
+            _kg_oracled_query("canonical_entities_from_pages"),
         "kg_adjacency": _kg_pipeline_output("adjacency"),
         "kg_entity_components": _kg_components,
         "kg_entity_degrees": _kg_degrees,
@@ -860,4 +890,19 @@ def oracle_sql() -> dict[str, str]:
         "documents_search_and": lexical.SQL_DOCUMENTS_SEARCH_AND,
         "documents_bpe_pair_stats": lexical.SQL_DOCUMENTS_BPE_PAIR_STATS,
         "embeddings_knn_graph": lexical.SQL_EMBEDDINGS_KNN_GRAPH,
+        # headline KG family: DuckDB recompute over the engine's own
+        # phase-1 checkpoint (linked pre-dedup triples parquet) — the
+        # matching queries() callables run the pipeline first, so the
+        # checkpoint exists by the time the driver executes the SQL
+        **_kg_oracles(),
     }
+
+
+def _kg_oracles() -> dict[str, str]:
+    from gpml2pvjson_js_ray.pipelines import kg
+    sqls = kg.kg_oracle_sql_for_sf("/root/testdata/sf0.01")
+    # kg_entities (the checkpointed phase-2 entity table) and
+    # kg_canonical_entities (the same unification recomputed live from
+    # pages) share one oracle: both must equal the SQL recompute
+    sqls["kg_entities"] = sqls["kg_canonical_entities"]
+    return sqls

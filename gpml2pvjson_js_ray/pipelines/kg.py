@@ -32,6 +32,13 @@ _PAGES_CACHE_ROOT = "/tmp/gpml2pvjson_pages"
 # correctness, sf0.1 ≈ bench) — deterministic, no external data
 SF_TO_N_PAGES = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 384000}
 
+# bump when triple-emission/linking/dedup SEMANTICS change: the resumable
+# manifest caches phase-1 output by partition id only, so a stale
+# checkpoint written by older code would otherwise diverge from a live
+# recompute (the kg_* oracle SQL reads the checkpoint; the queries
+# recompute live)
+KG_PIPELINE_VERSION = 2
+
 _xref_ref_cache = None
 
 
@@ -46,6 +53,94 @@ def pages_path_for_sf(sf_dir: str, seed: int = SEED) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     n_pages = SF_TO_N_PAGES.get(sf_name, 2400)
     return pages_path(n_pages, seed)
+
+
+def kg_checkpoint_dir_for_sf(sf_dir: str) -> str:
+    """Deterministic checkpoint root for sf_dir's synthetic corpus —
+    pure string arithmetic (NO corpus generation side effect), so the
+    DuckDB oracle SQL for the kg_* driver queries can embed the path
+    at oracle_sql() time. Must stay in lockstep with the out-dir
+    naming in __ray_entry__._kg_pipeline_output."""
+    from ..sources.pages import GEN_VERSION
+    override = os.environ.get("GRAFT_N_PAGES")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n_pages = int(override) if override else SF_TO_N_PAGES.get(sf_name, 2400)
+    return (f"/tmp/gpml2pvjson_kgq_n{n_pages}_s{SEED}"
+            f"_v{GEN_VERSION}_p{KG_PIPELINE_VERSION}")
+
+
+def kg_oracle_sql_for_sf(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """DuckDB oracle SQL for the driver-verifiable kg_* queries, over
+    the ENGINE'S OWN phase-1 checkpoint (the linked pre-dedup triples
+    parquet written by run_kg_pipeline). Each statement recomputes a
+    downstream pipeline artifact independently — exact dedup
+    (DISTINCT), canonical-entity unification (alias union + mention
+    counts), degree/predicate profiles, star/OPTIONAL joins — so the
+    distributed exchange expressions get a driver-green hash check
+    against first-principles SQL. The matching queries() callables
+    call _ensure (run_kg_pipeline, manifest-cached) before returning,
+    which guarantees the checkpoint exists by the time the SQL runs."""
+    trip = os.path.join(kg_checkpoint_dir_for_sf(sf_dir),
+                        "triples", "*", "*.parquet")
+    trip_cols = ("subj, pred, obj, url, pathway_id, entity_id, "
+                 "subj_xref, obj_xref, subj_is_node, obj_is_node, "
+                 "biopax_type, control_type, conversion_direction, "
+                 "canonical_subj, canonical_obj")
+    dedup = (f"dedup AS (SELECT DISTINCT canonical_subj, pred, "
+             f"canonical_obj FROM read_parquet('{trip}'))")
+    arms = (f"{dedup}, arms AS (SELECT canonical_subj, "
+            "count(*) FILTER (pred = 'hasXref') AS nx, "
+            "count(*) FILTER (pred = 'isPartOf') AS np "
+            "FROM dedup WHERE pred IN ('hasXref', 'isPartOf') "
+            "GROUP BY canonical_subj)")
+    return {
+        # identity-under-recompute: the live conversion+linking rerun
+        # must byte-match the checkpoint it wrote (determinism gate)
+        "kg_linked_triples":
+            f"SELECT {trip_cols} FROM read_parquet('{trip}')",
+        # exact dedup: keep-first-by-url per (s,p,o) == min(url)
+        "kg_deduped_triples": f"""
+SELECT canonical_subj, pred, canonical_obj, min(url) AS url
+FROM read_parquet('{trip}')
+GROUP BY canonical_subj, pred, canonical_obj""",
+        "kg_canonical_entities": f"""
+WITH rt AS (SELECT * FROM read_parquet('{trip}')),
+long AS (
+  SELECT canonical_subj AS canonical_id, subj_xref AS xref, url,
+         subj_is_node AS is_node FROM rt
+  UNION ALL
+  SELECT canonical_obj, obj_xref, url, obj_is_node FROM rt),
+m AS (SELECT * FROM long
+      WHERE canonical_id IS NOT NULL AND canonical_id <> ''
+        AND (is_node OR xref <> ''))
+SELECT canonical_id,
+       CASE WHEN count(*) FILTER (xref <> '') = 0 THEN '[]'
+            ELSE to_json(list_slice(list_sort(list_distinct(
+                     list(xref) FILTER (xref <> ''))), 1, 32)) END
+           AS aliases_json,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       min(url) AS first_url
+FROM m GROUP BY canonical_id""",
+        "kg_predicate_counts": f"""
+WITH {dedup}
+SELECT pred, CAST(count(*) AS BIGINT) AS n_triples
+FROM dedup GROUP BY pred""",
+        "kg_entity_degrees": f"""
+WITH {dedup},
+deg AS (SELECT canonical_subj, CAST(count(*) AS BIGINT) AS degree
+        FROM dedup GROUP BY canonical_subj)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+FROM deg GROUP BY degree""",
+        "kg_star_join": f"""
+WITH {arms}
+SELECT canonical_subj, CAST(nx + np AS BIGINT) AS n_edges
+FROM arms WHERE nx > 0 AND np > 0""",
+        "kg_optional_join": f"""
+WITH {arms}
+SELECT canonical_subj, CAST(nx AS BIGINT) AS n_required,
+       CAST(np AS BIGINT) AS n_optional
+FROM arms WHERE nx > 0""",
+    }
 
 
 def pages_path(n_pages: int, seed: int = SEED) -> str:
