@@ -637,11 +637,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["media_frame_features"]).media_frame_features(64),
         "media_phash_dups": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_phash_dups_oracled"])
+            .media_phash_dups_oracled(48),
+        "media_audio_dups": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_audio_dups_oracled"])
+            .media_audio_dups_oracled(24),
+        "media_phash_dups_banded": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_phash_dups"]).media_phash_dups(48),
         "media_video_dups": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_video_dups"]).media_video_dups(24),
-        "media_audio_dups": lambda sf_dir: __import__(
+        "media_audio_dups_banded": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_audio_dups"]).media_audio_dups(24),
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
@@ -895,6 +903,19 @@ def oracle_sql() -> dict[str, str]:
         # matching queries() callables run the pipeline first, so the
         # checkpoint exists by the time the driver executes the SQL
         **_kg_oracles(),
+        **_media_oracles(),
+    }
+
+
+def _media_oracles() -> dict[str, str]:
+    """Brute-force all-pairs Hamming joins over the engine-written
+    fingerprint checkpoints (the matching queries() callables write
+    them before returning) — blocking-free ground truth for the banded
+    near-dup pair generation."""
+    from gpml2pvjson_js_ray.stages.multimodal import media_dups_oracle_sql
+    return {
+        "media_phash_dups": media_dups_oracle_sql("image_ahash", 48, 3),
+        "media_audio_dups": media_dups_oracle_sql("audio_spectral", 24, 1),
     }
 
 

@@ -19,6 +19,7 @@ default batch_size=32 here vs thousands for text stages.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -800,6 +801,81 @@ def synth_audio_corpus(n_rows: int = 24, seed: int = 37,
 def media_audio_dups(n_rows: int = 24, max_hamming: int = 1):
     ds = synth_audio_corpus(n_rows)
     return audio_near_dup_pairs(ds, max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# fingerprint checkpoints: give the media near-dup family a DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_MEDIA_CKPT_ROOT = "/tmp/gpml2pvjson_media"
+# bump when a hasher's semantics change (stale-checkpoint invalidation,
+# same discipline as kg.KG_PIPELINE_VERSION)
+MEDIA_HASH_VERSION = 1
+
+
+def media_hash_checkpoint_path(name: str, n_rows: int) -> str:
+    """Deterministic fingerprint-parquet path — pure string arithmetic,
+    so oracle_sql() can embed it without running anything."""
+    return os.path.join(_MEDIA_CKPT_ROOT,
+                        f"{name}_n{n_rows}_v{MEDIA_HASH_VERSION}.parquet")
+
+
+def _checkpoint_hashes(hashes, path: str):
+    """Write the (media_id, ahash, decoder) fingerprint table to ONE
+    byte-stable parquet (sorted by media_id). Driver-side collect is
+    deliberate: this is the bounded synthetic check corpus (≤ dozens of
+    rows), not a corpus-scale stage — the corpus-scale path stays the
+    streamed `hash_near_dup_pairs` input."""
+    import pyarrow.parquet as pq
+    t = pa.Table.from_pandas(
+        hashes.to_pandas().sort_values("media_id").reset_index(drop=True),
+        schema=AHASH_SCHEMA, preserve_index=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def media_phash_dups_oracled(n_rows: int = 48, max_hamming: int = 3):
+    """media_phash_dups with a driver-verifiable contract: the per-image
+    aHash table is checkpointed to parquet, the banded pair-gen runs
+    over the checkpoint, and the DuckDB oracle brute-forces
+    bit_count(xor) <= max_hamming over the same parquet — proving the
+    pigeonhole banding lossless against all-pairs."""
+    import ray.data as rd
+    ds = synth_image_corpus(n_rows)
+    hashes = ds.map_batches(ImageAHasher, batch_format="pyarrow",
+                            batch_size=32, concurrency=2, num_cpus=1)
+    path = media_hash_checkpoint_path("image_ahash", n_rows)
+    _checkpoint_hashes(hashes, path)
+    return hash_near_dup_pairs(rd.read_parquet(path),
+                               max_hamming=max_hamming)
+
+
+def media_audio_dups_oracled(n_rows: int = 24, max_hamming: int = 1):
+    """media_audio_dups under the same checkpoint + brute-force-oracle
+    contract as media_phash_dups_oracled."""
+    import ray.data as rd
+    ds = synth_audio_corpus(n_rows)
+    hashes = ds.map_batches(AudioSpectralHasher, batch_format="pyarrow",
+                            batch_size=32, concurrency=2, num_cpus=1)
+    path = media_hash_checkpoint_path("audio_spectral", n_rows)
+    _checkpoint_hashes(hashes, path)
+    return hash_near_dup_pairs(rd.read_parquet(path),
+                               max_hamming=max_hamming)
+
+
+def media_dups_oracle_sql(name: str, n_rows: int, max_hamming: int) -> str:
+    """Brute-force all-pairs Hamming join over the fingerprint
+    checkpoint — the blocking-free ground truth the banded engine path
+    must equal exactly."""
+    p = media_hash_checkpoint_path(name, n_rows)
+    return f"""
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM read_parquet('{p}') a JOIN read_parquet('{p}') b
+  ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}"""
 
 
 def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,
