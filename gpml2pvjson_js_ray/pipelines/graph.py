@@ -1560,10 +1560,13 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
     n_seeds = len(seeds)
     seed_set = set(seeds)
 
+    seed_arr = pa.array(sorted(seed_set), type=None)
+
     def init_r(b: pa.Table) -> pa.Table:
-        vals = [1.0 / n_seeds if v in seed_set else 0.0
-                for v in b.column("node").to_pylist()]
-        return b.append_column("r", pa.array(np.array(vals)))
+        # vectorized membership (pc.is_in), not a per-row Python list
+        m = pc.is_in(b.column("node"), value_set=seed_arr)
+        vals = pc.if_else(m, pa.scalar(1.0 / n_seeds), pa.scalar(0.0))
+        return b.append_column("r", pc.cast(vals, pa.float64()))
 
     ranks = base.map_batches(init_r, batch_format="pyarrow").materialize()
 
@@ -1588,10 +1591,10 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
 
         def finish_b(b: pa.Table, _a=add_seed) -> pa.Table:
             r = pc.multiply(b.column("r"), pa.scalar(damping))
-            bump = [_a if v in seed_set else 0.0
-                    for v in b.column("node").to_pylist()]
+            m = pc.is_in(b.column("node"), value_set=seed_arr)
+            bump = pc.if_else(m, pa.scalar(_a), pa.scalar(0.0))
             return pa.table({"node": b.column("node"),
-                             "r": pc.add(r, pa.array(np.array(bump)))})
+                             "r": pc.add(r, pc.cast(bump, pa.float64()))})
 
         ranks = (msgs.union(base.map_batches(zero_b,
                                              batch_format="pyarrow"))

@@ -1399,20 +1399,25 @@ def documents_setsim_join(sf_dir: str, threshold: float = 0.3,
     docs = _read_docs(sf_dir, ["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
-        ids, shs, sizes = [], [], []
-        for did, txt in zip(b.column("doc_id").to_pylist(),
-                            b.column("text").to_pylist()):
-            s = _shingles(txt)
-            if not s:
-                continue
-            n = len(s)
-            for sh in s:
-                ids.append(did)
-                shs.append(sh)
-                sizes.append(n)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sh": pa.array(shs, pa.string()),
-                         "size": pa.array(sizes, pa.int64())})
+        # vectorized (the MinHashBands shingle machinery): shingles are
+        # keyed by their 64-bit window hash, deduped per doc via one
+        # lexsort — no per-row Python on the corpus scan. Hashing only
+        # MERGES shingles (J_hash >= J_str), so prefix-filter
+        # completeness w.r.t. the threshold is preserved and the exact
+        # string-shingle verify below keeps precision.
+        texts = b.column("text").to_pylist()
+        dids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sh, n_sh, _offs = _shingle_hash_arrays(texts)
+        doc_idx = np.repeat(np.arange(len(n_sh), dtype=np.int64), n_sh)
+        order = np.lexsort((sh, doc_idx))
+        ds_, ss_ = doc_idx[order], sh[order]
+        first = np.ones(len(ss_), dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (ss_[1:] != ss_[:-1])
+        ds_, ss_ = ds_[first], ss_[first]
+        sizes = np.bincount(ds_, minlength=len(n_sh)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(dids[ds_], pa.int64()),
+                         "sh": pa.array(ss_.view(np.int64), pa.int64()),
+                         "size": pa.array(sizes[ds_], pa.int64())})
 
     from ray.data.aggregate import Count
 

@@ -333,9 +333,9 @@ def host_ppr(pages, seed_host: str | None = None, damping: float = 0.85,
 
     g = host_link_graph(pages).materialize()
     if seed_host is None:
-        seed_host = min(
-            t["src_host"]
-            for t in g.select_columns(["src_host"]).take_all())
+        # distributed Min aggregate — one scalar to the driver, never
+        # the edge rows
+        seed_host = g.min("src_host")
 
     def side(col):
         def f(b: pa.Table) -> pa.Table:
