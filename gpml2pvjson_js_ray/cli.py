@@ -36,9 +36,12 @@ def cmd_convert(args) -> int:
                                     sha256_island_id)
     from .functions.islands import iter_split_gpml_stream
 
+    from .functions.profile import PROFILES
+    profile = PROFILES[getattr(args, "profile", "gpml2013a")]
     for island in iter_split_gpml_stream(_stdin_chunks()):
         try:
-            doc = convert_island(island, pathway_iri=args.id)
+            doc = convert_island(island, pathway_iri=args.id,
+                                 profile=profile)
         except ConversionError as exc:
             print(str(exc), file=sys.stderr)
             return 1  # reference CLI exits non-zero on conversion errors
@@ -205,6 +208,9 @@ def main(argv=None) -> int:
     p_convert.add_argument("--id", default=None,
                            help="pathway IRI (else sha256 fallback)")
     p_convert.add_argument("--pathway-version", default=None)
+    p_convert.add_argument("--profile", default="gpml2013a",
+                           choices=["gpml2013a", "gpml2021"],
+                           help="schema profile (functions/profile.py)")
     p_convert.set_defaults(fn=cmd_convert)
 
     p_run = sub.add_parser("run", help="distributed pages → KG pipeline")

@@ -278,7 +278,8 @@ def convert_island(island_text: str, pathway_iri: str | None = None,
         profile = GPML2013A
     try:
         parsed = parse_gpml(island_text,
-                            defaults_table=profile.gpml_defaults)
+                            defaults_table=profile.gpml_defaults,
+                            adapter=getattr(profile, "parse_adapter", None))
     except Exception as exc:
         raise ConversionError(f"GPML parse failed: {exc}") from exc
 

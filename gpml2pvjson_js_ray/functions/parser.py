@@ -201,14 +201,19 @@ class GPMLParseResult:
 
 
 def parse_gpml(xml_text: str,
-               defaults_table: dict | None = None) -> GPMLParseResult:
+               defaults_table: dict | None = None,
+               adapter=None) -> GPMLParseResult:
     """Parse one GPML island (string) into per-class element dicts.
 
     defaults_table overrides the schema profile's XSD attribute defaults
-    (functions/profile.py); None = GPML2013a."""
+    (functions/profile.py); None = GPML2013a. `adapter` (profile
+    parse_adapter) rewrites the raw tree into the 2013a shape before
+    dict extraction — the GPML2021 profile's seam."""
     root = ET.fromstring(fixup_rdf_id(xml_text))
     if _localname(root.tag) != "Pathway":
         raise ValueError(f"Expected <Pathway> root, got <{_localname(root.tag)}>")
+    if adapter is not None:
+        root = adapter(root)
 
     res = GPMLParseResult()
     res.pathway = _attrs_to_dict(root)

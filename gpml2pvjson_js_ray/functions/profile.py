@@ -37,6 +37,14 @@ class ConversionProfile:
     # edge/group enrichment tables
     marker_mappings: dict = field(default_factory=dict)
     group_mappings_by_style: dict = field(default_factory=dict)
+    # optional post-parse tree adapter (ET root → ET root), the seam a
+    # successor schema uses to map onto the shared table set
+    parse_adapter: object = None
+
+
+def _gpml2021_adapter(root):
+    from .gpml2021 import adapt_gpml2021_tree
+    return adapt_gpml2021_tree(root)
 
 
 GPML2013A = ConversionProfile(
@@ -50,3 +58,16 @@ GPML2013A = ConversionProfile(
     marker_mappings=mappings.MARKER_MAPPINGS,
     group_mappings_by_style=mappings.GROUP_MAPPINGS_BY_STYLE,
 )
+
+# the published successor schema (pathvisio.org/GPML/2021): mechanical
+# renames + container grouping over the same conversion semantics — an
+# adapter profile mapping 2021 documents onto the 2013a table set (see
+# functions/gpml2021.py for exactly what is and is not claimed)
+GPML2021 = replace(
+    GPML2013A,
+    name="GPML2021",
+    supported_namespaces=("http://pathvisio.org/GPML/2021",),
+    parse_adapter=_gpml2021_adapter,
+)
+
+PROFILES = {"gpml2013a": GPML2013A, "gpml2021": GPML2021}

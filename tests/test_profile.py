@@ -76,3 +76,67 @@ def test_profile_is_complete_bundle():
                       "gpml_defaults", "marker_mappings",
                       "group_mappings_by_style", "supported_namespaces"):
         assert getattr(GPML2013A, field_name)
+
+
+GPML_2021 = '''<?xml version="1.0" encoding="UTF-8"?>
+<Pathway xmlns="http://pathvisio.org/GPML/2021" title="t" version="1">
+<Graphics boardWidth="100.0" boardHeight="100.0" />
+<DataNodes>
+<DataNode textLabel="A" elementId="aaa11" type="Protein">
+<Graphics centerX="20.0" centerY="20.0" width="20.0" height="10.0" \
+zOrder="32768" fontSize="10" valign="Middle" />
+<Xref dataSource="Entrez Gene" identifier="1" /></DataNode>
+<DataNode textLabel="B" elementId="bbb22" type="Protein">
+<Graphics centerX="80.0" centerY="20.0" width="20.0" height="10.0" \
+zOrder="32768" fontSize="10" valign="Middle" />
+<Xref dataSource="Entrez Gene" identifier="2" /></DataNode>
+</DataNodes>
+<Interactions>
+<Interaction elementId="eee33"><Graphics zOrder="12288" \
+lineThickness="1.0" />
+<Waypoints>
+<Point x="30.0" y="20.0" elementRef="aaa11" relX="1.0" relY="0.0" />
+<Point x="70.0" y="20.0" elementRef="bbb22" relX="-1.0" relY="0.0" \
+arrowHead="Arrow" />
+</Waypoints>
+<Xref dataSource="" identifier="" /></Interaction>
+</Interactions>
+</Pathway>'''
+
+
+def test_gpml2021_profile_end_to_end_matches_2013a_twin():
+    """The shipped GPML2021 profile: the same pathway expressed in the
+    2021 schema (elementId/elementRef, lowerCamelCase attrs, Xref
+    dataSource/identifier, plural containers, Waypoints) converts to
+    the SAME pvjson as its 2013a twin — every entity field equal; only
+    pathway.id (sha256 of the exact input text) may differ."""
+    from gpml2pvjson_js_ray.functions.profile import GPML2021, PROFILES
+
+    base = convert_island(GPML_2013A)
+    out = convert_island(GPML_2021, profile=GPML2021)
+    assert out["entitiesById"] == base["entitiesById"]
+    pw_a = {k: v for k, v in base["pathway"].items() if k != "id"}
+    pw_b = {k: v for k, v in out["pathway"].items() if k != "id"}
+    assert pw_a == pw_b
+    assert PROFILES["gpml2021"] is GPML2021
+
+
+def test_gpml2021_rejected_by_default_profile():
+    with pytest.raises(ConversionError, match="Unsupported namespace"):
+        convert_island(GPML_2021)
+
+
+def test_cli_convert_gpml2021_profile(tmp_path):
+    """convert --profile gpml2021 end-to-end through the CLI surface."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "gpml2pvjson_js_ray", "convert",
+         "--profile", "gpml2021", "--id", "http://example.org/WP2021"],
+        input=GPML_2021.encode(), capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr.decode()
+    doc = json.loads(r.stdout.decode().strip())
+    assert set(doc["entitiesById"]) == {"aaa11", "bbb22", "eee33"}
+    assert doc["entitiesById"]["eee33"]["markerEnd"] == "Arrow"
