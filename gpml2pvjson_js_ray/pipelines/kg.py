@@ -192,7 +192,12 @@ def _target_blocks() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    per_cpu = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "3"))
+    # 2 (not 3): measured round-4 A/B at 24 CPUs — 48 blocks (2 even
+    # waves) beat 96 (15.3-16.4 s vs 16.1-16.5 s) and larger counts are
+    # strictly worse (6→18.1+, 8→18.4+ s: per-task overhead dominates);
+    # the 6-CPU level is insensitive (52.6 vs 52.9 s). Real-scale runs
+    # have files >> CPUs and never hit this override.
+    per_cpu = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "2"))
     return max(8, cpus * per_cpu)
 
 

@@ -70,6 +70,20 @@ def test_query_matches_oracle(ray_session, duck, name):
         f"{name}: row count {len(mine)} != {len(theirs)}"
     assert sorted(mine.columns) == sorted(theirs.columns), \
         f"{name}: columns {sorted(mine.columns)} != {sorted(theirs.columns)}"
+    # dtype-kind parity: the driver hashes value bytes, so an
+    # int64-vs-float64 divergence on identical values is a driver hash
+    # FAIL even though the row comparison below passes (round-3's one
+    # red cell). Datetime precision (ns vs us) is driver-tolerated —
+    # kind comparison ('i' vs 'f' vs 'M') covers exactly the failing
+    # class without false alarms.
+    kind_mismatch = [
+        (c, str(mine[c].dtype), str(theirs[c].dtype))
+        for c in sorted(mine.columns)
+        if {mine[c].dtype.kind, theirs[c].dtype.kind} <= {"i", "u", "f"}
+        and str(mine[c].dtype) != str(theirs[c].dtype)]
+    assert not kind_mismatch, (
+        f"{name}: engine/oracle dtype-kind mismatch (driver hash would "
+        f"fail): {kind_mismatch}")
     mrows, trows = _normalize(mine), _normalize(theirs)
     n_bad = sum(1 for a, b in zip(mrows, trows) if a != b)
     assert n_bad == 0, (
