@@ -260,10 +260,21 @@ def _kg_pso_dir(sf_dir: str) -> str:
 
 def _kg_predicate_edges(sf_dir: str):
     """Predicate point lookup over the PSO secondary layout — reads
-    ONLY the pred-hash bucket the sidecar points at; full-scan equality
-    pinned in tests/test_graph.py."""
+    ONLY the pred-hash bucket the sidecar points at. DuckDB-oracled
+    since round 4 against the full-scan predicate filter over the
+    deduped set (explicit predicate so the oracle is closed-form)."""
     from gpml2pvjson_js_ray.pipelines import graph
-    return graph.predicate_edges_from_layout(_kg_pso_dir(sf_dir))
+    return graph.predicate_edges_from_layout(_kg_pso_dir(sf_dir),
+                                             predicate="hasXref")
+
+
+def _kg_adjacency(sf_dir: str):
+    """The adjacency layout's FULL deduped rows (bucket column dropped:
+    the bucket is a hash, re-derivable from the layout sidecar) —
+    DuckDB-oracled via row_number() over the engine's total dedup
+    tiebreak, pinning every surviving payload column."""
+    return (_kg_pipeline_output("adjacency")(sf_dir)
+            .drop_columns(["subj_bucket"]))
 
 
 def _join_query(fn_name):
@@ -661,7 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["canonical_subj", "pred", "canonical_obj", "url"]),
         "kg_canonical_entities":
             _kg_oracled_query("canonical_entities_from_pages"),
-        "kg_adjacency": _kg_pipeline_output("adjacency"),
+        "kg_adjacency": _kg_adjacency,
         "kg_entity_components": _kg_components,
         "kg_entity_degrees": _kg_degrees,
         "kg_entity_pagerank": _kg_pagerank,

@@ -24,12 +24,24 @@ TRIPLE_KEY = ["canonical_subj", "pred", "canonical_obj"]
 
 def dedup_triples_within_batch(batch: pa.Table) -> pa.Table:
     """Combiner: drop duplicate (s,p,o) rows inside one batch, keeping the
-    lexically-smallest url for deterministic provenance."""
+    lexically-smallest (url, subj, obj, entity_id) row. The tiebreak
+    beyond url matters: two entities in ONE document can emit the same
+    canonical (s,p,o) (e.g. two nodes sharing an xref), and url alone
+    left the survivor to incidental block order — the full tiebreak is
+    a TOTAL order over the payload-distinct candidates, so keep-first
+    is deterministic across any partitioning (and min-folds
+    associatively through the exchange combine), which is what lets
+    the kg_adjacency driver oracle pin full rows via row_number()."""
     if batch.num_rows == 0:
         return batch
-    # sort by key+url, then keep the first row of each key run — fully
-    # vectorized: adjacent-row inequality on each key column
-    sort_keys = [(k, "ascending") for k in TRIPLE_KEY] + [("url", "ascending")]
+    # sort by key+tiebreak, then keep the first row of each key run —
+    # fully vectorized: adjacent-row inequality on each key column.
+    # Tiebreak columns are filtered to the batch schema: callers like
+    # the salting probe feed key+url projections
+    names = set(batch.schema.names)
+    sort_keys = [(k, "ascending") for k in TRIPLE_KEY] \
+        + [(k, "ascending") for k in ("url", "subj", "obj", "entity_id")
+           if k in names]
     batch = batch.sort_by(sort_keys)
     n = batch.num_rows
     if n <= 1:
