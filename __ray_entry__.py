@@ -34,6 +34,22 @@ def _webgraph_query(fn_name):
     return q
 
 
+def _webgraph_oracled_query(fn_name):
+    """Like _webgraph_query, but first writes the host-edge checkpoint
+    the oracle SQL reads (webgraph.webgraph_oracle_sql_for_sf)."""
+    def q(sf_dir: str):
+        import os
+
+        from gpml2pvjson_js_ray.pipelines import kg, webgraph
+        path = kg.pages_path_for_sf(sf_dir)
+        pages = kg.read_pages(path, columns=["url", "html"])
+        ckpt = webgraph.host_edges_checkpoint_path(sf_dir)
+        if not os.path.exists(ckpt):
+            webgraph.checkpoint_host_link_graph(pages, ckpt)
+        return getattr(webgraph, fn_name)(pages)
+    return q
+
+
 def _kg_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import kg
@@ -686,11 +702,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host-level web graph over the raw html column (outlink
         # extraction → constant-size host exchange; pytest oracle:
         # independent stdlib-re recount over the same corpus)
-        "kg_host_link_graph": _webgraph_query("host_link_graph"),
+        "kg_host_link_graph": _webgraph_oracled_query("host_link_graph"),
         "kg_host_pagerank": _webgraph_query("host_pagerank"),
         # personalized (seed-rooted) PageRank: related-hosts ranking
         "kg_host_ppr": _webgraph_query("host_ppr"),
-        "kg_host_cocitation": _webgraph_query("host_cocitation"),
+        "kg_host_cocitation": _webgraph_oracled_query("host_cocitation"),
         "kg_anchor_texts": _webgraph_query("anchor_text_stats"),
         # directed SCC of the host link graph (trim + F/B min-label
         # peeling; rows-only — pytest checks planted cycles plus a full
@@ -937,4 +953,6 @@ def _kg_oracles() -> dict[str, str]:
     # kg_canonical_entities (the same unification recomputed live from
     # pages) share one oracle: both must equal the SQL recompute
     sqls["kg_entities"] = sqls["kg_canonical_entities"]
+    from gpml2pvjson_js_ray.pipelines import webgraph
+    sqls.update(webgraph.webgraph_oracle_sql_for_sf("/root/testdata/sf0.01"))
     return sqls

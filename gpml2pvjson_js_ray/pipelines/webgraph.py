@@ -78,6 +78,70 @@ def host_link_graph(pages):
             .sort(["src_host", "dst_host"]))
 
 
+_HOST_EDGES_ROOT = "/tmp/gpml2pvjson_webgraph"
+# bump when host_link_edges extraction semantics change (stale-checkpoint
+# invalidation, same discipline as kg.KG_PIPELINE_VERSION)
+HOST_EDGES_VERSION = 1
+
+
+def host_edges_checkpoint_path(sf_dir: str) -> str:
+    """Deterministic host-edge-list parquet path for sf_dir's corpus —
+    pure string arithmetic so oracle_sql() can embed it."""
+    import os
+
+    from .kg import SF_TO_N_PAGES
+    from ..sources.pages import GEN_VERSION, SEED
+    override = os.environ.get("GRAFT_N_PAGES")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n = int(override) if override else SF_TO_N_PAGES.get(sf_name, 2400)
+    return os.path.join(
+        _HOST_EDGES_ROOT,
+        f"hostedges_n{n}_s{SEED}_v{GEN_VERSION}_h{HOST_EDGES_VERSION}"
+        ".parquet")
+
+
+def checkpoint_host_link_graph(pages, path: str):
+    """Write the host link graph to ONE byte-stable parquet (already
+    sorted by host_link_graph). Driver-side collect is fine: the edge
+    list is |hosts|²-bounded (dozens of rows on the synthetic corpus),
+    never page-scale."""
+    import os
+
+    import pyarrow.parquet as pq
+    t = pa.Table.from_pandas(host_link_graph(pages).to_pandas(),
+                             preserve_index=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def webgraph_oracle_sql_for_sf(sf_dir: str = "/root/testdata/sf0.01",
+                               max_out_degree: int = 64,
+                               min_count: int = 2) -> dict:
+    """DuckDB oracles over the engine-written host edge checkpoint:
+    kg_host_link_graph is the identity-under-recompute determinism
+    gate; kg_host_cocitation is an independent first-principles
+    recompute of the wedge-pair count (self-join) against the
+    engine's group-local triu pair generation."""
+    p = host_edges_checkpoint_path(sf_dir)
+    return {
+        "kg_host_link_graph":
+            f"SELECT src_host, dst_host, n_links FROM read_parquet('{p}')",
+        "kg_host_cocitation": f"""
+WITH d AS (SELECT DISTINCT src_host, dst_host FROM read_parquet('{p}')),
+deg AS (SELECT src_host, count(*) AS od FROM d GROUP BY src_host),
+ok AS (SELECT d.* FROM d JOIN deg USING (src_host)
+       WHERE od BETWEEN 2 AND {max_out_degree})
+SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+       CAST(count(*) AS BIGINT) AS n_cociting
+FROM ok a JOIN ok b
+  ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+GROUP BY 1, 2 HAVING count(*) >= {min_count}""",
+    }
+
+
 _ANCHOR_SCHEMA = pa.schema([
     ("anchor_text", pa.string()),
     ("dst_host", pa.string()),
