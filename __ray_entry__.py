@@ -158,15 +158,32 @@ def _kg_degrees(sf_dir: str):
 def _kg_two_hop(sf_dir: str):
     """Bucket-pruned 2-hop ego net of a deterministic seed entity —
     reads only |frontier|×salt_factor adjacency buckets per hop (the
-    point-lookup dividend of the subject-hash layout); full-scan BFS
-    cross-check in tests/test_graph.py."""
+    point-lookup dividend of the subject-hash layout). Seed = the
+    globally smallest entity-edged subject (one distributed Min over
+    the layout), which makes the whole query closed-form SQL: the
+    DuckDB oracle recomputes the 2-hop BFS from the raw checkpoint.
+    Full-scan BFS cross-check also in tests/test_graph.py."""
     import os
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from gpml2pvjson_js_ray.pipelines import graph, kg
     path = kg.pages_path_for_sf(sf_dir)
     out = kg.kg_checkpoint_dir_for_sf(sf_dir)
     kg.run_kg_pipeline(path, out)
-    return graph.two_hop_from_adjacency(os.path.join(out, "adjacency"))
+    adj_dir = os.path.join(out, "adjacency")
+
+    def entity_edges(b: pa.Table) -> pa.Table:
+        keep = pc.and_(b.column("obj_is_node"),
+                       pc.not_equal(b.column("canonical_subj"),
+                                    b.column("canonical_obj")))
+        return pa.table(
+            {"canonical_subj": b.filter(keep).column("canonical_subj")})
+
+    seed = (_kg_pipeline_output("adjacency")(sf_dir)
+            .map_batches(entity_edges, batch_format="pyarrow")
+            .min("canonical_subj"))
+    return graph.two_hop_from_adjacency(adj_dir, seed=seed)
 
 
 def _kg_communities(sf_dir: str):
