@@ -180,9 +180,15 @@ def _kg_two_hop(sf_dir: str):
         return pa.table(
             {"canonical_subj": b.filter(keep).column("canonical_subj")})
 
-    seed = (_kg_pipeline_output("adjacency")(sf_dir)
-            .map_batches(entity_edges, batch_format="pyarrow")
-            .min("canonical_subj"))
+    # seed = max-out-degree subject (min subject on ties): a hub seed
+    # gives the check a rich 2-hop frontier instead of a leaf's
+    from ray.data.aggregate import Count
+    top = (_kg_pipeline_output("adjacency")(sf_dir)
+           .map_batches(entity_edges, batch_format="pyarrow")
+           .groupby("canonical_subj").aggregate(Count(alias_name="d"))
+           .sort(["d", "canonical_subj"], descending=[True, False])
+           .limit(1).take(1))
+    seed = top[0]["canonical_subj"]
     return graph.two_hop_from_adjacency(adj_dir, seed=seed)
 
 
