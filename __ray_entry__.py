@@ -50,6 +50,22 @@ def _webgraph_oracled_query(fn_name):
     return q
 
 
+def _anchor_texts_oracled(sf_dir: str):
+    """anchor_text_stats with its oracle checkpoint written first
+    (identity-under-recompute determinism gate, same discipline as
+    kg_host_link_graph; the independent stdlib-re recount lives in
+    pytest)."""
+    import os
+
+    from gpml2pvjson_js_ray.pipelines import kg, webgraph
+    path = kg.pages_path_for_sf(sf_dir)
+    pages = kg.read_pages(path, columns=["url", "html"])
+    ckpt = webgraph.anchor_checkpoint_path(sf_dir)
+    if not os.path.exists(ckpt):
+        webgraph.checkpoint_anchor_stats(pages, ckpt)
+    return webgraph.anchor_text_stats(pages)
+
+
 def _kg_query(fn_name):
     def q(sf_dir: str):
         from gpml2pvjson_js_ray.pipelines import kg
@@ -726,18 +742,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction → constant-size host exchange; pytest oracle:
         # independent stdlib-re recount over the same corpus)
         "kg_host_link_graph": _webgraph_oracled_query("host_link_graph"),
-        "kg_host_pagerank": _webgraph_query("host_pagerank"),
+        # DuckDB-oracled since round 4: the unrolled 8-iteration power
+        # method over the host-edge checkpoint recomputes the engine's
+        # distributed join+groupby rounds independently
+        "kg_host_pagerank": _webgraph_oracled_query("host_pagerank"),
         # personalized (seed-rooted) PageRank: related-hosts ranking
-        "kg_host_ppr": _webgraph_query("host_ppr"),
+        "kg_host_ppr": _webgraph_oracled_query("host_ppr"),
         "kg_host_cocitation": _webgraph_oracled_query("host_cocitation"),
-        "kg_anchor_texts": _webgraph_query("anchor_text_stats"),
-        # directed SCC of the host link graph (trim + F/B min-label
-        # peeling; rows-only — pytest checks planted cycles plus a full
-        # transitive-closure cross-check on the real sf0.001 host graph)
-        "kg_host_scc": _webgraph_query("host_scc"),
-        # SCC-condensation DAG depth per host (rows-only; planted
-        # bow-tie pytest pins levels, SCC correctness is kg_host_scc's)
-        "kg_host_levels": _webgraph_query("host_condensation_levels"),
+        # identity-under-recompute vs the anchor checkpoint (pytest
+        # holds the independent stdlib-re recount)
+        "kg_anchor_texts": _anchor_texts_oracled,
+        # directed SCC of the host link graph (engine: trim + F/B
+        # min-label peeling; oracle: closed-form reachability-closure
+        # SQL over the host-edge checkpoint — an independent algorithm;
+        # planted-cycle pytests cover the cyclic shapes the synthetic
+        # corpus lacks)
+        "kg_host_scc": _webgraph_oracled_query("host_scc"),
+        # SCC-condensation DAG depth per host (oracle: longest-path
+        # recursion over the closure-derived condensation edges)
+        "kg_host_levels": _webgraph_oracled_query("host_condensation_levels"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)

@@ -1422,6 +1422,12 @@ def condensation_levels(edges, nodes, src: str, dst: str,
     ce = (e.join(scc_as("_a", "scc_a"), join_type="inner",
                  num_partitions=num_partitions,
                  on=("a",), right_on=("_a",))
+          # merge away the first join's zero-column empty partitions
+          # before the second join reads them as a schema-less side
+          # (same pitfall as connected_components' post-aggregate
+          # repartition; surfaced by small planted graphs where a
+          # hash partition goes empty)
+          .repartition(num_partitions)
           .join(scc_as("_b", "scc_b"), join_type="inner",
                 num_partitions=num_partitions,
                 on=("b",), right_on=("_b",))
@@ -1604,3 +1610,75 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
                  .repartition(num_partitions)
                  .materialize())
     return ranks
+
+
+def pagerank_oracle_sql(d_body: str, out_node: str = "host",
+                        damping: float = 0.85, iters: int = 8,
+                        round_digits: int = 10,
+                        personalized: bool = False) -> str:
+    """DuckDB recompute of the fixed-iteration power method in
+    `pagerank` / `personalized_pagerank`, unrolled as one CTE triple
+    per iteration — DuckDB 1.0 recursive CTEs cannot aggregate in the
+    recursive term, and plain CTEs are inlined once per reference, so
+    without the MATERIALIZED hints the unrolled plan re-evaluates the
+    whole prefix exponentially (measured: the 8-iteration query never
+    finishes un-hinted, 0.3 s hinted).
+
+    `d_body` must SELECT the distinct edge list as columns (s, t).
+    With `personalized`, the teleport mass lands entirely on the
+    lexicographically smallest linking host min(s) — exactly
+    `host_ppr`'s default seed; otherwise teleport is uniform over the
+    node set (`pagerank`).
+
+    Float parity with the distributed engine holds because both sides
+    run the same float64 recurrence (contrib = r/deg, fold by dst,
+    dangling mass redistributed each round) and only the OUTPUT is
+    rounded (engine: pc.round ndigits=10 in host_pagerank /
+    entity_pagerank / host_ppr); distributed summation order diverges
+    at ~1e-16 relative, eight orders below the rounding grain."""
+    ctes = [
+        f"d AS MATERIALIZED ({d_body})",
+        "nodes AS MATERIALIZED (SELECT s AS h FROM d UNION SELECT t FROM d)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n "
+        "FROM nodes)",
+        "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS deg "
+        "FROM d GROUP BY s)",
+    ]
+    if personalized:
+        ctes.append("seed AS MATERIALIZED (SELECT min(s) AS v FROM d)")
+        ctes.append("r0 AS MATERIALIZED (SELECT h, CASE WHEN "
+                    "h = (SELECT v FROM seed) THEN 1.0 ELSE 0.0 END AS r "
+                    "FROM nodes)")
+    else:
+        ctes.append("r0 AS MATERIALIZED (SELECT h, "
+                    "1.0/(SELECT n FROM nn) AS r FROM nodes)")
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT d.t AS h, "
+            f"r{i-1}.r / deg.deg AS c "
+            f"FROM d JOIN deg ON deg.s = d.s "
+            f"JOIN r{i-1} ON r{i-1}.h = d.s)")
+        # dangling mass = 1 - Σcontrib, clamped at 0 like the engine
+        if personalized:
+            ctes.append(
+                f"a{i} AS MATERIALIZED (SELECT ({1.0 - damping!r}) + "
+                f"{damping!r} * greatest(0.0, 1.0 - "
+                f"(SELECT coalesce(sum(c), 0.0) FROM m{i})) AS v)")
+            bump = (f"CASE WHEN nodes.h = (SELECT v FROM seed) "
+                    f"THEN (SELECT v FROM a{i}) ELSE 0.0 END")
+        else:
+            ctes.append(
+                f"a{i} AS MATERIALIZED (SELECT "
+                f"({1.0 - damping!r})/(SELECT n FROM nn) + {damping!r} * "
+                f"greatest(0.0, 1.0 - "
+                f"(SELECT coalesce(sum(c), 0.0) FROM m{i}))"
+                f"/(SELECT n FROM nn) AS v)")
+            bump = f"(SELECT v FROM a{i})"
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.h, "
+            f"{damping!r} * coalesce(s.c, 0.0) + {bump} AS r "
+            f"FROM nodes LEFT JOIN (SELECT h, sum(c) AS c FROM m{i} "
+            f"GROUP BY h) s ON s.h = nodes.h)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT h AS {out_node}, round(r, {round_digits}) AS rank "
+            f"FROM r{iters} ORDER BY rank DESC, {out_node}")

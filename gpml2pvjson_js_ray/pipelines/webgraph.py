@@ -100,6 +100,39 @@ def host_edges_checkpoint_path(sf_dir: str) -> str:
         ".parquet")
 
 
+def anchor_checkpoint_path(sf_dir: str) -> str:
+    """Deterministic anchor-stats parquet path for sf_dir's corpus —
+    pure string arithmetic so oracle_sql() can embed it."""
+    import os
+
+    from .kg import SF_TO_N_PAGES
+    from ..sources.pages import GEN_VERSION, SEED
+    override = os.environ.get("GRAFT_N_PAGES")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    n = int(override) if override else SF_TO_N_PAGES.get(sf_name, 2400)
+    return os.path.join(
+        _HOST_EDGES_ROOT,
+        f"anchors_n{n}_s{SEED}_v{GEN_VERSION}_h{HOST_EDGES_VERSION}"
+        ".parquet")
+
+
+def checkpoint_anchor_stats(pages, path: str):
+    """Write the anchor-text stats to ONE byte-stable parquet (already
+    sorted by anchor_text_stats). Driver-side collect is fine: the
+    table is bounded by the distinct-mention vocabulary, never
+    page-scale."""
+    import os
+
+    import pyarrow.parquet as pq
+    t = pa.Table.from_pandas(anchor_text_stats(pages).to_pandas(),
+                             preserve_index=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def checkpoint_host_link_graph(pages, path: str):
     """Write the host link graph to ONE byte-stable parquet (already
     sorted by host_link_graph). Driver-side collect is fine: the edge
@@ -117,16 +150,73 @@ def checkpoint_host_link_graph(pages, path: str):
     return path
 
 
+def _closure_ctes(p: str) -> str:
+    """Shared CTE prefix: distinct host edges, node set, the full
+    reachability closure (recursive CTE — fine here: the host graph is
+    |hosts|²-bounded, never page-scale), and the SCC map scc(v) =
+    lexicographically smallest u with v→u AND u→v (reflexive pairs
+    seed the recursion, so singletons label themselves) — the same
+    component representative graph.strongly_connected_components
+    emits."""
+    return f"""
+d AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS t
+                   FROM read_parquet('{p}')),
+nodes AS MATERIALIZED (SELECT s AS h FROM d UNION SELECT t FROM d),
+reach AS (SELECT h AS a, h AS b FROM nodes
+          UNION
+          SELECT r.a, d.t FROM reach r JOIN d ON d.s = r.b),
+sccmap AS MATERIALIZED (
+  SELECT n.h AS host, min(r1.b) AS scc
+  FROM nodes n
+  JOIN reach r1 ON r1.a = n.h
+  JOIN reach r2 ON r2.a = r1.b AND r2.b = n.h
+  GROUP BY n.h)"""
+
+
 def webgraph_oracle_sql_for_sf(sf_dir: str = "/root/testdata/sf0.01",
                                max_out_degree: int = 64,
                                min_count: int = 2) -> dict:
     """DuckDB oracles over the engine-written host edge checkpoint:
     kg_host_link_graph is the identity-under-recompute determinism
-    gate; kg_host_cocitation is an independent first-principles
-    recompute of the wedge-pair count (self-join) against the
-    engine's group-local triu pair generation."""
+    gate; every other entry is an independent first-principles
+    recompute — co-citation wedge pairs by self-join, SCC/condensation
+    levels by closed-form reachability closure (vs the engine's
+    distributed trim + forward/backward min-label peeling), PageRank /
+    personalized PageRank by the unrolled 8-iteration power method
+    (vs the engine's co-partitioned join + groupby-sum rounds), anchor
+    stats by identity over their own checkpoint (pytest holds the
+    independent stdlib-re recount)."""
+    from .graph import pagerank_oracle_sql
+
     p = host_edges_checkpoint_path(sf_dir)
+    d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
+              f"FROM read_parquet('{p}')")
+    ap = anchor_checkpoint_path(sf_dir)
     return {
+        "kg_host_scc": f"""
+WITH RECURSIVE {_closure_ctes(p)}
+SELECT host, scc FROM sccmap ORDER BY scc, host""",
+        "kg_host_levels": f"""
+WITH RECURSIVE {_closure_ctes(p)},
+ce AS MATERIALIZED (
+  SELECT DISTINCT sa.scc AS su, sb.scc AS sv
+  FROM d JOIN sccmap sa ON sa.host = d.s
+         JOIN sccmap sb ON sb.host = d.t
+  WHERE sa.scc <> sb.scc),
+lvl AS (
+  SELECT scc AS c, 0 AS l FROM (SELECT DISTINCT scc FROM sccmap)
+  WHERE scc NOT IN (SELECT sv FROM ce)
+  UNION
+  SELECT ce.sv, lvl.l + 1 FROM lvl JOIN ce ON ce.su = lvl.c)
+SELECT m.host, m.scc, CAST(max(lvl.l) AS BIGINT) AS level
+FROM sccmap m JOIN lvl ON lvl.c = m.scc
+GROUP BY m.host, m.scc ORDER BY level, scc, host""",
+        "kg_host_pagerank": pagerank_oracle_sql(d_body, out_node="host"),
+        "kg_host_ppr": pagerank_oracle_sql(d_body, out_node="host",
+                                           personalized=True),
+        "kg_anchor_texts": (
+            f"SELECT anchor_text, dst_host, n_mentions "
+            f"FROM read_parquet('{ap}')"),
         "kg_host_link_graph":
             f"SELECT src_host, dst_host, n_links FROM read_parquet('{p}')",
         "kg_host_cocitation": f"""
