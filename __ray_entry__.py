@@ -629,7 +629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
         "documents_fingerprint": textops.documents_fingerprint,
-        "documents_minhash_dups": textops.documents_minhash_dups,
+        # DuckDB-oracled since round 4: band rows checkpointed, the SQL
+        # regenerates candidates from band collisions and reruns the
+        # exact shingle-Jaccard verify
+        "documents_minhash_dups": textops.documents_minhash_dups_oracled,
         "documents_ngram_jaccard": textops.documents_ngram_jaccard,
         # prefix-filtered exact set-similarity join — LOSSLESS candidate
         # generation (oracle is the blocking-free brute-force self-join,
@@ -639,7 +642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest pins the w+k-1 shared-run guarantee)
         "documents_winnowing_dups": textops.documents_winnowing_dups,
         "documents_simhash": textops.documents_simhash,
-        "documents_simhash_dups": textops.documents_simhash_dups,
+        # DuckDB-oracled since round 4: signature checkpoint + all-pairs
+        # Hamming ground truth proves the pigeonhole banding lossless
+        "documents_simhash_dups": textops.documents_simhash_dups_oracled,
         # similarity search over embeddings
         "embeddings_ann_lsh_top10": simops.embeddings_ann_lsh_top10,
         "embeddings_ann_ivf_top10": simops.embeddings_ann_ivf_top10,
@@ -977,6 +982,13 @@ def oracle_sql() -> dict[str, str]:
         # checkpoint exists by the time the driver executes the SQL
         **_kg_oracles(),
         **_media_oracles(),
+        # sketch families: checkpointed signatures + SQL recompute of
+        # the downstream semantics (candidate gen + verify / all-pairs
+        # Hamming ground truth)
+        "documents_minhash_dups":
+            textops.minhash_oracle_sql_for_sf("/root/testdata/sf0.01"),
+        "documents_simhash_dups":
+            textops.simhash_oracle_sql_for_sf("/root/testdata/sf0.01"),
     }
 
 

@@ -8,6 +8,7 @@ checks and pytest covers their semantics on known inputs.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 
@@ -496,7 +497,10 @@ def documents_minhash_dups(sf_dir: str):
                 if j >= JACCARD_THRESHOLD:
                     ra.append(a)
                     rb.append(b2)
-                    rj.append(round(j, 4))
+                    # half-away via the explicit floor formula so the
+                    # DuckDB oracle reproduces the exact double (see
+                    # _round4_away; Python round() is half-to-even)
+                    rj.append(math.floor(j * 10000.0 + 0.5) * 0.0001)
             return pa.table({"doc_a": pa.array(ra, pa.int64()),
                              "doc_b": pa.array(rb, pa.int64()),
                              "jaccard": pa.array(rj, pa.float64())})
@@ -559,7 +563,9 @@ def documents_minhash_dups(sf_dir: str):
             union = len(sa | sb)
             j = (len(sa & sb) / union) if union else 0.0
             if j >= JACCARD_THRESHOLD:
-                rows.append((int(a), int(b), round(j, 4)))
+                # same half-away floor formula as the broadcast path
+                rows.append((int(a), int(b),
+                             math.floor(j * 10000.0 + 0.5) * 0.0001))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
             if rows else pd.DataFrame(
                 {"doc_a": pd.Series([], dtype="int64"),
@@ -1625,3 +1631,137 @@ def documents_winnowing_dups(sf_dir: str, w: int = 4,
             .map_batches(close, batch_format="pyarrow")
             .sort(["n_shared", "doc_a", "doc_b"],
                   descending=[True, False, False]))
+
+
+# ---------------------------------------------------------------------------
+# sketch checkpoints: DuckDB oracles for the minhash/simhash dup families
+# ---------------------------------------------------------------------------
+#
+# The sketches themselves (polars seed-0 token hashes, numpy permutation
+# mins / bit votes) are not SQL-expressible, but their OUTPUTS are
+# deterministic tables — checkpoint them and the downstream semantics
+# become first-principles SQL: the minhash verify is an exact shingle
+# Jaccard over candidate pairs regenerated from the band rows, and the
+# simhash pigeonhole banding is LOSSLESS for hamming ≤ max_hamming
+# (≤ 3 differing bits cannot touch all 4 bands), so a blocking-free
+# all-pairs bit_count(xor) join is the exact ground truth — the same
+# checkpoint + brute-force contract as the media near-dup oracles
+# (stages/multimodal.py: media_dups_oracle_sql).
+
+_SKETCH_CKPT_ROOT = "/tmp/gpml2pvjson_textsketch"
+# bump when sketch semantics change (stale-checkpoint invalidation)
+SKETCH_VERSION = 1
+
+
+def sketch_checkpoint_path(name: str, sf_dir: str) -> str:
+    """Deterministic sketch-parquet path — pure string arithmetic so
+    oracle_sql() can embed it without running anything."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SKETCH_CKPT_ROOT,
+                        f"{name}_{sf}_v{SKETCH_VERSION}.parquet")
+
+
+def _checkpoint_sorted(ds, sort_cols, path: str):
+    """Collect-and-write a BOUNDED oracle artifact (driver-check scale
+    only — the corpus-scale dedup path never materializes these; at
+    sf0.01 the band table is 16 rows/doc over 500 docs)."""
+    import pyarrow.parquet as pq
+    t = pa.Table.from_pandas(
+        ds.to_pandas().sort_values(sort_cols).reset_index(drop=True),
+        preserve_index=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def documents_minhash_dups_oracled(sf_dir: str):
+    """documents_minhash_dups with a driver-verifiable contract: the
+    (band_id, band_hash, doc_id) rows are checkpointed, and the DuckDB
+    oracle regenerates candidate pairs from band collisions and runs
+    the exact shingle-Jaccard verify in SQL (minhash_oracle_sql_for_sf)
+    — so both the banding output and the verify threshold/rounding get
+    a hash-checked driver row."""
+    path = sketch_checkpoint_path("minhash_bands", sf_dir)
+    if not os.path.exists(path):
+        docs = _read_docs(sf_dir, ["doc_id", "text"])
+        bands = docs.map_batches(MinHashBands(), batch_format="pyarrow",
+                                 batch_size=1024)
+        _checkpoint_sorted(bands, ["doc_id", "band_id"], path)
+    return documents_minhash_dups(sf_dir)
+
+
+def documents_simhash_dups_oracled(sf_dir: str):
+    """documents_simhash_dups under the checkpoint + brute-force-oracle
+    contract: the (doc_id, simhash) table is checkpointed; the oracle
+    all-pairs bit_count(xor) join proves the Manku pigeonhole banding
+    lossless against ground truth."""
+    path = sketch_checkpoint_path("simhash", sf_dir)
+    if not os.path.exists(path):
+        docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+        def sig(batch: pa.Table) -> pa.Table:
+            fps = _simhash_batch(batch.column("text").to_pylist())
+            return pa.Table.from_pydict({
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(fps.view(np.int64), type=pa.int64())})
+
+        _checkpoint_sorted(docs.map_batches(sig, batch_format="pyarrow",
+                                            batch_size=1024),
+                           ["doc_id"], path)
+    return documents_simhash_dups(sf_dir)
+
+
+# shingle-set SQL fragment shared with SQL_DOCUMENTS_NGRAM_JACCARD's
+# tokenization (k = SHINGLE_K = 3, lowercase, ASCII-whitespace tokens)
+_SQL_SHINGLES = r"""
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS sh
+  FROM documents,
+       LATERAL (SELECT regexp_extract_all(lower(text),
+             '[^' || chr(9) || chr(10) || chr(12) || chr(13) || ' ]+')
+         AS toks)"""
+
+
+def minhash_oracle_sql_for_sf(sf_dir: str) -> str:
+    """Candidate pairs from band-hash collisions over the checkpoint,
+    verified by exact shingle Jaccard at the engine's 0.5 threshold;
+    the half-away floor rounding mirrors the engine verify bit-for-bit
+    (see _round4_away for why round() differs between engines)."""
+    p = sketch_checkpoint_path("minhash_bands", sf_dir)
+    return f"""
+WITH br AS MATERIALIZED (
+  SELECT band_id, band_hash, doc_id FROM read_parquet('{p}')),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM br a JOIN br b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+sh AS MATERIALIZED ({_SQL_SHINGLES}),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / nullif(len(list_distinct(a.sh || b.sh)), 0) AS j
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, floor(j * 10000.0 + 0.5) * 0.0001 AS jaccard
+FROM jac WHERE j >= {JACCARD_THRESHOLD!r}"""
+
+
+def simhash_oracle_sql_for_sf(sf_dir: str, max_hamming: int = 3) -> str:
+    """Brute-force all-pairs Hamming join over the simhash checkpoint —
+    the blocking-free ground truth the banded engine path must equal
+    exactly (banding is lossless at hamming ≤ max_hamming by the
+    pigeonhole argument in documents_simhash_dups)."""
+    p = sketch_checkpoint_path("simhash", sf_dir)
+    return f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM read_parquet('{p}') a JOIN read_parquet('{p}') b
+  ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
