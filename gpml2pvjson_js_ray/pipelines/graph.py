@@ -33,7 +33,7 @@ from .relational import _read
 
 
 def connected_components(edges, nodes, src: str, dst: str,
-                         max_iters: int = 25, num_partitions: int = 8):
+                         max_iters: int = 128, num_partitions: int = 8):
     """Label every node with the smallest node id reachable from it.
 
     `edges`: Dataset with columns [src, dst]; `nodes`: single-column
@@ -82,6 +82,16 @@ def connected_components(edges, nodes, src: str, dst: str,
         if cur == prev:
             break
         prev = cur
+    else:
+        # mirror strongly_connected_components' guard: returning
+        # unconverged labels silently splits one true component into
+        # several (observed: the sf0.01 entity graph's 1397-node
+        # component needs ~30 rounds, and the old max_iters=15 default
+        # truncated it into 32 spurious components)
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} "
+            "rounds — raise max_iters (label propagation needs about "
+            "one round per unit of component diameter)")
     return labels
 
 
@@ -245,19 +255,24 @@ def entity_pagerank(adjacency, num_partitions: int = 8,
 
 
 def entity_components(adjacency, num_partitions: int = 8,
-                      max_iters: int = 15):
+                      max_iters: int = 128):
     """Connected components over the KG entity graph: edges are the
     adjacency rows whose object is itself an entity
     (`obj_is_node`), keyed by the canonical ids the exchange already
-    unified. Returns (entity, component) with component = the entity
-    IRI of the cluster's representative — i.e. interaction-connected
-    reaction-network clusters per corpus.
+    unified. Returns (entity, component) with component = the
+    lexicographically smallest member IRI of the cluster — i.e.
+    interaction-connected reaction-network clusters per corpus, with a
+    hash-free canonical label (DuckDB-oracled since round 4 by an
+    undirected reachability closure over the triples checkpoint).
 
     String ids are hashed to int64 (polars seed-0 hash) for the
     propagation rounds — min/sum over fixed-width ints, no string
-    shuffling in the loop — and the representative's IRI is joined
-    back at the end from the (hash → iri) mapping built during the
-    same pass."""
+    shuffling in the loop. The canonical label costs one extra
+    component-sized groupby + co-partitioned join after the fixpoint
+    (the label hash's own IRI would be cheaper but hash-order-
+    dependent, hence un-oracle-able)."""
+    from ray.data.aggregate import Min
+
     hashed, mapping, nodes = _hashed_entity_edges(adjacency,
                                                   num_partitions)
     comp = connected_components(hashed, nodes, "sh", "oh",
@@ -272,16 +287,20 @@ def entity_components(adjacency, num_partitions: int = 8,
         return pa.table({"label": b.column("label"),
                          "entity": b.column("iri")})
 
-    rep = ent.map_batches(ent_b, batch_format="pyarrow") \
-        .repartition(num_partitions) \
-        .join(mapping, join_type="inner", num_partitions=num_partitions,
-              on=("label",), right_on=("h",))
+    members = (ent.map_batches(ent_b, batch_format="pyarrow")
+               .repartition(num_partitions).materialize())
+    reps = (members.groupby("label")
+            .aggregate(Min("entity", alias_name="component"))
+            .repartition(num_partitions))
+    out = members.join(reps, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("label",), right_on=("label",))
 
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"entity": b.column("entity"),
-                         "component": b.column("iri")})
+                         "component": b.column("component")})
 
-    return (rep.map_batches(final_b, batch_format="pyarrow")
+    return (out.map_batches(final_b, batch_format="pyarrow")
             .sort("entity"))
 
 
@@ -1001,7 +1020,7 @@ def entity_communities(adjacency, num_partitions: int = 8,
 
 # -- k-core decomposition (coreness) -------------------------------------------
 
-def coreness(edges, nodes, src: str, dst: str, max_iters: int = 30,
+def coreness(edges, nodes, src: str, dst: str, max_iters: int = 128,
              num_partitions: int = 8, num_buckets: int = 32):
     """Core number of every node — the largest k such that the node
     survives in the k-core (the maximal subgraph of minimum degree k).
@@ -1096,6 +1115,12 @@ def coreness(edges, nodes, src: str, dst: str, max_iters: int = 30,
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        # same guard as connected_components: unconverged h-index
+        # values are NOT coreness — fail loudly instead
+        raise RuntimeError(
+            f"coreness: no fixpoint after {max_iters} rounds — "
+            "raise max_iters")
     return vals
 
 
