@@ -638,9 +638,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generation (oracle is the blocking-free brute-force self-join,
         # so parity proves zero missed pairs)
         "documents_setsim_join": textops.documents_setsim_join,
-        # winnowing (MOSS) local-overlap near-dup pairs (rows-only;
-        # pytest pins the w+k-1 shared-run guarantee)
-        "documents_winnowing_dups": textops.documents_winnowing_dups,
+        # winnowing (MOSS) local-overlap near-dup pairs (DuckDB-oracled
+        # since round 4 via the fingerprint checkpoint; pytest pins the
+        # w+k-1 shared-run guarantee)
+        "documents_winnowing_dups":
+            textops.documents_winnowing_dups_oracled,
         "documents_simhash": textops.documents_simhash,
         # DuckDB-oracled since round 4: signature checkpoint + all-pairs
         # Hamming ground truth proves the pigeonhole banding lossless
@@ -989,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
             textops.minhash_oracle_sql_for_sf("/root/testdata/sf0.01"),
         "documents_simhash_dups":
             textops.simhash_oracle_sql_for_sf("/root/testdata/sf0.01"),
+        "documents_winnowing_dups":
+            textops.winnowing_oracle_sql_for_sf("/root/testdata/sf0.01"),
     }
 
 

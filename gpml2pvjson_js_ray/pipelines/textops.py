@@ -2,8 +2,12 @@
 the training-data-pipeline operator set (language-ID, quality scoring,
 fingerprinting, MinHash-LSH near-dup, SimHash), each Ray-Data-first.
 
-Sketch-based ops are not SQL-expressible; the driver records rows-only
-checks and pytest covers their semantics on known inputs.
+The sketch computations themselves are not SQL-expressible, but their
+dup families (minhash / simhash / winnowing) ARE driver-oracled since
+round 4: the deterministic signature tables are checkpointed and DuckDB
+recomputes everything downstream (candidate generation, verify,
+thresholds) from first principles — see the sketch-checkpoint section
+at the bottom of this module.
 """
 
 from __future__ import annotations
@@ -1765,3 +1769,38 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM read_parquet('{p}') a JOIN read_parquet('{p}') b
   ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def documents_winnowing_dups_oracled(sf_dir: str):
+    """documents_winnowing_dups under the checkpoint contract: the
+    (fp, doc_id) winnow fingerprints are checkpointed and the DuckDB
+    oracle re-derives the whole downstream — distinct doc-per-fp,
+    boilerplate df cap, pair counts, min_shared threshold — from first
+    principles SQL (winnowing_oracle_sql_for_sf)."""
+    path = sketch_checkpoint_path("winnow_fps", sf_dir)
+    if not os.path.exists(path):
+        docs = _read_docs(sf_dir, ["doc_id", "text"])
+        fps = docs.map_batches(lambda b: _winnow_batch(b, 4),
+                               batch_format="pyarrow")
+        _checkpoint_sorted(fps, ["doc_id", "fp"], path)
+    return documents_winnowing_dups(sf_dir)
+
+
+def winnowing_oracle_sql_for_sf(sf_dir: str, min_shared: int = 2,
+                                max_df: int = 64) -> str:
+    """Shared-fingerprint pair counts over the winnow checkpoint —
+    everything after the sketch is relational (distinct, df cap,
+    self-join, threshold), so the SQL is a full independent recompute
+    of the engine's groupby(fp) pair generation."""
+    p = sketch_checkpoint_path("winnow_fps", sf_dir)
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT DISTINCT fp, doc_id FROM read_parquet('{p}')),
+df AS MATERIALIZED (SELECT fp, count(*) AS nd FROM f GROUP BY fp),
+ok AS MATERIALIZED (
+  SELECT f.fp, f.doc_id FROM f JOIN df USING (fp)
+  WHERE nd BETWEEN 2 AND {max_df})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
