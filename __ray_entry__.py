@@ -768,6 +768,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCC-condensation DAG depth per host (oracle: longest-path
         # recursion over the closure-derived condensation edges)
         "kg_host_levels": _webgraph_oracled_query("host_condensation_levels"),
+        # HITS hubs/authorities: role-separating companion to PageRank
+        # (oracle: unrolled fixed-iteration recompute)
+        "kg_host_hits": _webgraph_oracled_query("host_hits"),
+        # link-ring signal: per-host fraction of reciprocated outlinks
+        "kg_host_reciprocity": _webgraph_oracled_query("host_reciprocity"),
+        # Broder bow-tie macro-structure: scc/in/out/other per host
+        # (oracle: reachability closure relative to the largest SCC)
+        "kg_host_bowtie": _webgraph_oracled_query("host_bowtie"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)
@@ -1017,4 +1025,6 @@ def _kg_oracles() -> dict[str, str]:
     sqls["kg_entities"] = sqls["kg_canonical_entities"]
     from gpml2pvjson_js_ray.pipelines import webgraph
     sqls.update(webgraph.webgraph_oracle_sql_for_sf("/root/testdata/sf0.01"))
+    sqls.update(
+        webgraph.structural_oracle_sql_for_sf("/root/testdata/sf0.01"))
     return sqls

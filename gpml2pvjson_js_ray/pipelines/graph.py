@@ -1707,3 +1707,180 @@ def pagerank_oracle_sql(d_body: str, out_node: str = "host",
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT h AS {out_node}, round(r, {round_digits}) AS rank "
             f"FROM r{iters} ORDER BY rank DESC, {out_node}")
+
+
+def hits(edges, nodes, src: str, dst: str, iters: int = 8,
+         num_partitions: int = 8):
+    """HITS hubs-and-authorities (Kleinberg JACM'99) over a directed
+    edge Dataset — the classic companion score to PageRank for web-KG
+    host ranking (authorities ≈ heavily-cited content hosts, hubs ≈
+    directory/portal hosts; PageRank conflates the two roles).
+
+    Per iteration: authority(v) = Σ hub(u) over in-edges then
+    L1-normalize, hub(u) = Σ authority(v) over out-edges then
+    L1-normalize — each step one co-partitioned join + one groupby-sum
+    + one scalar Sum to the driver, the exact round shape of
+    `pagerank` (L1 rather than the textbook L2 normalization: identical
+    fixpoint direction, and the normalizing scalar is the plain
+    distributed Sum the engine already has). Fixed iteration count,
+    like pagerank. Returns (node, hub, authority)."""
+    from ray.data.aggregate import Sum
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src), "dst": b.column(dst)})
+
+    ed = edges.map_batches(e_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def n_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0)})
+
+    base = nodes.map_batches(n_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def init_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "v": pa.array(np.ones(len(b)))})
+
+    def zero_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "v": pa.array(np.zeros(len(b)))})
+
+    zeros = base.map_batches(zero_b, batch_format="pyarrow").materialize()
+    hub = base.map_batches(init_b, batch_format="pyarrow").materialize()
+    auth = zeros
+
+    def _push(scores, key_on, emit_col):
+        """scores joined onto edges at `key_on`, mass lands on
+        `emit_col`; returns the un-normalized groupby-sum."""
+        def m(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column(emit_col),
+                             "v": b.column("v")})
+        return (ed.join(scores, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=(key_on,), right_on=("node",))
+                .map_batches(m, batch_format="pyarrow")
+                .union(zeros)
+                .groupby("node")
+                .aggregate(Sum("v", alias_name="v"))
+                .repartition(num_partitions)
+                .materialize())
+
+    def _l1(scores):
+        total = scores.sum("v") or 0.0
+        if total <= 0:
+            return scores
+        inv = 1.0 / total
+
+        def n(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column("node"),
+                             "v": pc.multiply(b.column("v"),
+                                              pa.scalar(inv))})
+        return scores.map_batches(n, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        auth = _l1(_push(hub, "src", "dst"))
+        hub = _l1(_push(auth, "dst", "src"))
+
+    # rename each side's score before the final join (both carry "v")
+    def rename_h(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "hub": b.column("v")})
+
+    hub_named = hub.map_batches(rename_h, batch_format="pyarrow")
+
+    def rename_a(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "authority": b.column("v")})
+
+    auth_named = auth.map_batches(rename_a, batch_format="pyarrow") \
+        .repartition(num_partitions)
+    return hub_named.repartition(num_partitions) \
+        .join(auth_named, join_type="inner",
+              num_partitions=num_partitions,
+              on=("node",), right_on=("node",))
+
+
+def directed_reachable(edges, seeds, src: str, dst: str,
+                       num_partitions: int = 4, max_iters: int = 128):
+    """The set of nodes reachable FROM `seeds` along directed edges
+    (seeds included) — frontier-fixpoint flag propagation: per round
+    one co-partitioned join ships the flag across edges and a
+    groupby-max folds; converges in depth rounds (int-sum fixpoint,
+    raising on non-convergence like connected_components). `seeds`:
+    single-column Dataset. Returns a single-column Dataset `node`."""
+    from ray.data.aggregate import Max
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    ed = edges.map_batches(e_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def s_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0)})
+
+    flags = seeds.map_batches(s_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    prev = flags.count()
+    for _ in range(max_iters):
+        def m(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column("b")})
+
+        moved = (ed.join(flags, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("a",), right_on=("node",))
+                 .map_batches(m, batch_format="pyarrow"))
+        flags = (flags.union(moved)
+                 .groupby("node").aggregate(Max("node", alias_name="_"))
+                 .map_batches(lambda b: pa.table({"node": b.column("node")}),
+                              batch_format="pyarrow")
+                 .repartition(num_partitions).materialize())
+        cur = flags.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"directed_reachable: no fixpoint after {max_iters} rounds")
+    return flags
+
+
+def hits_oracle_sql(d_body: str, out_node: str = "host",
+                    iters: int = 8, round_digits: int = 10) -> str:
+    """DuckDB recompute of `hits`, unrolled like pagerank_oracle_sql
+    (same MATERIALIZED-hint rationale). Float parity: both sides run
+    sum-fold then multiply-by-reciprocal (1.0/total) in float64 and
+    round only the output."""
+    ctes = [
+        f"d AS MATERIALIZED ({d_body})",
+        "nodes AS MATERIALIZED (SELECT s AS h FROM d UNION SELECT t FROM d)",
+        "h0 AS MATERIALIZED (SELECT h, 1.0 AS v FROM nodes)",
+    ]
+
+    def _step(name, i, prev, key, emit):
+        # un-normalized push + L1 normalize (skip when total <= 0)
+        ctes.append(
+            f"u{name}{i} AS MATERIALIZED (SELECT nodes.h, "
+            f"coalesce(s.v, 0.0) AS v FROM nodes LEFT JOIN "
+            f"(SELECT d.{emit} AS h, sum({prev}.v) AS v "
+            f"FROM d JOIN {prev} ON {prev}.h = d.{key} "
+            f"GROUP BY d.{emit}) s ON s.h = nodes.h)")
+        ctes.append(
+            f"s{name}{i} AS MATERIALIZED "
+            f"(SELECT coalesce(sum(v), 0.0) AS t FROM u{name}{i})")
+        ctes.append(
+            f"{name}{i} AS MATERIALIZED (SELECT h, CASE WHEN "
+            f"(SELECT t FROM s{name}{i}) > 0.0 THEN "
+            f"v * (1.0 / (SELECT t FROM s{name}{i})) ELSE v END AS v "
+            f"FROM u{name}{i})")
+
+    for i in range(1, iters + 1):
+        _step("a", i, f"h{i-1}", "s", "t")     # authority ← hubs
+        _step("h", i, f"a{i}", "t", "s")       # hub ← authorities
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT h{iters}.h AS {out_node},
+       round(h{iters}.v, {round_digits}) AS hub,
+       round(a{iters}.v, {round_digits}) AS authority
+FROM h{iters} JOIN a{iters} ON a{iters}.h = h{iters}.h
+ORDER BY authority DESC, {out_node}""")

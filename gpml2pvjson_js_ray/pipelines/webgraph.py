@@ -16,6 +16,7 @@ round) over the distinct host edges.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 _LINKS_SCHEMA = pa.schema([
@@ -514,3 +515,219 @@ def host_ppr(pages, seed_host: str | None = None, damping: float = 0.85,
 
     return (ranks.map_batches(final_b, batch_format="pyarrow")
             .sort(["rank", "host"], descending=[True, False]))
+
+
+def _distinct_host_edges(pages, num_partitions: int = 4):
+    """GLOBALLY distinct (src_host, dst_host) edge Dataset +
+    distinct-host node Dataset — the shared front end of the structural
+    host-graph ops. host_scc's per-block distinct is NOT enough here:
+    HITS sums and reciprocity counts are multiplicity-sensitive, so the
+    edge list reuses host_link_graph's global groupby (the same
+    constant-size host exchange)."""
+    from ray.data.aggregate import Count
+
+    g = (host_link_graph(pages)
+         .map_batches(lambda b: b.select(["src_host", "dst_host"]),
+                      batch_format="pyarrow")
+         .repartition(num_partitions).materialize())
+    nodes = (g.map_batches(lambda b: pa.table({"h": b.column("src_host")}),
+                           batch_format="pyarrow")
+             .union(g.map_batches(
+                 lambda b: pa.table({"h": b.column("dst_host")}),
+                 batch_format="pyarrow"))
+             .map_batches(lambda b: b.group_by(["h"]).aggregate([]),
+                          batch_format="pyarrow")
+             .groupby("h").aggregate(Count(alias_name="_n"))
+             .map_batches(lambda b: pa.table({"h": b.column("h")}),
+                          batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+    return g, nodes
+
+
+def host_hits(pages, iters: int = 8, num_partitions: int = 4):
+    """HITS over the distinct host link graph: (host, hub, authority),
+    authorities ≈ heavily-cited content hosts, hubs ≈ directory hosts —
+    the role-separating companion to host_pagerank (Kleinberg JACM'99).
+    Sorted authority desc then host; scores L1-normalized, rounded to
+    10 decimals (same output discipline as host_pagerank)."""
+    import pyarrow.compute as pc
+
+    from .graph import hits
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    out = hits(g, nodes, "src_host", "dst_host", iters=iters,
+               num_partitions=num_partitions)
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "hub": pc.round(b.column("hub"), ndigits=10),
+                         "authority": pc.round(b.column("authority"),
+                                               ndigits=10)})
+
+    return (out.map_batches(final_b, batch_format="pyarrow")
+            .sort(["authority", "host"], descending=[True, False]))
+
+
+def host_reciprocity(pages, num_partitions: int = 4):
+    """Per-host link reciprocity: of the distinct hosts a host links
+    to, what fraction link back — the classic link-ring / partner-
+    network signal (a spam farm reciprocates ~1.0, editorial linking
+    much lower). Returns (host, n_out, n_reciprocal, reciprocity)
+    sorted by host; the ratio is an exact float64 division (no
+    rounding needed for oracle parity — both engines compute the same
+    single IEEE op)."""
+    g, _nodes = _distinct_host_edges(pages, num_partitions)
+    return reciprocity_from_edges(g, num_partitions)
+
+
+def reciprocity_from_edges(g, num_partitions: int = 4):
+    """host_reciprocity's body over a prepared globally-distinct
+    (src_host, dst_host) edge Dataset (planted-graph tests drive this
+    directly)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    rev = g.map_batches(
+        lambda b: pa.table({"rsrc": b.column("dst_host"),
+                            "rdst": b.column("src_host"),
+                            "flag": pa.array(
+                                np.ones(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow").repartition(num_partitions).materialize()
+    j = g.join(rev, join_type="left_outer",
+               num_partitions=num_partitions,
+               on=("src_host", "dst_host"), right_on=("rsrc", "rdst"))
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": b.column("src_host"),
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "rec": pc.fill_null(b.column("flag"), 0).cast(pa.int64())})
+
+    agg = (j.map_batches(flags, batch_format="pyarrow")
+           .groupby("host")
+           .aggregate(Sum("one", alias_name="n_out"),
+                      Sum("rec", alias_name="n_reciprocal")))
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": b.column("host"),
+            "n_out": b.column("n_out").cast(pa.int64()),
+            "n_reciprocal": b.column("n_reciprocal").cast(pa.int64()),
+            "reciprocity": pc.divide(
+                pc.cast(b.column("n_reciprocal"), pa.float64()),
+                pc.cast(b.column("n_out"), pa.float64()))})
+
+    return agg.map_batches(final_b, batch_format="pyarrow").sort("host")
+
+
+def host_bowtie(pages, num_partitions: int = 4):
+    """Broder et al. (WWW'00) bow-tie decomposition of the host graph:
+    every host classified relative to the LARGEST strongly connected
+    component — 'scc' (core member), 'in' (reaches the core), 'out'
+    (reachable from the core), 'other' (tendrils + disconnected). The
+    canonical macro-structure probe of a crawl corpus; core = the
+    biggest SCC, smallest representative id on ties. Returns
+    (host, region) sorted by (region, host)."""
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    return bowtie_from_edges(g, nodes, num_partitions)
+
+
+def bowtie_from_edges(g, nodes, num_partitions: int = 4):
+    """host_bowtie's body over prepared globally-distinct edges + node
+    Datasets (planted-graph tests drive this directly)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .graph import directed_reachable, strongly_connected_components
+
+    scc = strongly_connected_components(
+        g, nodes, "src_host", "dst_host",
+        num_partitions=num_partitions).materialize()
+    top = (scc.groupby("scc").aggregate(Count(alias_name="n"))
+           .sort(["n", "scc"], descending=[True, False]).limit(1).take(1))
+    core_id = top[0]["scc"]
+
+    def core_b(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("scc"), pa.scalar(core_id))
+        return pa.table({"node": b.filter(keep).column("node")})
+
+    core = scc.map_batches(core_b, batch_format="pyarrow").materialize()
+    fwd = directed_reachable(g, core, "src_host", "dst_host",
+                             num_partitions=num_partitions)
+    bwd = directed_reachable(g, core, "dst_host", "src_host",
+                             num_partitions=num_partitions)
+
+    def flag(ds, name):
+        return ds.map_batches(
+            lambda b, n=name: pa.table({
+                "fn": b.column("node"),
+                n: pa.array(np.ones(b.num_rows, dtype=np.int8))}),
+            batch_format="pyarrow").repartition(num_partitions) \
+            .materialize()
+
+    out = (scc.join(flag(fwd, "f"), join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("node",), right_on=("fn",))
+           # merge away the first join's zero-column empty partitions
+           # (the chained-join pitfall documented at
+           # graph.condensation_levels)
+           .repartition(num_partitions)
+           .join(flag(bwd, "b"), join_type="left_outer",
+                 num_partitions=num_partitions,
+                 on=("node",), right_on=("fn",)))
+
+    def classify(b: pa.Table) -> pa.Table:
+        in_core = pc.equal(b.column("scc"), pa.scalar(core_id))
+        f = pc.fill_null(b.column("f"), 0)
+        bb = pc.fill_null(b.column("b"), 0)
+        region = pc.if_else(
+            in_core, pa.scalar("scc"),
+            pc.if_else(pc.equal(f, 1), pa.scalar("out"),
+                       pc.if_else(pc.equal(bb, 1), pa.scalar("in"),
+                                  pa.scalar("other"))))
+        return pa.table({"host": b.column("node"), "region": region})
+
+    return (out.map_batches(classify, batch_format="pyarrow")
+            .sort(["region", "host"]))
+
+
+def structural_oracle_sql_for_sf(sf_dir: str) -> dict:
+    """DuckDB oracles for the structural host-graph additions — HITS by
+    the unrolled fixed-iteration recompute, reciprocity by a relational
+    self-join, bow-tie by the reachability closure (core = largest SCC,
+    min id on ties; 'in'/'out' membership from the same closure the SCC
+    map derives from)."""
+    from .graph import hits_oracle_sql
+
+    p = host_edges_checkpoint_path(sf_dir)
+    d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
+              f"FROM read_parquet('{p}')")
+    return {
+        "kg_host_hits": hits_oracle_sql(d_body, out_node="host"),
+        "kg_host_reciprocity": f"""
+WITH d AS MATERIALIZED ({d_body})
+SELECT a.s AS host, CAST(count(*) AS BIGINT) AS n_out,
+       CAST(count(r.s) AS BIGINT) AS n_reciprocal,
+       CAST(count(r.s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS reciprocity
+FROM d a LEFT JOIN d r ON r.s = a.t AND r.t = a.s
+GROUP BY a.s ORDER BY host""",
+        "kg_host_bowtie": f"""
+WITH RECURSIVE {_closure_ctes(p)},
+core AS MATERIALIZED (
+  SELECT host FROM sccmap WHERE scc = (
+    SELECT scc FROM sccmap GROUP BY scc
+    ORDER BY count(*) DESC, scc LIMIT 1)),
+fwd AS MATERIALIZED (
+  SELECT DISTINCT r.b AS host FROM reach r
+  JOIN core c ON r.a = c.host),
+bwd AS MATERIALIZED (
+  SELECT DISTINCT r.a AS host FROM reach r
+  JOIN core c ON r.b = c.host)
+SELECT m.host,
+       CASE WHEN m.host IN (SELECT host FROM core) THEN 'scc'
+            WHEN m.host IN (SELECT host FROM fwd) THEN 'out'
+            WHEN m.host IN (SELECT host FROM bwd) THEN 'in'
+            ELSE 'other' END AS region
+FROM sccmap m ORDER BY region, host""",
+    }

@@ -139,3 +139,57 @@ def test_ppr_unrolled_sql_matches_engine_on_cycles(ray_session,
     # ring seed 'a' feeds, 'g' is s-only)
     assert got[seed] > 0.1
     assert got["g"] == 0.0
+
+
+def test_hits_unrolled_sql_matches_engine_on_cycles(ray_session,
+                                                    cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.graph import hits, hits_oracle_sql
+
+    df, p = cyclic_edges
+    out = hits(_edge_ds(df), _node_ds(df),
+               "src_host", "dst_host").to_pandas()
+    eng = {r.node: (np.round(r.hub, 10), np.round(r.authority, 10))
+           for r in out.itertuples(index=False)}
+    d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
+              f"FROM read_parquet('{p}')")
+    ora = duckdb.connect().execute(
+        hits_oracle_sql(d_body, out_node="host")).fetchdf()
+    got = {r.host: (r.hub, r.authority)
+           for r in ora.itertuples(index=False)}
+    assert set(got) == set(eng)
+    for h in got:
+        assert abs(got[h][0] - eng[h][0]) < 1e-9, (h, got[h], eng[h])
+        assert abs(got[h][1] - eng[h][1]) < 1e-9, (h, got[h], eng[h])
+    # sinks f/g emit nothing → hub 0; source s is never cited → auth 0
+    assert got["f"][0] == 0.0 and got["g"][0] == 0.0
+    assert got["s"][1] == 0.0
+
+
+def test_reciprocity_planted(ray_session, cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.webgraph import reciprocity_from_edges
+
+    df, _p = cyclic_edges
+    out = reciprocity_from_edges(_edge_ds(df)).to_pandas()
+    by = out.set_index("host")
+    # d→e and e→d reciprocate; e also links f (unreciprocated)
+    assert by.loc["d", "n_out"] == 1 and by.loc["d", "n_reciprocal"] == 1
+    assert by.loc["d", "reciprocity"] == 1.0
+    assert by.loc["e", "n_out"] == 2 and by.loc["e", "n_reciprocal"] == 1
+    assert by.loc["e", "reciprocity"] == 0.5
+    # ring a→b→c→a: no 2-cycles anywhere
+    assert by.loc["a", "n_reciprocal"] == 0
+    # only linking hosts appear (f and g are sinks)
+    assert "f" not in by.index and "g" not in by.index
+
+
+def test_bowtie_planted(ray_session, cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.webgraph import bowtie_from_edges
+
+    df, _p = cyclic_edges
+    out = bowtie_from_edges(_edge_ds(df), _node_ds(df)).to_pandas()
+    got = dict(zip(out["host"], out["region"]))
+    # largest SCC = {a,b,c} (ring); s feeds it → 'in'; the {d,e} ring,
+    # f and g hang downstream/off-side → 'out'/'other'
+    assert got == {"a": "scc", "b": "scc", "c": "scc",
+                   "s": "in", "d": "out", "e": "out", "f": "out",
+                   "g": "other"}
