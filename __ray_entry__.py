@@ -628,7 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
         "documents_quality": textops.documents_quality,
-        "documents_fingerprint": textops.documents_fingerprint,
+        # identity-checkpoint determinism gate (DuckDB-oracled r4)
+        "documents_fingerprint": textops.documents_fingerprint_oracled,
         # DuckDB-oracled since round 4: band rows checkpointed, the SQL
         # regenerates candidates from band collisions and reruns the
         # exact shingle-Jaccard verify
@@ -643,7 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # w+k-1 shared-run guarantee)
         "documents_winnowing_dups":
             textops.documents_winnowing_dups_oracled,
-        "documents_simhash": textops.documents_simhash,
+        # identity hex render over the signature checkpoint (oracled r4)
+        "documents_simhash": textops.documents_simhash_oracled,
         # DuckDB-oracled since round 4: signature checkpoint + all-pairs
         # Hamming ground truth proves the pigeonhole banding lossless
         "documents_simhash_dups": textops.documents_simhash_dups_oracled,
@@ -1001,6 +1003,10 @@ def oracle_sql() -> dict[str, str]:
             textops.simhash_oracle_sql_for_sf("/root/testdata/sf0.01"),
         "documents_winnowing_dups":
             textops.winnowing_oracle_sql_for_sf("/root/testdata/sf0.01"),
+        "documents_simhash": textops.simhash_identity_oracle_sql_for_sf(
+            "/root/testdata/sf0.01"),
+        "documents_fingerprint": textops.fingerprint_oracle_sql_for_sf(
+            "/root/testdata/sf0.01"),
     }
 
 

@@ -1804,3 +1804,35 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+
+
+def documents_simhash_oracled(sf_dir: str):
+    """documents_simhash with its signature checkpoint guaranteed (the
+    same parquet documents_simhash_dups_oracled writes) — the oracle is
+    the identity hex rendering over the checkpoint, which pins the
+    engine's fingerprint determinism end-to-end."""
+    path = sketch_checkpoint_path("simhash", sf_dir)
+    if not os.path.exists(path):
+        documents_simhash_dups_oracled(sf_dir)   # writes the checkpoint
+    return documents_simhash(sf_dir)
+
+
+def simhash_identity_oracle_sql_for_sf(sf_dir: str) -> str:
+    p = sketch_checkpoint_path("simhash", sf_dir)
+    return (f"SELECT doc_id, lpad(lower(to_hex(simhash)), 16, '0') "
+            f"AS simhash FROM read_parquet('{p}')")
+
+
+def documents_fingerprint_oracled(sf_dir: str):
+    """documents_fingerprint under the identity-checkpoint contract
+    (determinism gate, like kg_host_link_graph)."""
+    path = sketch_checkpoint_path("fingerprint", sf_dir)
+    if not os.path.exists(path):
+        _checkpoint_sorted(documents_fingerprint(sf_dir),
+                           ["doc_id"], path)
+    return documents_fingerprint(sf_dir)
+
+
+def fingerprint_oracle_sql_for_sf(sf_dir: str) -> str:
+    p = sketch_checkpoint_path("fingerprint", sf_dir)
+    return f"SELECT doc_id, fingerprint FROM read_parquet('{p}')"
