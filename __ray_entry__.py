@@ -129,6 +129,13 @@ def _kg_pages_latest(sf_dir: str):
             .drop_columns(["html"]))
 
 
+def _kg_pages_canonical(sf_dir: str):
+    from gpml2pvjson_js_ray.pipelines import kg
+    path = kg.pages_path_for_sf(sf_dir)
+    return kg.canonical_pages_dataset(
+        kg.read_pages(path, columns=["url", "warc_ts"]))
+
+
 def _kg_text_invariant(sf_dir: str):
     from gpml2pvjson_js_ray.pipelines import kg
     path = kg.pages_path_for_sf(sf_dir)
@@ -730,6 +737,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG construction pipeline (non-SQL; fidelity via pytest fixtures)
         "kg_docs": _kg_docs,
         "kg_pages_latest": _kg_pages_latest,
+        # canonical-URL re-crawl collapse (tracking params, fragments,
+        # default ports, host case, trailing slash) — DuckDB-oracled by
+        # the mirrored RE2 normalization chain over the raw pages
+        "kg_pages_canonical": _kg_pages_canonical,
         "kg_linked_triples": _kg_oracled_query("linked_triples_from_pages"),
         "kg_deduped_triples": _kg_oracled_query(
             "deduped_triples_from_pages",
@@ -1029,6 +1040,8 @@ def _kg_oracles() -> dict[str, str]:
     # kg_canonical_entities (the same unification recomputed live from
     # pages) share one oracle: both must equal the SQL recompute
     sqls["kg_entities"] = sqls["kg_canonical_entities"]
+    sqls["kg_pages_canonical"] = kg.canonical_pages_oracle_sql_for_sf(
+        "/root/testdata/sf0.01")
     from gpml2pvjson_js_ray.pipelines import webgraph
     sqls.update(webgraph.webgraph_oracle_sql_for_sf("/root/testdata/sf0.01"))
     sqls.update(

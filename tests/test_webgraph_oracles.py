@@ -193,3 +193,50 @@ def test_bowtie_planted(ray_session, cyclic_edges):
     assert got == {"a": "scc", "b": "scc", "c": "scc",
                    "s": "in", "d": "out", "e": "out", "f": "out",
                    "g": "other"}
+
+
+def test_canonical_url_planted_messy(ray_session, tmp_path):
+    """URL canonicalization vs the DuckDB oracle on adversarial URLs
+    the synthetic corpus lacks: host case, default ports, tracking
+    params (first/middle/last), fragments, trailing slashes — and
+    newest-capture collapse across the variants."""
+    from gpml2pvjson_js_ray.pipelines.kg import (
+        canonical_pages_dataset)
+
+    rows = pd.DataFrame({
+        "url": [
+            "https://EXAMPLE.test:443/a/b?utm_source=x&id=2#frag",
+            "https://example.test/a/b?id=2",
+            "http://Example.test:80/c/",
+            "http://example.test/c",
+            "https://example.test/d?utm_campaign=y",
+            "https://example.test/d",
+            "https://example.test/e?id=1&gclid=zzz&x=2",
+            "https://other.test/",                      # root slash
+        ],
+        "warc_ts": [3, 1, 5, 9, 2, 2, 4, 7],
+    })
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), p)
+
+    eng = canonical_pages_dataset(rd.read_parquet(p)).to_pandas()
+    got = {r.canonical_url: (r.n_captures, r.url, r.warc_ts)
+           for r in eng.itertuples(index=False)}
+    # variants collapse; newest capture survives (warc_ts, url desc)
+    assert got["https://example.test/a/b?id=2"] == (
+        2, "https://EXAMPLE.test:443/a/b?utm_source=x&id=2#frag", 3)
+    assert got["http://example.test/c"] == (
+        2, "http://example.test/c", 9)
+    assert got["https://example.test/d"][0] == 2
+    assert got["https://example.test/e?id=1&x=2"][0] == 1
+    assert got["https://other.test"] == (1, "https://other.test/", 7)
+
+    # oracle parity: same SQL chain over the same parquet
+    from gpml2pvjson_js_ray.pipelines import kg
+    sql = kg.canonical_pages_oracle_sql_for_sf("/root/testdata/sf0.01") \
+        .replace(kg.pages_glob("/root/testdata/sf0.01"), p)
+    ora = duckdb.connect().execute(sql).fetchdf()
+    cols = sorted(eng.columns)
+    a = sorted(map(tuple, eng[cols].itertuples(index=False, name=None)))
+    b = sorted(map(tuple, ora[cols].itertuples(index=False, name=None)))
+    assert a == b
