@@ -255,6 +255,42 @@ def _kg_star_join(sf_dir: str):
     return graph.star_join_from_layout(_kg_pso_dir(sf_dir))
 
 
+def _kg_path_join(sf_dir: str):
+    """SPARQL property path ?a Interaction/isPartOf ?c from the PSO
+    index — two pred-bucket point lookups + one mid-node join; DuckDB
+    full-scan recompute is the oracle."""
+    from gpml2pvjson_js_ray.pipelines import graph
+    return graph.path_join_from_layout(_kg_pso_dir(sf_dir))
+
+
+def _kg_membership_closure(sf_dir: str):
+    """isPartOf+ transitive membership (nested groups) via the
+    path-doubling closure; recursive-CTE oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from gpml2pvjson_js_ray.pipelines import graph
+
+    adj = _kg_pipeline_output("adjacency")(sf_dir)
+
+    def member_edges(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("pred"), pa.scalar("isPartOf")),
+                       pc.not_equal(b.column("canonical_subj"),
+                                    b.column("canonical_obj")))
+        t = b.filter(keep)
+        return pa.table({"s": t.column("canonical_subj"),
+                         "t": t.column("canonical_obj")})
+
+    edges = adj.map_batches(member_edges, batch_format="pyarrow")
+    tc = graph.transitive_closure(edges, "s", "t")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"canonical_subj": b.column("a"),
+                         "ancestor": b.column("b")})
+
+    return (tc.map_batches(rename, batch_format="pyarrow")
+            .sort(["canonical_subj", "ancestor"]))
+
+
 def _kg_pagerank(sf_dir: str):
     """Entity importance by interaction in-links (PageRank over the
     same entity graph)."""
@@ -531,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_communities": _kg_communities,
         "kg_entity_kcore": _kg_kcore,
         "kg_star_join": _kg_star_join,
+        "kg_path_join": _kg_path_join,
+        "kg_membership_closure": _kg_membership_closure,
         "kg_optional_join": _kg_optional_join,
         "embeddings_kcenter_coreset": simops.embeddings_kcenter_coreset,
         "documents_editdist_dups": textops.documents_editdist_dups,

@@ -1884,3 +1884,89 @@ SELECT h{iters}.h AS {out_node},
        round(a{iters}.v, {round_digits}) AS authority
 FROM h{iters} JOIN a{iters} ON a{iters}.h = h{iters}.h
 ORDER BY authority DESC, {out_node}""")
+
+
+def path_join_from_layout(pso_dir: str, pred_a: str = "Interaction",
+                          pred_b: str = "isPartOf",
+                          num_partitions: int = 4):
+    """SPARQL property path `?a <pred_a>/<pred_b> ?c` answered from the
+    PSO secondary index: each predicate's edges come from ONE pred-hash
+    bucket (point-lookup I/O, like star_join_from_layout), and the path
+    closes with a single mid-node co-partitioned join — I/O is the two
+    predicates' shares, never the triple table. With the defaults:
+    "entities whose interaction partner is a member of a complex/group"
+    (Interaction then isPartOf). Returns distinct
+    (canonical_subj, mid, canonical_obj) sorted — distinct for free
+    because both edge sets are deduped."""
+    a = predicate_edges_from_layout(pso_dir, pred_a)
+    b = predicate_edges_from_layout(pso_dir, pred_b)
+
+    def left(t: pa.Table) -> pa.Table:
+        return pa.table({"canonical_subj": t.column("canonical_subj"),
+                         "mid": t.column("canonical_obj")})
+
+    def right(t: pa.Table) -> pa.Table:
+        return pa.table({"rmid": t.column("canonical_subj"),
+                         "canonical_obj": t.column("canonical_obj")})
+
+    j = (a.map_batches(left, batch_format="pyarrow")
+         .repartition(num_partitions)
+         .join(b.map_batches(right, batch_format="pyarrow")
+               .repartition(num_partitions).materialize(),
+               join_type="inner", num_partitions=num_partitions,
+               on=("mid",), right_on=("rmid",)))
+
+    def order(t: pa.Table) -> pa.Table:
+        return t.select(["canonical_subj", "mid", "canonical_obj"])
+
+    return (j.map_batches(order, batch_format="pyarrow")
+            .sort(["canonical_subj", "mid", "canonical_obj"]))
+
+
+def transitive_closure(edges, src: str, dst: str, max_iters: int = 32,
+                       num_partitions: int = 4):
+    """All reachable pairs (a, b), 1+ hops, over a directed edge
+    Dataset — path-doubling fixpoint: per round, paths ⋈ paths extends
+    every known path by every known path (log₂(diameter) rounds, vs
+    linear for edge-extension), then a pair-key groupby dedups; the
+    pair-count fixpoint detects convergence and raises on a blown
+    iteration cap (the connected_components discipline). Intended for
+    HIERARCHICAL relations (containment, subclass) where the closure
+    is O(depth × edges), not dense-graph reachability — document the
+    blow-up before pointing it at a cyclic web graph."""
+    from ray.data.aggregate import Count
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    def dedup(ds):
+        return (ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
+                .map_batches(lambda t: pa.table({"a": t.column("a"),
+                                                 "b": t.column("b")}),
+                             batch_format="pyarrow")
+                .repartition(num_partitions).materialize())
+
+    paths = dedup(edges.map_batches(e_b, batch_format="pyarrow"))
+    prev = paths.count()
+    for _ in range(max_iters):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table({"ra": t.column("a"), "rb": t.column("b")})
+
+        ext = (paths.join(paths.map_batches(rn, batch_format="pyarrow")
+                          .repartition(num_partitions).materialize(),
+                          join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("b",), right_on=("ra",))
+               .map_batches(lambda t: pa.table({"a": t.column("a"),
+                                                "b": t.column("rb")}),
+                            batch_format="pyarrow"))
+        paths = dedup(paths.union(ext))
+        cur = paths.count()
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"transitive_closure: no fixpoint after {max_iters} "
+            "doubling rounds")
+    return paths

@@ -460,3 +460,38 @@ def test_knn_triangles_two_planted_cliques(ray_session, tmp_path):
 
     out = embeddings_knn_triangles(str(d), k=3)
     assert out.column("n_triangles").to_pylist() == [8]
+
+
+def test_transitive_closure_planted_nested(ray_session):
+    """Path-doubling closure on a 5-deep chain + diamond — shapes the
+    synthetic corpus lacks (its isPartOf relation is depth 1)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines.graph import transitive_closure
+
+    # chain 1→2→3→4→5 plus diamond 6→7, 6→8, 7→9, 8→9
+    edges = rd.from_pandas(pd.DataFrame({
+        "s": [1, 2, 3, 4, 6, 6, 7, 8],
+        "t": [2, 3, 4, 5, 7, 8, 9, 9]}))
+    out = transitive_closure(edges, "s", "t").to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    chain = {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    diamond = {(6, 7), (6, 8), (6, 9), (7, 9), (8, 9)}
+    assert got == chain | diamond
+    # diamond's two 6→9 paths collapse to ONE pair (distinct semantics)
+    assert len(out) == len(got)
+
+
+def test_transitive_closure_cycle_terminates(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from gpml2pvjson_js_ray.pipelines.graph import transitive_closure
+
+    edges = rd.from_pandas(pd.DataFrame({"s": [1, 2, 3],
+                                         "t": [2, 3, 1]}))
+    out = transitive_closure(edges, "s", "t").to_pandas()
+    # every node reaches every node incl. itself around the cycle
+    assert set(zip(out["a"], out["b"])) == {
+        (a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
