@@ -827,6 +827,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Broder bow-tie macro-structure: scc/in/out/other per host
         # (oracle: reachability closure relative to the largest SCC)
         "kg_host_bowtie": _webgraph_oracled_query("host_bowtie"),
+        # exact harmonic centrality (multi-source BFS; oracle: bounded-
+        # depth shortest-path closure)
+        "kg_host_harmonic": _webgraph_oracled_query("host_harmonic"),
+        # HyperBall HLL approximation of the same (rows-only; accuracy
+        # pinned vs the exact twin in pytest — the O(V×64 B) scale path)
+        "kg_host_harmonic_hyperball":
+            _webgraph_query("host_harmonic_hyperball"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)

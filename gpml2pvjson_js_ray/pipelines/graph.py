@@ -1970,3 +1970,243 @@ def transitive_closure(edges, src: str, dst: str, max_iters: int = 32,
             f"transitive_closure: no fixpoint after {max_iters} "
             "doubling rounds")
     return paths
+
+
+def harmonic_centrality(edges, nodes, src: str, dst: str,
+                        num_partitions: int = 4, max_iters: int = 128):
+    """Exact harmonic centrality H(v) = Σ_{u≠v, d(u,v)<∞} 1/d(u,v)
+    over directed edges (Boldi-Vigna's preferred centrality for web
+    graphs — finite under disconnection where closeness is not).
+
+    Level-synchronous multi-source BFS over (source, node) pairs: the
+    frontier extends along edges, an anti-join against the visited
+    pair set keeps first (= shortest) visits only, and the fold is one
+    groupby-sum of 1/dist per target. The pair state is O(V·reach) —
+    right for the |hosts|-bounded host graph; at web scale the
+    HyperBall register sweep (host_harmonic_hyperball) is the
+    documented approximation path (Boldi & Vigna, WWW'13 'In-Core
+    Computation of Geometric Centralities with HyperBall').
+
+    Returns (node, harmonic) for EVERY node (0.0 when nothing reaches
+    it), harmonic rounded to 10 decimals, sorted desc then node."""
+    from ray.data.aggregate import Min, Sum
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    ed = edges.map_batches(e_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def init_f(b: pa.Table) -> pa.Table:
+        return pa.table({"srcn": b.column("a"), "node": b.column("b"),
+                         "dist": pa.array(
+                             np.ones(b.num_rows, dtype=np.int64))})
+
+    def dedup_pairs(ds):
+        return (ds.groupby(["srcn", "node"])
+                .aggregate(Min("dist", alias_name="dist"))
+                .repartition(num_partitions).materialize())
+
+    frontier = dedup_pairs(ed.map_batches(init_f,
+                                          batch_format="pyarrow"))
+    visited = frontier
+    # no anti-join: min-dist dedup keeps the FIRST visit, so a pair is
+    # newly reached this round iff its folded dist equals the round's
+    # level — a filter, not a second join (join-consuming-join chains
+    # hit the zero-column empty-partition pitfall documented at
+    # condensation_levels; union+groupby consuming a join is the
+    # proven-safe round shape of pagerank/connected_components)
+    for k in range(1, max_iters + 1):
+        ext = (frontier.join(ed, join_type="inner",
+                             num_partitions=num_partitions,
+                             on=("node",), right_on=("a",))
+               .map_batches(lambda t: pa.table({
+                   "srcn": t.column("srcn"), "node": t.column("b"),
+                   "dist": pc.add(t.column("dist"),
+                                  pa.scalar(1, pa.int64()))}),
+                   batch_format="pyarrow"))
+        visited = dedup_pairs(visited.union(ext))
+
+        def lvl(b: pa.Table, _d=k + 1) -> pa.Table:
+            return b.filter(pc.equal(b.column("dist"),
+                                     pa.scalar(_d, pa.int64())))
+
+        frontier = visited.map_batches(lvl, batch_format="pyarrow") \
+            .repartition(num_partitions).materialize()
+        if frontier.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"harmonic_centrality: frontier alive after {max_iters} "
+            "rounds — raise max_iters")
+
+    def inv(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("srcn"), b.column("node")))
+        t = b.filter(keep)
+        return pa.table({"node": t.column("node"),
+                         "h": pc.divide(pa.scalar(1.0),
+                                        pc.cast(t.column("dist"),
+                                                pa.float64()))})
+
+    def zero_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column(0),
+                         "h": pa.array(np.zeros(b.num_rows))})
+
+    agg = (visited.map_batches(inv, batch_format="pyarrow")
+           .union(nodes.map_batches(zero_b, batch_format="pyarrow"))
+           .groupby("node").aggregate(Sum("h", alias_name="h")))
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "harmonic": pc.round(b.column("h"),
+                                              ndigits=10)})
+
+    return (agg.map_batches(final_b, batch_format="pyarrow")
+            .sort(["harmonic", "node"], descending=[True, False]))
+
+
+# -- HyperBall (HLL neighborhood function) --------------------------------------
+
+_HB_M = 64                       # registers per node (b = 6 index bits)
+_HB_ALPHA = 0.709                # alpha_64 (Flajolet et al. 2007)
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)],
+                           dtype=np.uint8)
+
+
+def _hb_init_regs(node_arr: pa.Array) -> list[bytes]:
+    """One HLL register set per node with the node's own hash inserted
+    (polars seed-0 hash — the repo's cross-process-stable primitive):
+    index = low 6 bits, rho = ctz(remaining bits) + 1 (geometric(1/2),
+    capped; ctz via the (w & -w) - 1 popcount trick — vectorizable on
+    numpy 1.x where clz is not)."""
+    import polars as pl
+
+    h = pl.from_arrow(node_arr).hash(seed=0).to_numpy() \
+        .astype(np.uint64, copy=False)
+    idx = (h & np.uint64(_HB_M - 1)).astype(np.int64)
+    w = h >> np.uint64(6)
+    lsb = w & (~w + np.uint64(1))
+    m1 = (lsb - np.uint64(1))
+    pc8 = _POPCOUNT_TABLE[m1.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+    rho = np.where(w > 0, pc8 + 1, 59).astype(np.uint8)
+    out = []
+    for i in range(len(h)):
+        regs = np.zeros(_HB_M, dtype=np.uint8)
+        regs[idx[i]] = rho[i]
+        out.append(regs.tobytes())
+    return out
+
+
+def _hb_estimate(regs_bytes) -> np.ndarray:
+    """Standard HLL estimate per register set (with the small-range
+    linear-counting correction) — vectorized across nodes."""
+    regs = np.stack([np.frombuffer(r, dtype=np.uint8)
+                     for r in regs_bytes]).astype(np.float64)
+    est = _HB_ALPHA * _HB_M * _HB_M / np.power(2.0, -regs).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * _HB_M) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = _HB_M * np.log(_HB_M / np.maximum(zeros, 1e-12))
+    return np.where(small, lin, est)
+
+
+def hyperball_harmonic(edges, nodes, src: str, dst: str,
+                       num_partitions: int = 4, max_iters: int = 64):
+    """Approximate harmonic centrality by HyperBall (Boldi & Vigna
+    WWW'13): each node carries a 64-register HLL of its in-ball
+    {u : d(u,v) <= k}; per round every register set ships along its
+    out-edges, a per-node groupby MAX-merges them, and the harmonic
+    sum accumulates (|ball_k| - |ball_{k-1}|)/k from the HLL
+    estimates. State is O(V x 64 bytes) and each round is one
+    co-partitioned join + one groupby; the per-node accumulator rides
+    IN the state table (driver holds only the register-sum fixpoint
+    scalar) - the 100 TB path where the exact pair BFS
+    (harmonic_centrality) is O(V*reach). Converges when no register
+    changes (integer register-sum fixpoint, exact).
+
+    Returns (node, harmonic_est) sorted desc then node - approximate
+    values (HLL sigma ~ 13% at m=64); the exact twin is the
+    oracle-checked reference."""
+    import pandas as pd
+
+    def e_b(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column(src), "b": b.column(dst)})
+
+    ed = edges.map_batches(e_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def init_b(b: pa.Table) -> pa.Table:
+        col = b.column(0).combine_chunks()
+        regs = _hb_init_regs(col)
+        est = _hb_estimate(regs)
+        return pa.table({
+            "node": col,
+            "regs": pa.array(regs, type=pa.binary()),
+            "prev_est": pa.array(est, pa.float64()),
+            "harm": pa.array(np.zeros(len(regs)), pa.float64())})
+
+    state = nodes.map_batches(init_b, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+
+    def reg_sum(ds) -> int:
+        def s(b: pa.Table) -> pa.Table:
+            tot = sum(int(np.frombuffer(r, dtype=np.uint8).sum())
+                      for r in b.column("regs").to_pylist())
+            return pa.table({"t": pa.array([tot], pa.int64())})
+        return int(ds.map_batches(s, batch_format="pyarrow")
+                   .sum("t") or 0)
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        arrs = np.stack([np.frombuffer(x, dtype=np.uint8)
+                         for x in df["regs"]])
+        own = df[df["prev_est"] >= 0.0].iloc[0]
+        return pd.DataFrame({"node": [own["node"]],
+                             "regs": [arrs.max(axis=0).tobytes()],
+                             "prev_est": [own["prev_est"]],
+                             "harm": [own["harm"]]})
+
+    prev_tot = reg_sum(state)
+    for k in range(1, max_iters + 1):
+        msgs = (ed.join(state, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("a",), right_on=("node",))
+                .map_batches(lambda t: pa.table({
+                    "node": t.column("b"), "regs": t.column("regs"),
+                    # marker rows: prev_est < 0 means "not the self row"
+                    "prev_est": pa.array(
+                        np.full(t.num_rows, -1.0), pa.float64()),
+                    "harm": pa.array(
+                        np.zeros(t.num_rows), pa.float64())}),
+                    batch_format="pyarrow"))
+
+        def bump(b: pa.Table, _k=k) -> pa.Table:
+            est = _hb_estimate(b.column("regs").to_pylist())
+            prev = b.column("prev_est").to_numpy(zero_copy_only=False)
+            harm = b.column("harm").to_numpy(zero_copy_only=False)
+            harm = harm + np.maximum(0.0, est - prev) / _k
+            return pa.table({"node": b.column("node"),
+                             "regs": b.column("regs"),
+                             "prev_est": pa.array(est, pa.float64()),
+                             "harm": pa.array(harm, pa.float64())})
+
+        state = (state.union(msgs)
+                 .groupby("node")
+                 .map_groups(merge, batch_format="pandas")
+                 .map_batches(bump, batch_format="pyarrow")
+                 .repartition(num_partitions).materialize())
+        cur_tot = reg_sum(state)
+        if cur_tot == prev_tot:
+            break
+        prev_tot = cur_tot
+    else:
+        raise RuntimeError(
+            f"hyperball_harmonic: registers alive after {max_iters} "
+            "rounds")
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "harmonic_est": pc.round(b.column("harm"),
+                                                  ndigits=6)})
+
+    return (state.map_batches(final_b, batch_format="pyarrow")
+            .sort(["harmonic_est", "node"], descending=[True, False]))

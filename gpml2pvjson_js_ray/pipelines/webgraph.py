@@ -162,7 +162,11 @@ def _closure_ctes(p: str) -> str:
     return f"""
 d AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS t
                    FROM read_parquet('{p}')),
-nodes AS MATERIALIZED (SELECT s AS h FROM d UNION SELECT t FROM d),
+-- explicit DISTINCT: under WITH RECURSIVE DuckDB compiles UNION in
+-- non-recursive CTEs WITHOUT the implicit dedup (harmless here only
+-- because every consumer aggregates — made explicit anyway)
+nodes AS MATERIALIZED (SELECT DISTINCT h FROM (
+  SELECT s AS h FROM d UNION ALL SELECT t FROM d)),
 reach AS (SELECT h AS a, h AS b FROM nodes
           UNION
           SELECT r.a, d.t FROM reach r JOIN d ON d.s = r.b),
@@ -703,6 +707,28 @@ def structural_oracle_sql_for_sf(sf_dir: str) -> dict:
     d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
               f"FROM read_parquet('{p}')")
     return {
+        # exact harmonic centrality: bounded-depth shortest-path walk
+        # (the depth guard terminates cyclic walks; min(dist) per pair)
+        "kg_host_harmonic": f"""
+WITH RECURSIVE
+d AS MATERIALIZED ({d_body}),
+-- explicit DISTINCT: under WITH RECURSIVE DuckDB compiles UNION in
+-- non-recursive CTEs WITHOUT the implicit dedup
+nodes AS MATERIALIZED (SELECT DISTINCT h FROM (
+  SELECT s AS h FROM d UNION ALL SELECT t FROM d)),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+walk AS (
+  SELECT s AS a, t AS b, 1 AS dist FROM d
+  UNION
+  SELECT w.a, d.t, w.dist + 1 FROM walk w JOIN d ON d.s = w.b
+  WHERE w.dist + 1 < (SELECT n FROM nn)),
+sp AS (SELECT b, sum(1.0 / md) AS hm FROM (
+         SELECT a, b, min(dist) AS md FROM walk
+         WHERE a <> b GROUP BY a, b)
+       GROUP BY b)
+SELECT nodes.h AS host, round(coalesce(sp.hm, 0.0), 10) AS harmonic
+FROM nodes LEFT JOIN sp ON sp.b = nodes.h
+ORDER BY harmonic DESC, host""",
         "kg_host_hits": hits_oracle_sql(d_body, out_node="host"),
         "kg_host_reciprocity": f"""
 WITH d AS MATERIALIZED ({d_body})
@@ -731,3 +757,43 @@ SELECT m.host,
             ELSE 'other' END AS region
 FROM sccmap m ORDER BY region, host""",
     }
+
+
+def host_harmonic(pages, num_partitions: int = 4):
+    """Exact harmonic centrality of every host over the distinct host
+    link graph — Boldi-Vigna's centrality of choice for web graphs
+    (finite under disconnection). Engine: level-synchronous
+    multi-source BFS (graph.harmonic_centrality); oracle: bounded-
+    depth shortest-path closure SQL. Returns (host, harmonic) sorted
+    desc then host."""
+    from .graph import harmonic_centrality
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    out = harmonic_centrality(g, nodes, "src_host", "dst_host",
+                              num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "harmonic": b.column("harmonic")})
+
+    return (out.map_batches(rename, batch_format="pyarrow")
+            .sort(["harmonic", "host"], descending=[True, False]))
+
+
+def host_harmonic_hyperball(pages, num_partitions: int = 4):
+    """HyperBall approximation of host_harmonic (64-register HLL
+    in-balls; see graph.hyperball_harmonic) — the O(V × 64 B) scale
+    path; rows-only for the driver, accuracy pinned against the exact
+    twin in pytest."""
+    from .graph import hyperball_harmonic
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    out = hyperball_harmonic(g, nodes, "src_host", "dst_host",
+                             num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "harmonic_est": b.column("harmonic_est")})
+
+    return (out.map_batches(rename, batch_format="pyarrow")
+            .sort(["harmonic_est", "host"], descending=[True, False]))

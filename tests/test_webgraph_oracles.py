@@ -240,3 +240,55 @@ def test_canonical_url_planted_messy(ray_session, tmp_path):
     a = sorted(map(tuple, eng[cols].itertuples(index=False, name=None)))
     b = sorted(map(tuple, ora[cols].itertuples(index=False, name=None)))
     assert a == b
+
+
+def test_harmonic_closure_sql_matches_engine_on_cycles(ray_session,
+                                                       cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.graph import harmonic_centrality
+    from gpml2pvjson_js_ray.pipelines.webgraph import (
+        structural_oracle_sql_for_sf, host_edges_checkpoint_path)
+
+    df, p = cyclic_edges
+    eng = harmonic_centrality(_edge_ds(df), _node_ds(df),
+                              "src_host", "dst_host").to_pandas()
+    got = dict(zip(eng["node"], eng["harmonic"]))
+    sql = structural_oracle_sql_for_sf("/root/testdata/sf0.01")[
+        "kg_host_harmonic"].replace(
+            host_edges_checkpoint_path("/root/testdata/sf0.01"), p)
+    ora = duckdb.connect().execute(sql).fetchdf()
+    assert dict(zip(ora["host"], ora["harmonic"])) == got
+    # hand-check: ring {a,b,c} — each member reached by the other two
+    # at dist 1 and 2 and by s (1..3): a gets s@1,b@2,c@1 → wait, use
+    # structural invariants instead of hand-sums: every ring member
+    # strictly positive, g reached only by s at dist 1 → exactly 1.0
+    assert got["g"] == 1.0
+    assert all(got[x] > 0 for x in ("a", "b", "c", "d", "e", "f"))
+    assert got["s"] == 0.0          # nothing links to the source
+
+
+def test_hyperball_tracks_exact_on_planted_star(ray_session):
+    """HyperBall vs exact on a 30-leaf in-star + chain: estimates are
+    HLL-noisy (sigma ~13% at m=64) but must land in a loose band and
+    agree exactly on zeros."""
+    from gpml2pvjson_js_ray.pipelines.graph import (
+        harmonic_centrality, hyperball_harmonic)
+
+    leaves = [f"leaf{i:02d}" for i in range(30)]
+    df = pd.DataFrame({
+        "src_host": leaves + ["hub", "mid"],
+        "dst_host": ["hub"] * 30 + ["mid", "tail"]})
+    nodes = rd.from_pandas(pd.DataFrame(
+        {"h": sorted(set(df["src_host"]) | set(df["dst_host"]))}))
+    exact = harmonic_centrality(rd.from_pandas(df), nodes,
+                                "src_host", "dst_host").to_pandas()
+    approx = hyperball_harmonic(rd.from_pandas(df), nodes,
+                                "src_host", "dst_host").to_pandas()
+    ex = dict(zip(exact["node"], exact["harmonic"]))
+    ap = dict(zip(approx["node"], approx["harmonic_est"]))
+    assert set(ex) == set(ap)
+    assert ex["hub"] == 30.0 and ex["mid"] == 31.0 / 2 + 1 - 0.5
+    for n in ex:
+        if ex[n] == 0.0:
+            assert ap[n] == 0.0, n          # leaves: nothing reaches
+        else:
+            assert abs(ap[n] - ex[n]) / ex[n] < 0.40, (n, ap[n], ex[n])
