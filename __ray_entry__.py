@@ -834,6 +834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned vs the exact twin in pytest — the O(V×64 B) scale path)
         "kg_host_harmonic_hyperball":
             _webgraph_query("host_harmonic_hyperball"),
+        # Broder-style pairwise distance distribution (integer-exact;
+        # oracle: the same bounded-depth closure the harmonic uses)
+        "kg_host_distance_histogram":
+            _webgraph_oracled_query("host_distance_histogram"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)

@@ -1972,24 +1972,20 @@ def transitive_closure(edges, src: str, dst: str, max_iters: int = 32,
     return paths
 
 
-def harmonic_centrality(edges, nodes, src: str, dst: str,
+def all_pairs_distances(edges, src: str, dst: str,
                         num_partitions: int = 4, max_iters: int = 128):
-    """Exact harmonic centrality H(v) = Σ_{u≠v, d(u,v)<∞} 1/d(u,v)
-    over directed edges (Boldi-Vigna's preferred centrality for web
-    graphs — finite under disconnection where closeness is not).
+    """All finite shortest-path distances (srcn, node, dist ≥ 1) over a
+    directed edge Dataset by level-synchronous multi-source BFS. The
+    pair state is O(V·reach) — right for host-bounded graphs; sketch
+    paths (HyperBall) are the web-scale approximation.
 
-    Level-synchronous multi-source BFS over (source, node) pairs: the
-    frontier extends along edges, an anti-join against the visited
-    pair set keeps first (= shortest) visits only, and the fold is one
-    groupby-sum of 1/dist per target. The pair state is O(V·reach) —
-    right for the |hosts|-bounded host graph; at web scale the
-    HyperBall register sweep (host_harmonic_hyperball) is the
-    documented approximation path (Boldi & Vigna, WWW'13 'In-Core
-    Computation of Geometric Centralities with HyperBall').
-
-    Returns (node, harmonic) for EVERY node (0.0 when nothing reaches
-    it), harmonic rounded to 10 decimals, sorted desc then node."""
-    from ray.data.aggregate import Min, Sum
+    No anti-join: min-dist dedup keeps the FIRST visit, so a pair is
+    newly reached this round iff its folded dist equals the round's
+    level — a filter, not a second join (join-consuming-join chains
+    hit the zero-column empty-partition pitfall documented at
+    condensation_levels; union+groupby consuming a join is the
+    proven-safe round shape of pagerank/connected_components)."""
+    from ray.data.aggregate import Min
 
     def e_b(b: pa.Table) -> pa.Table:
         return pa.table({"a": b.column(src), "b": b.column(dst)})
@@ -2010,12 +2006,6 @@ def harmonic_centrality(edges, nodes, src: str, dst: str,
     frontier = dedup_pairs(ed.map_batches(init_f,
                                           batch_format="pyarrow"))
     visited = frontier
-    # no anti-join: min-dist dedup keeps the FIRST visit, so a pair is
-    # newly reached this round iff its folded dist equals the round's
-    # level — a filter, not a second join (join-consuming-join chains
-    # hit the zero-column empty-partition pitfall documented at
-    # condensation_levels; union+groupby consuming a join is the
-    # proven-safe round shape of pagerank/connected_components)
     for k in range(1, max_iters + 1):
         ext = (frontier.join(ed, join_type="inner",
                              num_partitions=num_partitions,
@@ -2037,8 +2027,59 @@ def harmonic_centrality(edges, nodes, src: str, dst: str,
             break
     else:
         raise RuntimeError(
-            f"harmonic_centrality: frontier alive after {max_iters} "
+            f"all_pairs_distances: frontier alive after {max_iters} "
             "rounds — raise max_iters")
+    return visited
+
+
+def distance_histogram(edges, src: str, dst: str,
+                       num_partitions: int = 4, max_iters: int = 128):
+    """The pairwise shortest-path distance distribution (dist,
+    n_pairs), u ≠ v, finite distances only — the Broder-style
+    structure probe the diameter/effective-diameter statistics read
+    off. Integer-valued, so the DuckDB closure oracle checks it
+    hash-exact. Sorted by dist."""
+    from ray.data.aggregate import Count
+
+    visited = all_pairs_distances(edges, src, dst,
+                                  num_partitions=num_partitions,
+                                  max_iters=max_iters)
+
+    def noself(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("srcn"), b.column("node")))
+        return pa.table({"dist": b.filter(keep).column("dist")})
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"dist": b.column("dist"),
+                         "n_pairs": b.column("n").cast(pa.int64())})
+
+    return (visited.map_batches(noself, batch_format="pyarrow")
+            .groupby("dist").aggregate(Count(alias_name="n"))
+            .map_batches(fin, batch_format="pyarrow")
+            .sort("dist"))
+
+
+def harmonic_centrality(edges, nodes, src: str, dst: str,
+                        num_partitions: int = 4, max_iters: int = 128):
+    """Exact harmonic centrality H(v) = Σ_{u≠v, d(u,v)<∞} 1/d(u,v)
+    over directed edges (Boldi-Vigna's preferred centrality for web
+    graphs — finite under disconnection where closeness is not).
+
+    Level-synchronous multi-source BFS over (source, node) pairs
+    (all_pairs_distances), folded by one groupby-sum of 1/dist per
+    target. The pair state is O(V·reach) —
+    right for the |hosts|-bounded host graph; at web scale the
+    HyperBall register sweep (host_harmonic_hyperball) is the
+    documented approximation path (Boldi & Vigna, WWW'13 'In-Core
+    Computation of Geometric Centralities with HyperBall').
+
+    Returns (node, harmonic) for EVERY node (0.0 when nothing reaches
+    it), harmonic rounded to 10 decimals, sorted desc then node."""
+    from ray.data.aggregate import Sum
+
+    visited = all_pairs_distances(edges, src, dst,
+                                  num_partitions=num_partitions,
+                                  max_iters=max_iters)
 
     def inv(b: pa.Table) -> pa.Table:
         keep = pc.invert(pc.equal(b.column("srcn"), b.column("node")))

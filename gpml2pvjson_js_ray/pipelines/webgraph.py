@@ -729,6 +729,22 @@ sp AS (SELECT b, sum(1.0 / md) AS hm FROM (
 SELECT nodes.h AS host, round(coalesce(sp.hm, 0.0), 10) AS harmonic
 FROM nodes LEFT JOIN sp ON sp.b = nodes.h
 ORDER BY harmonic DESC, host""",
+        # pairwise distance distribution from the same bounded walk
+        "kg_host_distance_histogram": f"""
+WITH RECURSIVE
+d AS MATERIALIZED ({d_body}),
+nodes AS MATERIALIZED (SELECT DISTINCT h FROM (
+  SELECT s AS h FROM d UNION ALL SELECT t FROM d)),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+walk AS (
+  SELECT s AS a, t AS b, 1 AS dist FROM d
+  UNION
+  SELECT w.a, d.t, w.dist + 1 FROM walk w JOIN d ON d.s = w.b
+  WHERE w.dist + 1 < (SELECT n FROM nn))
+SELECT CAST(md AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT a, b, min(dist) AS md FROM walk
+      WHERE a <> b GROUP BY a, b)
+GROUP BY md ORDER BY md""",
         "kg_host_hits": hits_oracle_sql(d_body, out_node="host"),
         "kg_host_reciprocity": f"""
 WITH d AS MATERIALIZED ({d_body})
@@ -797,3 +813,15 @@ def host_harmonic_hyperball(pages, num_partitions: int = 4):
 
     return (out.map_batches(rename, batch_format="pyarrow")
             .sort(["harmonic_est", "host"], descending=[True, False]))
+
+
+def host_distance_histogram(pages, num_partitions: int = 4):
+    """Pairwise shortest-path distance distribution of the host graph
+    (dist, n_pairs) — the Broder et al. structure probe behind
+    diameter / effective-diameter claims; integer-valued, so the
+    closure SQL oracle checks it hash-exact."""
+    from .graph import distance_histogram
+
+    g, _nodes = _distinct_host_edges(pages, num_partitions)
+    return distance_histogram(g, "src_host", "dst_host",
+                              num_partitions=num_partitions)

@@ -292,3 +292,23 @@ def test_hyperball_tracks_exact_on_planted_star(ray_session):
             assert ap[n] == 0.0, n          # leaves: nothing reaches
         else:
             assert abs(ap[n] - ex[n]) / ex[n] < 0.40, (n, ap[n], ex[n])
+
+
+def test_distance_histogram_planted(ray_session, cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.graph import distance_histogram
+    from gpml2pvjson_js_ray.pipelines.webgraph import (
+        host_edges_checkpoint_path, structural_oracle_sql_for_sf)
+
+    df, p = cyclic_edges
+    eng = distance_histogram(_edge_ds(df),
+                             "src_host", "dst_host").to_pandas()
+    got = dict(zip(eng["dist"], eng["n_pairs"]))
+    sql = structural_oracle_sql_for_sf("/root/testdata/sf0.01")[
+        "kg_host_distance_histogram"].replace(
+            host_edges_checkpoint_path("/root/testdata/sf0.01"), p)
+    ora = duckdb.connect().execute(sql).fetchdf()
+    assert dict(zip(ora["dist"], ora["n_pairs"])) == got
+    # structure: the 3-ring + bridge + 2-ring + tail chain yields
+    # finite pairs out to the s→…→f path length
+    assert got[1] == 9 - 1 + 1 or got[1] > 0   # at least the edges
+    assert max(got) >= 4                       # s→a→…→d→e→f depth
