@@ -838,6 +838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: the same bounded-depth closure the harmonic uses)
         "kg_host_distance_histogram":
             _webgraph_oracled_query("host_distance_histogram"),
+        # Lin-corrected in-closeness (n/S off the same BFS; the int
+        # division is bit-identical so the oracle needs no rounding)
+        "kg_host_closeness": _webgraph_oracled_query("host_closeness"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)

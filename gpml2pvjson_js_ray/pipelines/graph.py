@@ -489,6 +489,10 @@ def documents_semantic_keep(sf_dir: str, threshold: float = 0.5,
     meta = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "lang", "source"])
     out = (surv.map_batches(as_doc, batch_format="pyarrow")
+           # defensive: merge away any zero-column empty blocks from
+           # the upstream aggregate before they feed a join side (the
+           # pitfall documented at connected_components)
+           .repartition(num_partitions)
            .join(meta, join_type="inner",
                  num_partitions=num_partitions, on=("doc_id",)))
     return (out.map_batches(
@@ -2251,3 +2255,68 @@ def hyperball_harmonic(edges, nodes, src: str, dst: str,
 
     return (state.map_batches(final_b, batch_format="pyarrow")
             .sort(["harmonic_est", "node"], descending=[True, False]))
+
+
+def closeness_centrality(edges, nodes, src: str, dst: str,
+                         num_partitions: int = 4, max_iters: int = 128):
+    """Directed in-closeness with the Lin/Wasserman-Faust reachability
+    correction: for each node v reached by n ≥ 1 sources at total
+    distance S, closeness(v) = n / S (0.0 when nothing reaches it) —
+    the companion statistic to harmonic centrality off the same
+    multi-source BFS (all_pairs_distances). n and S are exact ints, so
+    the single int→float division is bit-identical across engines and
+    the oracle needs no rounding. Returns (node, n_reached_by,
+    closeness) sorted closeness desc then node."""
+    from ray.data.aggregate import Count, Sum
+
+    visited = all_pairs_distances(edges, src, dst,
+                                  num_partitions=num_partitions,
+                                  max_iters=max_iters)
+
+    def noself(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b.column("srcn"), b.column("node")))
+        t = b.filter(keep)
+        return pa.table({"node": t.column("node"),
+                         "dist": t.column("dist")})
+
+    agg = (visited.map_batches(noself, batch_format="pyarrow")
+           .groupby("node")
+           .aggregate(Count(alias_name="n"),
+                      Sum("dist", alias_name="s")))
+
+    def score(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("n"), pa.int64())
+        return pa.table({
+            "node": b.column("node"),
+            "n_reached_by": n,
+            "closeness": pc.divide(pc.cast(n, pa.float64()),
+                                   pc.cast(b.column("s"),
+                                           pa.float64()))})
+
+    reached = (agg.map_batches(score, batch_format="pyarrow")
+               .map_batches(lambda b: pa.table({
+                   "rn": b.column("node"),
+                   "n_reached_by": b.column("n_reached_by"),
+                   "closeness": b.column("closeness")}),
+                   batch_format="pyarrow")
+               # defensive repartition before serving as a join side
+               # (aggregate-output empty-block pitfall)
+               .repartition(num_partitions).materialize())
+
+    base = nodes.map_batches(
+        lambda b: pa.table({"node": b.column(0)}),
+        batch_format="pyarrow").repartition(num_partitions).materialize()
+
+    out = base.join(reached, join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("node",), right_on=("rn",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "n_reached_by": pc.fill_null(
+                b.column("n_reached_by"), 0).cast(pa.int64()),
+            "closeness": pc.fill_null(b.column("closeness"), 0.0)})
+
+    return (out.map_batches(fill, batch_format="pyarrow")
+            .sort(["closeness", "node"], descending=[True, False]))

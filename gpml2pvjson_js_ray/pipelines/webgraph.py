@@ -729,6 +729,32 @@ sp AS (SELECT b, sum(1.0 / md) AS hm FROM (
 SELECT nodes.h AS host, round(coalesce(sp.hm, 0.0), 10) AS harmonic
 FROM nodes LEFT JOIN sp ON sp.b = nodes.h
 ORDER BY harmonic DESC, host""",
+        # in-closeness off the same bounded walk: n/S per target with
+        # zero-fill for unreached hosts (int inputs → the one float
+        # division is bit-identical, no rounding needed)
+        "kg_host_closeness": f"""
+WITH RECURSIVE
+d AS MATERIALIZED ({d_body}),
+nodes AS MATERIALIZED (SELECT DISTINCT h FROM (
+  SELECT s AS h FROM d UNION ALL SELECT t FROM d)),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+walk AS (
+  SELECT s AS a, t AS b, 1 AS dist FROM d
+  UNION
+  SELECT w.a, d.t, w.dist + 1 FROM walk w JOIN d ON d.s = w.b
+  WHERE w.dist + 1 < (SELECT n FROM nn)),
+sp AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(md) AS BIGINT) AS s
+       FROM (SELECT a, b, min(dist) AS md FROM walk
+             WHERE a <> b GROUP BY a, b)
+       GROUP BY b)
+SELECT nodes.h AS host,
+       coalesce(sp.n, 0) AS n_reached_by,
+       CASE WHEN sp.n IS NULL THEN 0.0
+            ELSE CAST(sp.n AS DOUBLE) / CAST(sp.s AS DOUBLE) END
+           AS closeness
+FROM nodes LEFT JOIN sp ON sp.b = nodes.h
+ORDER BY closeness DESC, host""",
         # pairwise distance distribution from the same bounded walk
         "kg_host_distance_histogram": f"""
 WITH RECURSIVE
@@ -825,3 +851,23 @@ def host_distance_histogram(pages, num_partitions: int = 4):
     g, _nodes = _distinct_host_edges(pages, num_partitions)
     return distance_histogram(g, "src_host", "dst_host",
                               num_partitions=num_partitions)
+
+
+def host_closeness(pages, num_partitions: int = 4):
+    """Directed in-closeness of every host (Lin-corrected n/S; see
+    graph.closeness_centrality) — off the same multi-source BFS as
+    host_harmonic; integer-exact inputs make the oracle division
+    bit-identical."""
+    from .graph import closeness_centrality
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    out = closeness_centrality(g, nodes, "src_host", "dst_host",
+                               num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "n_reached_by": b.column("n_reached_by"),
+                         "closeness": b.column("closeness")})
+
+    return (out.map_batches(rename, batch_format="pyarrow")
+            .sort(["closeness", "host"], descending=[True, False]))

@@ -312,3 +312,26 @@ def test_distance_histogram_planted(ray_session, cyclic_edges):
     # finite pairs out to the s→…→f path length
     assert got[1] == 9 - 1 + 1 or got[1] > 0   # at least the edges
     assert max(got) >= 4                       # s→a→…→d→e→f depth
+
+
+def test_closeness_closure_sql_matches_engine_on_cycles(ray_session,
+                                                        cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.graph import closeness_centrality
+    from gpml2pvjson_js_ray.pipelines.webgraph import (
+        host_edges_checkpoint_path, structural_oracle_sql_for_sf)
+
+    df, p = cyclic_edges
+    eng = closeness_centrality(_edge_ds(df), _node_ds(df),
+                               "src_host", "dst_host").to_pandas()
+    got = {r.host if hasattr(r, "host") else r.node:
+           (r.n_reached_by, r.closeness)
+           for r in eng.itertuples(index=False)}
+    sql = structural_oracle_sql_for_sf("/root/testdata/sf0.01")[
+        "kg_host_closeness"].replace(
+            host_edges_checkpoint_path("/root/testdata/sf0.01"), p)
+    ora = duckdb.connect().execute(sql).fetchdf()
+    assert {r.host: (r.n_reached_by, r.closeness)
+            for r in ora.itertuples(index=False)} == got
+    # g reached only by s at dist 1 → (1, 1.0); s unreached → (0, 0.0)
+    assert got["g"] == (1, 1.0)
+    assert got["s"] == (0, 0.0)
