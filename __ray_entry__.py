@@ -804,6 +804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # method over the host-edge checkpoint recomputes the engine's
         # distributed join+groupby rounds independently
         "kg_host_pagerank": _webgraph_oracled_query("host_pagerank"),
+        # weighted random surfer: rank splits in proportion to n_links
+        "kg_host_pagerank_weighted":
+            _webgraph_oracled_query("host_pagerank_weighted"),
         # personalized (seed-rooted) PageRank: related-hosts ranking
         "kg_host_ppr": _webgraph_oracled_query("host_ppr"),
         "kg_host_cocitation": _webgraph_oracled_query("host_cocitation"),

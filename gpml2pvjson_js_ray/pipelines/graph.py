@@ -116,25 +116,35 @@ def documents_similarity_components(sf_dir: str, threshold: float = 0.3):
 
 
 def pagerank(edges, nodes, src: str, dst: str, damping: float = 0.85,
-             iters: int = 8, num_partitions: int = 8):
+             iters: int = 8, num_partitions: int = 8,
+             weight: str | None = None):
     """Distributed PageRank (power iteration with dangling-mass
     redistribution), pure Dataset ops.
 
     Per iteration: one co-partitioned join (static (src, dst, deg)
-    edge table ⋈ ranks) emits contrib = r/deg per edge; a
-    groupby(dst).sum folds in-neighbor mass; the dangling mass is the
-    scalar 1 - Σcontrib (rank held by sink nodes), redistributed
-    uniformly. Fixed iteration count — ranking applications don't need
-    the fixpoint test CC uses. Returns (node, rank) with Σrank = 1."""
+    edge table ⋈ ranks) emits contrib = r/deg per edge — or
+    r·w/W(src) when a `weight` column is given (W = the source's total
+    outlink weight; the weighted random surfer) — a groupby(dst).sum
+    folds in-neighbor mass; the dangling mass is the scalar
+    1 - Σcontrib (rank held by sink nodes), redistributed uniformly.
+    Fixed iteration count — ranking applications don't need the
+    fixpoint test CC uses. Returns (node, rank) with Σrank = 1."""
     from ray.data.aggregate import Count, Sum
 
     def e_b(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b.column(src), "dst": b.column(dst)})
+        cols = {"src": b.column(src), "dst": b.column(dst)}
+        if weight is not None:
+            cols["w"] = pc.cast(b.column(weight), pa.float64())
+        return pa.table(cols)
 
     ed = edges.map_batches(e_b, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
-    deg = (ed.groupby("src").aggregate(Count(alias_name="deg"))
-           .repartition(num_partitions))
+    if weight is not None:
+        deg = (ed.groupby("src").aggregate(Sum("w", alias_name="deg"))
+               .repartition(num_partitions))
+    else:
+        deg = (ed.groupby("src").aggregate(Count(alias_name="deg"))
+               .repartition(num_partitions))
     ed = (ed.join(deg, join_type="inner", num_partitions=num_partitions,
                   on=("src",), right_on=("src",))
           .repartition(num_partitions).materialize())
@@ -153,8 +163,14 @@ def pagerank(edges, nodes, src: str, dst: str, damping: float = 0.85,
     ranks = base.map_batches(init_r, batch_format="pyarrow").materialize()
 
     def contrib_b(b: pa.Table) -> pa.Table:
-        c = pc.divide(b.column("r"),
-                      pc.cast(b.column("deg"), pa.float64()))
+        if weight is not None:
+            # (r*w)/W, left-to-right — mirrored verbatim in the SQL
+            # oracle so the float64 op sequence is identical
+            c = pc.divide(pc.multiply(b.column("r"), b.column("w")),
+                          pc.cast(b.column("deg"), pa.float64()))
+        else:
+            c = pc.divide(b.column("r"),
+                          pc.cast(b.column("deg"), pa.float64()))
         return pa.table({"node": b.column("dst"), "r": c})
 
     def zero_b(b: pa.Table) -> pa.Table:
@@ -1606,8 +1622,14 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
     ranks = base.map_batches(init_r, batch_format="pyarrow").materialize()
 
     def contrib_b(b: pa.Table) -> pa.Table:
-        c = pc.divide(b.column("r"),
-                      pc.cast(b.column("deg"), pa.float64()))
+        if weight is not None:
+            # (r*w)/W, left-to-right — mirrored verbatim in the SQL
+            # oracle so the float64 op sequence is identical
+            c = pc.divide(pc.multiply(b.column("r"), b.column("w")),
+                          pc.cast(b.column("deg"), pa.float64()))
+        else:
+            c = pc.divide(b.column("r"),
+                          pc.cast(b.column("deg"), pa.float64()))
         return pa.table({"node": b.column("dst"), "r": c})
 
     def zero_b(b: pa.Table) -> pa.Table:
@@ -1644,7 +1666,8 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
 def pagerank_oracle_sql(d_body: str, out_node: str = "host",
                         damping: float = 0.85, iters: int = 8,
                         round_digits: int = 10,
-                        personalized: bool = False) -> str:
+                        personalized: bool = False,
+                        weighted: bool = False) -> str:
     """DuckDB recompute of the fixed-iteration power method in
     `pagerank` / `personalized_pagerank`, unrolled as one CTE triple
     per iteration — DuckDB 1.0 recursive CTEs cannot aggregate in the
@@ -1670,9 +1693,14 @@ def pagerank_oracle_sql(d_body: str, out_node: str = "host",
         "nodes AS MATERIALIZED (SELECT s AS h FROM d UNION SELECT t FROM d)",
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n "
         "FROM nodes)",
-        "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS deg "
-        "FROM d GROUP BY s)",
+        ("deg AS MATERIALIZED (SELECT s, sum(w) AS deg FROM d GROUP BY s)"
+         if weighted else
+         "deg AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS deg "
+         "FROM d GROUP BY s)"),
     ]
+    # with `weighted`, d_body must also SELECT a DOUBLE weight column w;
+    # contrib becomes (r*w)/W — the exact op order of the engine's
+    # contrib_b
     if personalized:
         ctes.append("seed AS MATERIALIZED (SELECT min(s) AS v FROM d)")
         ctes.append("r0 AS MATERIALIZED (SELECT h, CASE WHEN "
@@ -1681,10 +1709,12 @@ def pagerank_oracle_sql(d_body: str, out_node: str = "host",
     else:
         ctes.append("r0 AS MATERIALIZED (SELECT h, "
                     "1.0/(SELECT n FROM nn) AS r FROM nodes)")
+    contrib = (f"r{{prev}}.r * d.w / deg.deg" if weighted
+               else f"r{{prev}}.r / deg.deg")
     for i in range(1, iters + 1):
         ctes.append(
             f"m{i} AS MATERIALIZED (SELECT d.t AS h, "
-            f"r{i-1}.r / deg.deg AS c "
+            f"{contrib.format(prev=i-1)} AS c "
             f"FROM d JOIN deg ON deg.s = d.s "
             f"JOIN r{i-1} ON r{i-1}.h = d.s)")
         # dangling mass = 1 - Σcontrib, clamped at 0 like the engine

@@ -217,6 +217,10 @@ SELECT m.host, m.scc, CAST(max(lvl.l) AS BIGINT) AS level
 FROM sccmap m JOIN lvl ON lvl.c = m.scc
 GROUP BY m.host, m.scc ORDER BY level, scc, host""",
         "kg_host_pagerank": pagerank_oracle_sql(d_body, out_node="host"),
+        "kg_host_pagerank_weighted": pagerank_oracle_sql(
+            f"SELECT src_host AS s, dst_host AS t, "
+            f"CAST(n_links AS DOUBLE) AS w FROM read_parquet('{p}')",
+            out_node="host", weighted=True),
         "kg_host_ppr": pagerank_oracle_sql(d_body, out_node="host",
                                            personalized=True),
         "kg_anchor_texts": (
@@ -871,3 +875,42 @@ def host_closeness(pages, num_partitions: int = 4):
 
     return (out.map_batches(rename, batch_format="pyarrow")
             .sort(["closeness", "host"], descending=[True, False]))
+
+
+def host_pagerank_weighted(pages, damping: float = 0.85, iters: int = 8,
+                           num_partitions: int = 4):
+    """Link-count-weighted host PageRank: each host splits its rank
+    over its outlinks IN PROPORTION to n_links (the weighted random
+    surfer) — ten links to one partner host count ten times the
+    endorsement of one, where host_pagerank's distinct-edge walk
+    counts them equally. Same round shape; oracle: the weighted
+    unrolled power method. Returns (host, rank), Σrank = 1."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .graph import pagerank
+
+    g = host_link_graph(pages).materialize()
+
+    def side(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"n": b.column(col)})
+        return f
+
+    nodes = (g.map_batches(side("src_host"), batch_format="pyarrow")
+             .union(g.map_batches(side("dst_host"),
+                                  batch_format="pyarrow"))
+             .groupby("n").aggregate(Count(alias_name="c"))
+             .map_batches(lambda b: b.select(["n"]),
+                          batch_format="pyarrow"))
+
+    ranks = pagerank(g, nodes, "src_host", "dst_host",
+                     damping=damping, iters=iters,
+                     num_partitions=num_partitions, weight="n_links")
+
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "rank": pc.round(b.column("r"), ndigits=10)})
+
+    return (ranks.map_batches(final_b, batch_format="pyarrow")
+            .sort(["rank", "host"], descending=[True, False]))

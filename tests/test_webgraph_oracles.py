@@ -335,3 +335,36 @@ def test_closeness_closure_sql_matches_engine_on_cycles(ray_session,
     # g reached only by s at dist 1 → (1, 1.0); s unreached → (0, 0.0)
     assert got["g"] == (1, 1.0)
     assert got["s"] == (0, 0.0)
+
+
+def test_weighted_pagerank_unrolled_sql_matches_engine(ray_session,
+                                                       tmp_path):
+    """Weighted vs unweighted diverge on skewed weights: one heavy
+    edge dominates the split. Oracle parity + a direction check."""
+    from gpml2pvjson_js_ray.pipelines.graph import (
+        pagerank, pagerank_oracle_sql)
+
+    df = pd.DataFrame({
+        "src_host": ["a", "a", "b", "c"],
+        "dst_host": ["b", "c", "c", "a"],
+        "n_links": [9, 1, 1, 1]})
+    p = str(tmp_path / "w.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+    edges = rd.from_pandas(df)
+    nodes = rd.from_pandas(pd.DataFrame({"h": ["a", "b", "c"]}))
+    ranks = pagerank(edges, nodes, "src_host", "dst_host",
+                     weight="n_links").to_pandas()
+    eng = dict(zip(ranks["node"], np.round(ranks["r"], 10)))
+    ora = duckdb.connect().execute(pagerank_oracle_sql(
+        f"SELECT src_host AS s, dst_host AS t, "
+        f"CAST(n_links AS DOUBLE) AS w FROM read_parquet('{p}')",
+        out_node="host", weighted=True)).fetchdf()
+    got = dict(zip(ora["host"], ora["rank"]))
+    assert set(got) == set(eng)
+    for h in got:
+        assert abs(got[h] - eng[h]) < 1e-9, (h, got[h], eng[h])
+    # a splits 0.9/0.1 toward b — weighted rank(b) must beat the
+    # unweighted run where a splits evenly
+    un = pagerank(edges, nodes, "src_host", "dst_host").to_pandas()
+    un_b = dict(zip(un["node"], un["r"]))["b"]
+    assert got["b"] > un_b
