@@ -844,6 +844,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lin-corrected in-closeness (n/S off the same BFS; the int
         # division is bit-identical so the oracle needs no rounding)
         "kg_host_closeness": _webgraph_oracled_query("host_closeness"),
+        # one-row small-world summary (exact + interpolated P90)
+        "kg_host_effective_diameter":
+            _webgraph_oracled_query("host_effective_diameter"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)

@@ -2350,3 +2350,44 @@ def closeness_centrality(edges, nodes, src: str, dst: str,
 
     return (out.map_batches(fill, batch_format="pyarrow")
             .sort(["closeness", "node"], descending=[True, False]))
+
+
+def effective_diameter(edges, src: str, dst: str, q: float = 0.9,
+                       num_partitions: int = 4, max_iters: int = 128):
+    """One-row graph summary off the distance distribution: n_pairs,
+    the exact diameter (max finite distance), and the linearly
+    interpolated effective diameter at quantile q (the smallest d such
+    that ≥ q of finite pairs sit within d, interpolated between the
+    bracketing integer distances — the standard web-graph statistic of
+    Palmer et al. / Leskovec's densification papers). The histogram is
+    tiny (≤ diameter rows), so the interpolation folds on the driver
+    from the aggregated counts — never from pair rows."""
+    hist = distance_histogram(edges, src, dst,
+                              num_partitions=num_partitions,
+                              max_iters=max_iters).to_pandas()
+    import pandas as pd
+
+    import ray.data as rd
+    if len(hist) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "n_pairs": pd.Series([0], dtype="int64"),
+            "diameter": pd.Series([0], dtype="int64"),
+            "effective_diameter": pd.Series([0.0], dtype="float64")}))
+    total = int(hist["n_pairs"].sum())
+    target = q * total
+    cum = 0
+    eff = float(hist["dist"].iloc[-1])
+    prev_d, prev_cum = 0, 0
+    for d, n in zip(hist["dist"], hist["n_pairs"]):
+        cum += int(n)
+        if cum >= target:
+            # interpolate between prev_d (prev_cum pairs) and d (cum)
+            span = cum - prev_cum
+            frac = (target - prev_cum) / span if span else 0.0
+            eff = prev_d + (d - prev_d) * frac
+            break
+        prev_d, prev_cum = d, cum
+    return rd.from_pandas(pd.DataFrame({
+        "n_pairs": pd.Series([total], dtype="int64"),
+        "diameter": pd.Series([int(hist["dist"].max())], dtype="int64"),
+        "effective_diameter": pd.Series([eff], dtype="float64")}))

@@ -759,6 +759,41 @@ SELECT nodes.h AS host,
            AS closeness
 FROM nodes LEFT JOIN sp ON sp.b = nodes.h
 ORDER BY closeness DESC, host""",
+        # one-row diameter summary: the same histogram folded to
+        # (n_pairs, diameter, interpolated effective diameter) — the
+        # interpolation expression mirrors graph.effective_diameter's
+        # op order exactly (int operands promote identically)
+        "kg_host_effective_diameter": f"""
+WITH RECURSIVE
+d AS MATERIALIZED ({d_body}),
+nodes AS MATERIALIZED (SELECT DISTINCT h FROM (
+  SELECT s AS h FROM d UNION ALL SELECT t FROM d)),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+walk AS (
+  SELECT s AS a, t AS b, 1 AS dist FROM d
+  UNION
+  SELECT w.a, d.t, w.dist + 1 FROM walk w JOIN d ON d.s = w.b
+  WHERE w.dist + 1 < (SELECT n FROM nn)),
+hist AS MATERIALIZED (
+  SELECT md AS dist, count(*) AS n_pairs
+  FROM (SELECT a, b, min(dist) AS md FROM walk
+        WHERE a <> b GROUP BY a, b)
+  GROUP BY md),
+c1 AS (SELECT dist, sum(n_pairs) OVER (ORDER BY dist) AS cum FROM hist),
+c2 AS (SELECT dist, cum,
+              coalesce(lag(dist) OVER (ORDER BY dist), 0) AS pd,
+              coalesce(lag(cum) OVER (ORDER BY dist), 0) AS pc
+       FROM c1),
+t AS (SELECT 0.9 * CAST(sum(n_pairs) AS DOUBLE) AS target,
+             CAST(sum(n_pairs) AS BIGINT) AS total FROM hist),
+pick AS (SELECT c2.* FROM c2, t WHERE cum >= target
+         ORDER BY dist LIMIT 1)
+SELECT t.total AS n_pairs,
+       (SELECT CAST(max(dist) AS BIGINT) FROM hist) AS diameter,
+       CAST(pick.pd + (pick.dist - pick.pd) *
+            ((t.target - pick.pc) / (pick.cum - pick.pc)) AS DOUBLE)
+           AS effective_diameter
+FROM pick, t""",
         # pairwise distance distribution from the same bounded walk
         "kg_host_distance_histogram": f"""
 WITH RECURSIVE
@@ -914,3 +949,15 @@ def host_pagerank_weighted(pages, damping: float = 0.85, iters: int = 8,
 
     return (ranks.map_batches(final_b, batch_format="pyarrow")
             .sort(["rank", "host"], descending=[True, False]))
+
+
+def host_effective_diameter(pages, q: float = 0.9,
+                            num_partitions: int = 4):
+    """One-row host-graph summary: pair count, exact diameter, and the
+    interpolated effective diameter at q (graph.effective_diameter) —
+    the canonical small-world statistic of the crawl."""
+    from .graph import effective_diameter
+
+    g, _nodes = _distinct_host_edges(pages, num_partitions)
+    return effective_diameter(g, "src_host", "dst_host", q=q,
+                              num_partitions=num_partitions)

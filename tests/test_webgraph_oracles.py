@@ -368,3 +368,24 @@ def test_weighted_pagerank_unrolled_sql_matches_engine(ray_session,
     un = pagerank(edges, nodes, "src_host", "dst_host").to_pandas()
     un_b = dict(zip(un["node"], un["r"]))["b"]
     assert got["b"] > un_b
+
+
+def test_effective_diameter_planted(ray_session, cyclic_edges):
+    from gpml2pvjson_js_ray.pipelines.graph import effective_diameter
+    from gpml2pvjson_js_ray.pipelines.webgraph import (
+        host_edges_checkpoint_path, structural_oracle_sql_for_sf)
+
+    df, p = cyclic_edges
+    eng = effective_diameter(_edge_ds(df),
+                             "src_host", "dst_host").to_pandas()
+    sql = structural_oracle_sql_for_sf("/root/testdata/sf0.01")[
+        "kg_host_effective_diameter"].replace(
+            host_edges_checkpoint_path("/root/testdata/sf0.01"), p)
+    ora = duckdb.connect().execute(sql).fetchdf()
+    for c in ("n_pairs", "diameter", "effective_diameter"):
+        assert eng[c].iloc[0] == ora[c].iloc[0], (
+            c, eng[c].iloc[0], ora[c].iloc[0])
+    # multi-level distances here: diameter > 1 and the interpolated
+    # P90 sits strictly inside (0, diameter]
+    assert eng["diameter"].iloc[0] > 1
+    assert 0 < eng["effective_diameter"].iloc[0] <= eng["diameter"].iloc[0]
