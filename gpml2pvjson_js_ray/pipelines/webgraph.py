@@ -1,5 +1,9 @@
 """Web-graph operators over the pages corpus: outlink extraction, the
-host-level link graph, and host PageRank.
+host-level link graph, and the structural suite over it — PageRank
+(plain / weighted / personalized), HITS, SCC + condensation levels +
+Broder bow-tie, co-citation, link reciprocity, harmonic + closeness
+centrality (exact BFS and the HyperBall sketch), distance histogram /
+effective diameter, and anchor-text mention stats.
 
 The reference converts one GPML document at a time; a web-scale KG
 pipeline also needs the page-graph side — which hosts link to which
@@ -9,9 +13,12 @@ the raw html column (the same binary→str decode pattern as
 stages/extract.py); per-block partial counts mean the only exchange is
 the (src_host, dst_host)-keyed groupby — O(hosts²) rows, never
 O(pages), so at 10^12 pages the shuffle stays constant-size while the
-extraction scans stream. PageRank reuses the generic power-iteration
-core in pipelines/graph.py (co-partitioned join + groupby-sum per
-round) over the distinct host edges.
+extraction scans stream. The iterative algorithms reuse the generic
+cores in pipelines/graph.py (co-partitioned join + groupby fold per
+round) over the distinct host edges; every deterministic operator
+carries a first-principles DuckDB oracle over the host-edge checkpoint
+(closure SQL for reachability shapes, unrolled MATERIALIZED CTEs for
+the fixed-iteration power methods).
 """
 
 from __future__ import annotations
