@@ -1622,14 +1622,8 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
     ranks = base.map_batches(init_r, batch_format="pyarrow").materialize()
 
     def contrib_b(b: pa.Table) -> pa.Table:
-        if weight is not None:
-            # (r*w)/W, left-to-right — mirrored verbatim in the SQL
-            # oracle so the float64 op sequence is identical
-            c = pc.divide(pc.multiply(b.column("r"), b.column("w")),
-                          pc.cast(b.column("deg"), pa.float64()))
-        else:
-            c = pc.divide(b.column("r"),
-                          pc.cast(b.column("deg"), pa.float64()))
+        c = pc.divide(b.column("r"),
+                      pc.cast(b.column("deg"), pa.float64()))
         return pa.table({"node": b.column("dst"), "r": c})
 
     def zero_b(b: pa.Table) -> pa.Table:
