@@ -847,6 +847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-row small-world summary (exact + interpolated P90)
         "kg_host_effective_diameter":
             _webgraph_oracled_query("host_effective_diameter"),
+        # power-law probe: joint in/out degree distribution (zero rows
+        # included; integer-exact relational oracle)
+        "kg_host_degree_distribution":
+            _webgraph_oracled_query("host_degree_distribution"),
         # N-Triples RDF sink: sharded content-addressed export of the
         # deduped triples; returns the shard manifest (rows-only —
         # pytest validates grammar per line, count parity, idempotence)

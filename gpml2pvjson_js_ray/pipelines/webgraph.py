@@ -766,6 +766,21 @@ SELECT nodes.h AS host,
            AS closeness
 FROM nodes LEFT JOIN sp ON sp.b = nodes.h
 ORDER BY closeness DESC, host""",
+        # joint in/out degree distribution with zero-degree rows
+        "kg_host_degree_distribution": f"""
+WITH d AS MATERIALIZED ({d_body}),
+nodes AS (SELECT s AS h FROM d UNION SELECT t FROM d),
+outd AS (SELECT nodes.h, count(d.s) AS deg
+         FROM nodes LEFT JOIN d ON d.s = nodes.h GROUP BY nodes.h),
+ind AS (SELECT nodes.h, count(d.t) AS deg
+        FROM nodes LEFT JOIN d ON d.t = nodes.h GROUP BY nodes.h),
+dirs AS (
+  SELECT 'out' AS direction, deg FROM outd
+  UNION ALL
+  SELECT 'in', deg FROM ind)
+SELECT direction, CAST(deg AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_hosts
+FROM dirs GROUP BY direction, deg ORDER BY direction, degree""",
         # one-row diameter summary: the same histogram folded to
         # (n_pairs, diameter, interpolated effective diameter) — the
         # interpolation expression mirrors graph.effective_diameter's
@@ -968,3 +983,48 @@ def host_effective_diameter(pages, q: float = 0.9,
     g, _nodes = _distinct_host_edges(pages, num_partitions)
     return effective_diameter(g, "src_host", "dst_host", q=q,
                               num_partitions=num_partitions)
+
+
+def host_degree_distribution(pages, num_partitions: int = 4):
+    """Joint degree distribution of the host graph: one row per
+    (direction, degree) with the number of hosts at that degree —
+    direction 'in' or 'out', distinct edges, zero-degree hosts
+    included (a host with no outlinks appears at out-degree 0). The
+    power-law probe behind crawl-prioritization and spam heuristics;
+    pure-integer output, hash-exact SQL oracle."""
+    from ray.data.aggregate import Count
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+
+    def deg_of(col, label):
+        d = (g.map_batches(lambda b, c=col: pa.table(
+                {"h": b.column(c)}), batch_format="pyarrow")
+             .groupby("h").aggregate(Count(alias_name="deg"))
+             .map_batches(lambda b: pa.table({
+                 "rh": b.column("h"),
+                 "deg": b.column("deg").cast(pa.int64())}),
+                 batch_format="pyarrow")
+             .repartition(num_partitions).materialize())
+        full = nodes.join(d, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=("h",), right_on=("rh",))
+
+        def fill(b: pa.Table, _l=label) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "direction": pa.array([_l] * b.num_rows),
+                "degree": pc.fill_null(b.column("deg"), 0)
+                .cast(pa.int64())})
+        return full.map_batches(fill, batch_format="pyarrow")
+
+    both = deg_of("src_host", "out").union(deg_of("dst_host", "in"))
+    out = (both.groupby(["direction", "degree"])
+           .aggregate(Count(alias_name="n_hosts")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"direction": b.column("direction"),
+                         "degree": b.column("degree"),
+                         "n_hosts": b.column("n_hosts").cast(pa.int64())})
+
+    return (out.map_batches(fin, batch_format="pyarrow")
+            .sort(["direction", "degree"]))

@@ -389,3 +389,25 @@ def test_effective_diameter_planted(ray_session, cyclic_edges):
     # P90 sits strictly inside (0, diameter]
     assert eng["diameter"].iloc[0] > 1
     assert 0 < eng["effective_diameter"].iloc[0] <= eng["diameter"].iloc[0]
+
+
+def test_degree_distribution_planted(ray_session, cyclic_edges):
+    """The SQL oracle against hand-computed degree truth (the engine
+    side is pinned against the same SQL by the driver-gate test at
+    sf0.01)."""
+    from gpml2pvjson_js_ray.pipelines.webgraph import (
+        host_edges_checkpoint_path, structural_oracle_sql_for_sf)
+
+    df, p = cyclic_edges
+    sql = structural_oracle_sql_for_sf("/root/testdata/sf0.01")[
+        "kg_host_degree_distribution"].replace(
+            host_edges_checkpoint_path("/root/testdata/sf0.01"), p)
+    ora = duckdb.connect().execute(sql).fetchdf()
+    got = {(r.direction, r.degree): r.n_hosts
+           for r in ora.itertuples(index=False)}
+    # out-degrees: a1 b1 c2 d1 e2 s2, f g 0 → {0:2, 1:3, 2:3}
+    assert got[("out", 0)] == 2 and got[("out", 1)] == 3 \
+        and got[("out", 2)] == 3
+    # in-degrees: a2 b1 c1 d2 e1 f1 g1, s 0 → {0:1, 1:5, 2:2}
+    assert got[("in", 0)] == 1 and got[("in", 1)] == 5 \
+        and got[("in", 2)] == 2
