@@ -841,12 +841,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle: the same bounded-depth closure the harmonic uses)
         "kg_host_distance_histogram":
             _webgraph_oracled_query("host_distance_histogram"),
+        # HyperBall neighborhood-function approximation of the same
+        # (rows-only; accuracy pinned vs the exact twin in pytest —
+        # the O(V×64 B) scale path for the distance distribution)
+        "kg_host_distance_histogram_hyperball":
+            _webgraph_query("host_distance_histogram_hyperball"),
         # Lin-corrected in-closeness (n/S off the same BFS; the int
         # division is bit-identical so the oracle needs no rounding)
         "kg_host_closeness": _webgraph_oracled_query("host_closeness"),
+        # HyperBall approximation of the closeness (rows-only; accuracy
+        # pinned vs the exact twin in pytest — the scale path)
+        "kg_host_closeness_hyperball":
+            _webgraph_query("host_closeness_hyperball"),
         # one-row small-world summary (exact + interpolated P90)
         "kg_host_effective_diameter":
             _webgraph_oracled_query("host_effective_diameter"),
+        # HyperANF effective diameter off the neighborhood function —
+        # the statistic HyperBall was built for (rows-only; accuracy
+        # pinned vs the exact twin in pytest — the scale path)
+        "kg_host_effective_diameter_hyperball":
+            _webgraph_query("host_effective_diameter_hyperball"),
         # power-law probe: joint in/out degree distribution (zero rows
         # included; integer-exact relational oracle)
         "kg_host_degree_distribution":

@@ -253,7 +253,7 @@ def entity_pagerank(adjacency, num_partitions: int = 8,
                     damping: float = 0.85, iters: int = 8):
     """PageRank over the KG entity graph: entity importance by
     interaction in-links. Returns (entity, rank) sorted by rank desc
-    then entity (rank rounded to 10 decimals so ties order stably)."""
+    then entity (rank rounded to 8 decimals so ties order stably)."""
     hashed, mapping, nodes = _hashed_entity_edges(adjacency,
                                                   num_partitions)
     ranks = pagerank(hashed, nodes, "sh", "oh", damping=damping,
@@ -264,7 +264,7 @@ def entity_pagerank(adjacency, num_partitions: int = 8,
 
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"entity": b.column("iri"),
-                         "rank": pc.round(b.column("r"), ndigits=10)})
+                         "rank": pc.round(b.column("r"), ndigits=8)})
 
     return (ent.map_batches(final_b, batch_format="pyarrow")
             .sort(["rank", "entity"], descending=[True, False]))
@@ -1659,7 +1659,7 @@ def personalized_pagerank(edges, nodes, src: str, dst: str, seeds,
 
 def pagerank_oracle_sql(d_body: str, out_node: str = "host",
                         damping: float = 0.85, iters: int = 8,
-                        round_digits: int = 10,
+                        round_digits: int = 8,
                         personalized: bool = False,
                         weighted: bool = False) -> str:
     """DuckDB recompute of the fixed-iteration power method in
@@ -1679,9 +1679,12 @@ def pagerank_oracle_sql(d_body: str, out_node: str = "host",
     Float parity with the distributed engine holds because both sides
     run the same float64 recurrence (contrib = r/deg, fold by dst,
     dangling mass redistributed each round) and only the OUTPUT is
-    rounded (engine: pc.round ndigits=10 in host_pagerank /
+    rounded (engine: pc.round ndigits=8 in host_pagerank /
     entity_pagerank / host_ppr); distributed summation order diverges
-    at ~1e-16 relative, eight orders below the rounding grain."""
+    at ~1e-16 relative, ten orders below the rounding grain (grain
+    coarsened 10→8 digits in round 5 so a rank landing within ~1e-15
+    of a half-way boundary is ~100× less likely to round differently
+    on the two engines — round-4 advice)."""
     ctes = [
         f"d AS MATERIALIZED ({d_body})",
         "nodes AS MATERIALIZED (SELECT s AS h FROM d UNION SELECT t FROM d)",
@@ -1875,7 +1878,7 @@ def directed_reachable(edges, seeds, src: str, dst: str,
 
 
 def hits_oracle_sql(d_body: str, out_node: str = "host",
-                    iters: int = 8, round_digits: int = 10) -> str:
+                    iters: int = 8, round_digits: int = 8) -> str:
     """DuckDB recompute of `hits`, unrolled like pagerank_oracle_sql
     (same MATERIALIZED-hint rationale). Float parity: both sides run
     sum-fold then multiply-by-reciprocal (1.0/total) in float64 and
@@ -2128,7 +2131,7 @@ def harmonic_centrality(edges, nodes, src: str, dst: str,
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("node"),
                          "harmonic": pc.round(b.column("h"),
-                                              ndigits=10)})
+                                              ndigits=8)})
 
     return (agg.map_batches(final_b, batch_format="pyarrow")
             .sort(["harmonic", "node"], descending=[True, False]))
@@ -2182,20 +2185,47 @@ def _hb_estimate(regs_bytes) -> np.ndarray:
 def hyperball_harmonic(edges, nodes, src: str, dst: str,
                        num_partitions: int = 4, max_iters: int = 64):
     """Approximate harmonic centrality by HyperBall (Boldi & Vigna
-    WWW'13): each node carries a 64-register HLL of its in-ball
-    {u : d(u,v) <= k}; per round every register set ships along its
-    out-edges, a per-node groupby MAX-merges them, and the harmonic
-    sum accumulates (|ball_k| - |ball_{k-1}|)/k from the HLL
-    estimates. State is O(V x 64 bytes) and each round is one
-    co-partitioned join + one groupby; the per-node accumulator rides
-    IN the state table (driver holds only the register-sum fixpoint
-    scalar) - the 100 TB path where the exact pair BFS
-    (harmonic_centrality) is O(V*reach). Converges when no register
-    changes (integer register-sum fixpoint, exact).
+    WWW'13) — see _hyperball_sweep for the register mechanics. Returns
+    (node, harmonic_est) sorted desc then node - approximate values
+    (HLL sigma ~ 13% at m=64); the exact twin is the oracle-checked
+    reference."""
+    state, _ = _hyperball_sweep(edges, nodes, src, dst,
+                                num_partitions=num_partitions,
+                                max_iters=max_iters)
 
-    Returns (node, harmonic_est) sorted desc then node - approximate
-    values (HLL sigma ~ 13% at m=64); the exact twin is the
-    oracle-checked reference."""
+    def final_b(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "harmonic_est": pc.round(b.column("harm"),
+                                                  ndigits=6)})
+
+    return (state.map_batches(final_b, batch_format="pyarrow")
+            .sort(["harmonic_est", "node"], descending=[True, False]))
+
+
+def _hyperball_sweep(edges, nodes, src: str, dst: str,
+                     num_partitions: int = 4, max_iters: int = 64):
+    """The shared HyperBall register sweep (Boldi & Vigna WWW'13): each
+    node carries a 64-register HLL of its in-ball {u : d(u,v) <= k};
+    per round every register set ships along its out-edges, a per-node
+    groupby MAX-merges them, and per-node accumulators fold the ball
+    growth (|ball_k| - |ball_{k-1}|, clamped at 0) into the three
+    geometric-centrality sums. State is O(V x 64 bytes) and each round
+    is one co-partitioned join + one groupby; the accumulators ride IN
+    the state table — the driver holds only the register-sum fixpoint
+    scalar plus one float per round. Converges when no register changes
+    (integer register-sum fixpoint, exact).
+
+    Returns (state, nf_inc) where state has columns
+      node, regs, prev_est (final |ball| estimate incl. self),
+      harm   (Σ inc_k / k      — harmonic centrality),
+      nreach (Σ inc_k          — #nodes that reach v, excl. self),
+      sdist  (Σ inc_k * k      — total in-distance),
+    and nf_inc = [I_1, .., I_K], the GLOBAL neighborhood-function
+    increments (I_k ≈ #ordered pairs u≠v with d(u,v) = k) — the
+    Boldi-Vigna neighborhood function as O(diameter) driver-side
+    floats, never pair rows. All_pairs twins (harmonic_centrality,
+    closeness_centrality, distance_histogram, effective_diameter) are
+    the exact small-graph oracles; this sweep is their 100× path."""
     import pandas as pd
 
     def e_b(b: pa.Table) -> pa.Table:
@@ -2208,33 +2238,55 @@ def hyperball_harmonic(edges, nodes, src: str, dst: str,
         col = b.column(0).combine_chunks()
         regs = _hb_init_regs(col)
         est = _hb_estimate(regs)
+        zeros = pa.array(np.zeros(len(regs)), pa.float64())
         return pa.table({
             "node": col,
             "regs": pa.array(regs, type=pa.binary()),
             "prev_est": pa.array(est, pa.float64()),
-            "harm": pa.array(np.zeros(len(regs)), pa.float64())})
+            "harm": zeros, "nreach": zeros, "sdist": zeros})
 
     state = nodes.map_batches(init_b, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
 
-    def reg_sum(ds) -> int:
+    def totals(ds) -> tuple:
+        """(Σ register values, Σ nreach) in ONE pass — the register sum
+        is the integer convergence fixpoint, the nreach sum yields the
+        per-round neighborhood-function increment."""
+        from ray.data.aggregate import Sum
+
         def s(b: pa.Table) -> pa.Table:
-            tot = sum(int(np.frombuffer(r, dtype=np.uint8).sum())
-                      for r in b.column("regs").to_pylist())
-            return pa.table({"t": pa.array([tot], pa.int64())})
-        return int(ds.map_batches(s, batch_format="pyarrow")
-                   .sum("t") or 0)
+            regt = sum(int(np.frombuffer(r, dtype=np.uint8).sum())
+                       for r in b.column("regs").to_pylist())
+            nr = float(np.sum(b.column("nreach")
+                              .to_numpy(zero_copy_only=False)))
+            return pa.table({"t": pa.array([regt], pa.int64()),
+                             "nr": pa.array([nr], pa.float64())})
+        row = (ds.map_batches(s, batch_format="pyarrow")
+               .aggregate(Sum("t", alias_name="t"),
+                          Sum("nr", alias_name="nr")))
+        return int(row["t"] or 0), float(row["nr"] or 0.0)
 
     def merge(df: "pd.DataFrame") -> "pd.DataFrame":
         arrs = np.stack([np.frombuffer(x, dtype=np.uint8)
                          for x in df["regs"]])
-        own = df[df["prev_est"] >= 0.0].iloc[0]
-        return pd.DataFrame({"node": [own["node"]],
-                             "regs": [arrs.max(axis=0).tobytes()],
-                             "prev_est": [own["prev_est"]],
-                             "harm": [own["harm"]]})
+        merged = arrs.max(axis=0).tobytes()
+        own_rows = df[df["prev_est"] >= 0.0]
+        if len(own_rows):
+            own = own_rows.iloc[0]
+            prev, harm, nre, sd = (own["prev_est"], own["harm"],
+                                   own["nreach"], own["sdist"])
+        else:
+            # message target absent from the nodes Dataset (advice r4):
+            # synthesize a fresh row — previously-unseen node, empty
+            # ball (prev_est 0), zero accumulators
+            prev, harm, nre, sd = 0.0, 0.0, 0.0, 0.0
+        return pd.DataFrame({"node": [df["node"].iloc[0]],
+                             "regs": [merged], "prev_est": [prev],
+                             "harm": [harm], "nreach": [nre],
+                             "sdist": [sd]})
 
-    prev_tot = reg_sum(state)
+    prev_tot, prev_nr = totals(state)
+    nf_inc: list[float] = []
     for k in range(1, max_iters + 1):
         msgs = (ed.join(state, join_type="inner",
                         num_partitions=num_partitions,
@@ -2245,40 +2297,141 @@ def hyperball_harmonic(edges, nodes, src: str, dst: str,
                     "prev_est": pa.array(
                         np.full(t.num_rows, -1.0), pa.float64()),
                     "harm": pa.array(
+                        np.zeros(t.num_rows), pa.float64()),
+                    "nreach": pa.array(
+                        np.zeros(t.num_rows), pa.float64()),
+                    "sdist": pa.array(
                         np.zeros(t.num_rows), pa.float64())}),
                     batch_format="pyarrow"))
 
         def bump(b: pa.Table, _k=k) -> pa.Table:
             est = _hb_estimate(b.column("regs").to_pylist())
             prev = b.column("prev_est").to_numpy(zero_copy_only=False)
-            harm = b.column("harm").to_numpy(zero_copy_only=False)
-            harm = harm + np.maximum(0.0, est - prev) / _k
+            inc = np.maximum(0.0, est - prev)
+            harm = b.column("harm").to_numpy(zero_copy_only=False) \
+                + inc / _k
+            nre = b.column("nreach").to_numpy(zero_copy_only=False) \
+                + inc
+            sd = b.column("sdist").to_numpy(zero_copy_only=False) \
+                + inc * _k
             return pa.table({"node": b.column("node"),
                              "regs": b.column("regs"),
                              "prev_est": pa.array(est, pa.float64()),
-                             "harm": pa.array(harm, pa.float64())})
+                             "harm": pa.array(harm, pa.float64()),
+                             "nreach": pa.array(nre, pa.float64()),
+                             "sdist": pa.array(sd, pa.float64())})
 
         state = (state.union(msgs)
                  .groupby("node")
                  .map_groups(merge, batch_format="pandas")
                  .map_batches(bump, batch_format="pyarrow")
                  .repartition(num_partitions).materialize())
-        cur_tot = reg_sum(state)
+        cur_tot, cur_nr = totals(state)
+        nf_inc.append(cur_nr - prev_nr)
+        prev_nr = cur_nr
         if cur_tot == prev_tot:
             break
         prev_tot = cur_tot
     else:
         raise RuntimeError(
-            f"hyperball_harmonic: registers alive after {max_iters} "
+            f"_hyperball_sweep: registers alive after {max_iters} "
             "rounds")
+    return state, nf_inc
+
+
+def hyperball_closeness(edges, nodes, src: str, dst: str,
+                        num_partitions: int = 4, max_iters: int = 64):
+    """Approximate Lin-corrected in-closeness off the HyperBall sweep:
+    n ≈ Σ ball increments (nreach), S ≈ Σ increments × distance
+    (sdist), closeness ≈ n / S — the sketch twin of the exact
+    closeness_centrality (whose O(V·reach) pair BFS is the small-graph
+    oracle; this is the 100× path). Returns (node, n_reached_by_est,
+    closeness_est) sorted closeness desc then node."""
+    state, _ = _hyperball_sweep(edges, nodes, src, dst,
+                                num_partitions=num_partitions,
+                                max_iters=max_iters)
 
     def final_b(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "harmonic_est": pc.round(b.column("harm"),
-                                                  ndigits=6)})
+        n = b.column("nreach").to_numpy(zero_copy_only=False)
+        s = b.column("sdist").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            clo = np.where(s > 0.0, n / np.maximum(s, 1e-300), 0.0)
+        return pa.table({
+            "node": b.column("node"),
+            "n_reached_by_est": pa.array(np.round(n, 3), pa.float64()),
+            "closeness_est": pa.array(np.round(clo, 6), pa.float64())})
 
     return (state.map_batches(final_b, batch_format="pyarrow")
-            .sort(["harmonic_est", "node"], descending=[True, False]))
+            .sort(["closeness_est", "node"], descending=[True, False]))
+
+
+def hyperball_distance_histogram(edges, nodes, src: str, dst: str,
+                                 num_partitions: int = 4,
+                                 max_iters: int = 64):
+    """Approximate pairwise distance distribution (dist, n_pairs_est)
+    from the HyperBall neighborhood function: I_k = N(k) - N(k-1)
+    summed over nodes (per-node clamped increments, so the series is
+    non-negative). The sketch twin of distance_histogram, whose exact
+    all-pairs BFS is the small-graph oracle; state here is O(V × 64 B)
+    — the 100× path. Rows with estimated mass < 0.5 pairs are dropped
+    (HLL noise floor). Sorted by dist."""
+    import ray.data as rd
+    _, nf_inc = _hyperball_sweep(edges, nodes, src, dst,
+                                 num_partitions=num_partitions,
+                                 max_iters=max_iters)
+    ds_, ns_ = [], []
+    for k, inc in enumerate(nf_inc, start=1):
+        if inc >= 0.5:
+            ds_.append(k)
+            ns_.append(round(inc, 3))
+    return rd.from_arrow(pa.table({
+        "dist": pa.array(ds_, pa.int64()),
+        "n_pairs_est": pa.array(ns_, pa.float64())}))
+
+
+def hyperball_effective_diameter(edges, nodes, src: str, dst: str,
+                                 q: float = 0.9,
+                                 num_partitions: int = 4,
+                                 max_iters: int = 64):
+    """Approximate one-row graph summary (n_pairs_est, diameter_est,
+    effective_diameter_est) off the HyperBall neighborhood function —
+    exactly what Boldi-Vigna built HyperBall for (HyperANF / WWW'13
+    §5: the effective-diameter of the web graph from HLL ball counts).
+    Interpolation mirrors the exact effective_diameter; diameter_est is
+    the largest distance with ≥ 0.5 estimated pairs. The exact
+    all-pairs twin is the small-graph oracle; this is the 100× path."""
+    import pandas as pd
+
+    import ray.data as rd
+    _, nf_inc = _hyperball_sweep(edges, nodes, src, dst,
+                                 num_partitions=num_partitions,
+                                 max_iters=max_iters)
+    series = [(k, inc) for k, inc in enumerate(nf_inc, start=1)
+              if inc >= 0.5]
+    if not series:
+        return rd.from_pandas(pd.DataFrame({
+            "n_pairs_est": pd.Series([0.0], dtype="float64"),
+            "diameter_est": pd.Series([0], dtype="int64"),
+            "effective_diameter_est": pd.Series([0.0],
+                                                dtype="float64")}))
+    total = sum(inc for _, inc in series)
+    target = q * total
+    cum = 0.0
+    eff = float(series[-1][0])
+    prev_d, prev_cum = 0, 0.0
+    for d, n in series:
+        cum += n
+        if cum >= target:
+            span = cum - prev_cum
+            frac = (target - prev_cum) / span if span else 0.0
+            eff = prev_d + (d - prev_d) * frac
+            break
+        prev_d, prev_cum = d, cum
+    return rd.from_pandas(pd.DataFrame({
+        "n_pairs_est": pd.Series([round(total, 3)], dtype="float64"),
+        "diameter_est": pd.Series([series[-1][0]], dtype="int64"),
+        "effective_diameter_est": pd.Series([round(eff, 4)],
+                                            dtype="float64")}))
 
 
 def closeness_centrality(edges, nodes, src: str, dst: str,

@@ -273,6 +273,103 @@ JACCARD_THRESHOLD = 0.5
 # the fully-shuffled union+groupby join
 _BROADCAST_TEXT_CAP = 200_000
 
+
+def _pair_collect_cap() -> int:
+    """Max candidate-pair rows the near-dup verifiers may collect on the
+    driver (for the semi-join id broadcast). Above it the verify
+    switches AUTOMATICALLY to the fully distributed union+groupby join
+    (_distributed_shingle_verify) — an enforced size guard, not a code
+    comment (round-4 advice). Env-overridable so the adversarial-volume
+    pytest can force the fallback without a giant corpus."""
+    return int(os.environ.get("GRAFT_PAIR_COLLECT_CAP", "500000"))
+
+
+def _distributed_shingle_verify(candidate_pairs, docs, threshold: float,
+                                round_mult: float, round_inv: float):
+    """Exact shingle-Jaccard verify of a candidate-pair Dataset with
+    ZERO driver materialization — the adversarial-volume path shared by
+    documents_minhash_dups and documents_setsim_join:
+
+      1. pairs explode into (doc_id, doc_a, doc_b) side rows;
+      2. union + groupby(doc_id) attaches each side row to its doc text
+         (the canonical Ray-Data repartition join — docs may be the
+         full corpus; unmatched doc rows vanish in the group fold);
+      3. groupby(doc_a, doc_b) brings both sides of a pair together and
+         computes exact shingle Jaccard inside the group (duplicate
+         candidates from multiple colliding bands collapse here free).
+
+    Rounding is floor(j*mult + 0.5)*inv — the half-away formula both
+    DuckDB oracles reproduce. Returns (doc_a, doc_b, jaccard)."""
+    import math
+
+    import pandas as pd
+
+    JOIN_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("text", pa.string())])
+
+    def explode_sides(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a")
+        bb = b.column("doc_b")
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
+             pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
+             pa.concat_arrays([bb.combine_chunks(), bb.combine_chunks()]),
+             pa.array([""] * (2 * b.num_rows), type=pa.string())],
+            schema=JOIN_SCHEMA)
+
+    def docs_as_join_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        minus = pa.array([-1] * n, type=pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id").cast(pa.int64()).combine_chunks(),
+             minus, minus,
+             b.column("text").cast(pa.string()).combine_chunks()],
+            schema=JOIN_SCHEMA)
+
+    sides = candidate_pairs.map_batches(explode_sides,
+                                        batch_format="pyarrow")
+    doc_rows = docs.map_batches(docs_as_join_rows, batch_format="pyarrow")
+
+    def attach_text(df: "pd.DataFrame") -> "pd.DataFrame":
+        side_rows = df[df["doc_a"] >= 0]
+        if side_rows.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "text": pd.Series([], dtype="object")})
+        texts = df[df["doc_a"] < 0].set_index("doc_id")["text"]
+        out = side_rows[["doc_a", "doc_b", "doc_id"]].copy()
+        out["text"] = side_rows["doc_id"].map(texts).fillna("")
+        return out
+
+    joined = (sides.union(doc_rows).groupby("doc_id")
+              .map_groups(attach_text, batch_format="pandas"))
+
+    def verify_pair(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=False):
+            ta = g[g["doc_id"] == a]["text"]
+            tb = g[g["doc_id"] == b]["text"]
+            sa = _shingles(ta.iloc[0] if len(ta) else "")
+            sb = _shingles(tb.iloc[0] if len(tb) else "")
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= threshold:
+                # half-away via the explicit floor formula (SQL round();
+                # Python round() is half-to-even)
+                rows.append((int(a), int(b),
+                             math.floor(j * round_mult + 0.5) * round_inv))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
+            if rows else pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")})
+
+    return joined.groupby(["doc_a", "doc_b"]).map_groups(
+        verify_pair, batch_format="pandas")
+
 _rng = np.random.RandomState(12345)
 _PERM_A = _rng.randint(1, 2**63 - 1, size=N_PERM).astype(np.uint64) | np.uint64(1)
 _PERM_B = _rng.randint(0, 2**63 - 1, size=N_PERM).astype(np.uint64)
@@ -438,12 +535,24 @@ def documents_minhash_dups(sf_dir: str):
                        .map_groups(pairs, batch_format="pandas")
                        .materialize())
 
-    # ---- semi-join: the candidate PAIR set is tiny by construction, so
-    # its distinct doc_ids fit on the driver; broadcast them once and
-    # filter docs before the text join. (At extreme pair counts this
-    # collect would instead stay a Dataset and the filter become a
-    # broadcast bloom/hash of the id column — the partitioning is
-    # unchanged.)
+    # ---- size guard (round-4 advice): the candidate PAIR set is tiny
+    # by construction, but the driver collect below is gated on its
+    # COUNTED size, not an assumption — above the cap the verify runs
+    # fully distributed (pairs deduped by groupby, full-corpus text
+    # join), nothing dataset-sized ever on the driver.
+    if candidate_pairs.count() > _pair_collect_cap():
+        from ray.data.aggregate import Count as _Count
+        uniq_pairs = (candidate_pairs.groupby(["doc_a", "doc_b"])
+                      .aggregate(_Count(alias_name="_n"))
+                      .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                                   batch_format="pyarrow"))
+        return _distributed_shingle_verify(uniq_pairs, docs,
+                                           JACCARD_THRESHOLD,
+                                           10000.0, 0.0001)
+
+    # ---- semi-join: distinct doc_ids of the (small) pair set fit on
+    # the driver; broadcast them once and filter docs before the text
+    # join.
     id_tbl = candidate_pairs.to_pandas()
     if len(id_tbl) == 0:
         return rd.from_arrow(pa.Table.from_pydict({
@@ -512,72 +621,15 @@ def documents_minhash_dups(sf_dir: str):
         return pair_ds.map_batches(verify_broadcast,
                                    batch_format="pyarrow")
 
-    # ---- distributed text join: explode pair sides, union with docs,
-    # group by doc_id (side rows have text="", the doc row carries it)
-    JOIN_SCHEMA = pa.schema([("doc_id", pa.int64()),
-                             ("doc_a", pa.int64()),
-                             ("doc_b", pa.int64()),
-                             ("text", pa.string())])
-
-    def explode_sides(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a")
-        bb = b.column("doc_b")
-        return pa.Table.from_arrays(
-            [pa.concat_arrays([a.combine_chunks(), bb.combine_chunks()]),
-             pa.concat_arrays([a.combine_chunks(), a.combine_chunks()]),
-             pa.concat_arrays([bb.combine_chunks(), bb.combine_chunks()]),
-             pa.array([""] * (2 * b.num_rows), type=pa.string())],
-            schema=JOIN_SCHEMA)
-
-    def docs_as_join_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        minus = pa.array([-1] * n, type=pa.int64())
-        return pa.Table.from_arrays(
-            [b.column("doc_id").cast(pa.int64()).combine_chunks(),
-             minus, minus,
-             b.column("text").cast(pa.string()).combine_chunks()],
-            schema=JOIN_SCHEMA)
-
-    sides = candidate_pairs.map_batches(explode_sides,
-                                        batch_format="pyarrow")
-    doc_rows = docs.map_batches(docs_as_join_rows, batch_format="pyarrow")
-
-    def attach_text(df: "pd.DataFrame") -> "pd.DataFrame":
-        side_rows = df[df["doc_a"] >= 0]
-        if side_rows.empty:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "doc_id": pd.Series([], dtype="int64"),
-                                 "text": pd.Series([], dtype="object")})
-        texts = df[df["doc_a"] < 0].set_index("doc_id")["text"]
-        out = side_rows[["doc_a", "doc_b", "doc_id"]].copy()
-        out["text"] = side_rows["doc_id"].map(texts).fillna("")
-        return out
-
-    joined = (sides.union(doc_rows).groupby("doc_id")
-              .map_groups(attach_text, batch_format="pandas"))
-
-    def verify_pair(df: "pd.DataFrame") -> "pd.DataFrame":
-        rows = []
-        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=False):
-            ta = g[g["doc_id"] == a]["text"]
-            tb = g[g["doc_id"] == b]["text"]
-            sa = _shingles(ta.iloc[0] if len(ta) else "")
-            sb = _shingles(tb.iloc[0] if len(tb) else "")
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
-            if j >= JACCARD_THRESHOLD:
-                # same half-away floor formula as the broadcast path
-                rows.append((int(a), int(b),
-                             math.floor(j * 10000.0 + 0.5) * 0.0001))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]) \
-            if rows else pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")})
-
-    return joined.groupby(["doc_a", "doc_b"]).map_groups(
-        verify_pair, batch_format="pandas")
+    # ---- candidate texts too large to broadcast: distributed text
+    # join over the (already semi-join-filtered) docs
+    uniq = id_tbl.drop_duplicates(["doc_a", "doc_b"])
+    pair_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(uniq["doc_a"].to_numpy(), pa.int64()),
+        "doc_b": pa.array(uniq["doc_b"].to_numpy(), pa.int64())}))
+    return _distributed_shingle_verify(pair_ds, docs,
+                                       JACCARD_THRESHOLD,
+                                       10000.0, 0.0001)
 
 
 # -- n-gram Jaccard (blocked exact) -----------------------------------------
@@ -1465,7 +1517,20 @@ def documents_setsim_join(sf_dir: str, threshold: float = 0.3,
     cand = (ranked.groupby("doc_id")
             .map_groups(prefix, batch_format="pandas")
             .groupby("sh")
-            .map_groups(pairs, batch_format="pandas"))
+            .map_groups(pairs, batch_format="pandas")
+            .materialize())
+
+    # ---- size guard (round-4 advice): above the cap the verify runs
+    # fully distributed — pairs deduped by groupby, full-corpus text
+    # join — instead of the driver collect below
+    if cand.count() > _pair_collect_cap():
+        uniq_pairs = (cand.groupby(["doc_a", "doc_b"])
+                      .aggregate(Count(alias_name="_n"))
+                      .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                                   batch_format="pyarrow"))
+        return (_distributed_shingle_verify(uniq_pairs, docs, threshold,
+                                            1e6, 1e-6)
+                .sort(["doc_a", "doc_b"]))
 
     # ---- exact verify over the (small) candidate set -----------------
     ptbl = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
@@ -1658,11 +1723,22 @@ SKETCH_VERSION = 1
 
 
 def sketch_checkpoint_path(name: str, sf_dir: str) -> str:
-    """Deterministic sketch-parquet path — pure string arithmetic so
-    oracle_sql() can embed it without running anything."""
+    """Deterministic sketch-parquet path — string arithmetic plus one
+    stat() so oracle_sql() can embed it without running anything. The
+    input corpus's BYTE SIZE is part of the name (like
+    webgraph.host_edges_checkpoint_path's n/SEED/GEN_VERSION encoding):
+    a regenerated documents.parquet auto-invalidates every sketch
+    checkpoint instead of silently feeding the oracle signatures of the
+    old corpus (round-4 advice)."""
     sf = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_SKETCH_CKPT_ROOT,
-                        f"{name}_{sf}_v{SKETCH_VERSION}.parquet")
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir,
+                                              "documents.parquet"))
+    except OSError:
+        nbytes = 0
+    return os.path.join(
+        _SKETCH_CKPT_ROOT,
+        f"{name}_{sf}_b{nbytes}_v{SKETCH_VERSION}.parquet")
 
 
 def _checkpoint_sorted(ds, sort_cols, path: str):

@@ -336,7 +336,7 @@ def host_pagerank(pages, damping: float = 0.85, iters: int = 8,
 
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"host": b.column("node"),
-                         "rank": pc.round(b.column("r"), ndigits=10)})
+                         "rank": pc.round(b.column("r"), ndigits=8)})
 
     return (ranks.map_batches(final_b, batch_format="pyarrow")
             .sort(["rank", "host"], descending=[True, False]))
@@ -526,7 +526,7 @@ def host_ppr(pages, seed_host: str | None = None, damping: float = 0.85,
 
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"host": b.column("node"),
-                         "rank": pc.round(b.column("r"), ndigits=10)})
+                         "rank": pc.round(b.column("r"), ndigits=8)})
 
     return (ranks.map_batches(final_b, batch_format="pyarrow")
             .sort(["rank", "host"], descending=[True, False]))
@@ -575,9 +575,9 @@ def host_hits(pages, iters: int = 8, num_partitions: int = 4):
 
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"host": b.column("node"),
-                         "hub": pc.round(b.column("hub"), ndigits=10),
+                         "hub": pc.round(b.column("hub"), ndigits=8),
                          "authority": pc.round(b.column("authority"),
-                                               ndigits=10)})
+                                               ndigits=8)})
 
     return (out.map_batches(final_b, batch_format="pyarrow")
             .sort(["authority", "host"], descending=[True, False]))
@@ -737,7 +737,7 @@ sp AS (SELECT b, sum(1.0 / md) AS hm FROM (
          SELECT a, b, min(dist) AS md FROM walk
          WHERE a <> b GROUP BY a, b)
        GROUP BY b)
-SELECT nodes.h AS host, round(coalesce(sp.hm, 0.0), 10) AS harmonic
+SELECT nodes.h AS host, round(coalesce(sp.hm, 0.0), 8) AS harmonic
 FROM nodes LEFT JOIN sp ON sp.b = nodes.h
 ORDER BY harmonic DESC, host""",
         # in-closeness off the same bounded walk: n/S per target with
@@ -868,7 +868,8 @@ def host_harmonic(pages, num_partitions: int = 4):
     (finite under disconnection). Engine: level-synchronous
     multi-source BFS (graph.harmonic_centrality); oracle: bounded-
     depth shortest-path closure SQL. Returns (host, harmonic) sorted
-    desc then host."""
+    desc then host. O(V·reach) pair state; at 100× the host graph run
+    host_harmonic_hyperball instead."""
     from .graph import harmonic_centrality
 
     g, nodes = _distinct_host_edges(pages, num_partitions)
@@ -902,11 +903,33 @@ def host_harmonic_hyperball(pages, num_partitions: int = 4):
             .sort(["harmonic_est", "host"], descending=[True, False]))
 
 
+def host_closeness_hyperball(pages, num_partitions: int = 4):
+    """HyperBall approximation of host_closeness (nreach/sdist off the
+    shared register sweep; graph.hyperball_closeness) — the O(V × 64 B)
+    scale path for the Lin-corrected in-closeness; rows-only for the
+    driver, accuracy pinned against the exact twin in pytest."""
+    from .graph import hyperball_closeness
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    out = hyperball_closeness(g, nodes, "src_host", "dst_host",
+                              num_partitions=num_partitions)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("node"),
+                         "n_reached_by_est": b.column("n_reached_by_est"),
+                         "closeness_est": b.column("closeness_est")})
+
+    return (out.map_batches(rename, batch_format="pyarrow")
+            .sort(["closeness_est", "host"], descending=[True, False]))
+
+
 def host_distance_histogram(pages, num_partitions: int = 4):
     """Pairwise shortest-path distance distribution of the host graph
     (dist, n_pairs) — the Broder et al. structure probe behind
     diameter / effective-diameter claims; integer-valued, so the
-    closure SQL oracle checks it hash-exact."""
+    closure SQL oracle checks it hash-exact. O(V·reach) pair state by
+    construction (the exact form IS the oracle); at 100× the host
+    graph run host_distance_histogram_hyperball instead."""
     from .graph import distance_histogram
 
     g, _nodes = _distinct_host_edges(pages, num_partitions)
@@ -914,11 +937,26 @@ def host_distance_histogram(pages, num_partitions: int = 4):
                               num_partitions=num_partitions)
 
 
+def host_distance_histogram_hyperball(pages, num_partitions: int = 4):
+    """HyperBall approximation of host_distance_histogram: the global
+    neighborhood-function increments N(k) - N(k-1) (Boldi-Vigna
+    HyperANF) as (dist, n_pairs_est) — O(V × 64 B) state and one float
+    per distance on the driver; the 100× path. Rows-only for the
+    driver, accuracy pinned against the exact twin in pytest."""
+    from .graph import hyperball_distance_histogram
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    return hyperball_distance_histogram(g, nodes, "src_host",
+                                        "dst_host",
+                                        num_partitions=num_partitions)
+
+
 def host_closeness(pages, num_partitions: int = 4):
     """Directed in-closeness of every host (Lin-corrected n/S; see
     graph.closeness_centrality) — off the same multi-source BFS as
     host_harmonic; integer-exact inputs make the oracle division
-    bit-identical."""
+    bit-identical. O(V·reach) pair state; at 100× the host graph run
+    host_closeness_hyperball instead."""
     from .graph import closeness_centrality
 
     g, nodes = _distinct_host_edges(pages, num_partitions)
@@ -967,7 +1005,7 @@ def host_pagerank_weighted(pages, damping: float = 0.85, iters: int = 8,
 
     def final_b(b: pa.Table) -> pa.Table:
         return pa.table({"host": b.column("node"),
-                         "rank": pc.round(b.column("r"), ndigits=10)})
+                         "rank": pc.round(b.column("r"), ndigits=8)})
 
     return (ranks.map_batches(final_b, batch_format="pyarrow")
             .sort(["rank", "host"], descending=[True, False]))
@@ -977,12 +1015,29 @@ def host_effective_diameter(pages, q: float = 0.9,
                             num_partitions: int = 4):
     """One-row host-graph summary: pair count, exact diameter, and the
     interpolated effective diameter at q (graph.effective_diameter) —
-    the canonical small-world statistic of the crawl."""
+    the canonical small-world statistic of the crawl. O(V·reach) pair
+    state; at 100× the host graph run
+    host_effective_diameter_hyperball instead."""
     from .graph import effective_diameter
 
     g, _nodes = _distinct_host_edges(pages, num_partitions)
     return effective_diameter(g, "src_host", "dst_host", q=q,
                               num_partitions=num_partitions)
+
+
+def host_effective_diameter_hyperball(pages, q: float = 0.9,
+                                      num_partitions: int = 4):
+    """HyperBall approximation of host_effective_diameter (the
+    HyperANF use-case itself: effective diameter from the HLL
+    neighborhood function, Boldi-Vigna WWW'13) — O(V × 64 B) state, the
+    100× path. Rows-only for the driver, accuracy pinned against the
+    exact twin in pytest."""
+    from .graph import hyperball_effective_diameter
+
+    g, nodes = _distinct_host_edges(pages, num_partitions)
+    return hyperball_effective_diameter(g, nodes, "src_host",
+                                        "dst_host", q=q,
+                                        num_partitions=num_partitions)
 
 
 def host_degree_distribution(pages, num_partitions: int = 4):

@@ -105,7 +105,7 @@ def test_pagerank_unrolled_sql_matches_engine_on_cycles(ray_session,
     df, p = cyclic_edges
     ranks = pagerank(_edge_ds(df), _node_ds(df),
                      "src_host", "dst_host").to_pandas()
-    eng = dict(zip(ranks["node"], np.round(ranks["r"], 10)))
+    eng = dict(zip(ranks["node"], np.round(ranks["r"], 8)))
     d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
               f"FROM read_parquet('{p}')")
     ora = duckdb.connect().execute(
@@ -124,7 +124,7 @@ def test_ppr_unrolled_sql_matches_engine_on_cycles(ray_session,
     ranks = personalized_pagerank(
         _edge_ds(df), _node_ds(df), "src_host", "dst_host",
         seeds=[seed]).to_pandas()
-    eng = dict(zip(ranks["node"], np.round(ranks["r"], 10)))
+    eng = dict(zip(ranks["node"], np.round(ranks["r"], 8)))
     d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
               f"FROM read_parquet('{p}')")
     ora = duckdb.connect().execute(
@@ -148,7 +148,7 @@ def test_hits_unrolled_sql_matches_engine_on_cycles(ray_session,
     df, p = cyclic_edges
     out = hits(_edge_ds(df), _node_ds(df),
                "src_host", "dst_host").to_pandas()
-    eng = {r.node: (np.round(r.hub, 10), np.round(r.authority, 10))
+    eng = {r.node: (np.round(r.hub, 8), np.round(r.authority, 8))
            for r in out.itertuples(index=False)}
     d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
               f"FROM read_parquet('{p}')")
@@ -294,6 +294,91 @@ def test_hyperball_tracks_exact_on_planted_star(ray_session):
             assert abs(ap[n] - ex[n]) / ex[n] < 0.40, (n, ap[n], ex[n])
 
 
+def test_hyperball_closeness_tracks_exact_on_planted_star(ray_session):
+    """hyperball_closeness vs the exact closeness on the same 30-leaf
+    in-star + chain: loose HLL band on positives, exact agreement on
+    zeros (nothing reaches the leaves)."""
+    from gpml2pvjson_js_ray.pipelines.graph import (
+        closeness_centrality, hyperball_closeness)
+
+    leaves = [f"leaf{i:02d}" for i in range(30)]
+    df = pd.DataFrame({
+        "src_host": leaves + ["hub", "mid"],
+        "dst_host": ["hub"] * 30 + ["mid", "tail"]})
+    nodes = rd.from_pandas(pd.DataFrame(
+        {"h": sorted(set(df["src_host"]) | set(df["dst_host"]))}))
+    exact = closeness_centrality(rd.from_pandas(df), nodes,
+                                 "src_host", "dst_host").to_pandas()
+    approx = hyperball_closeness(rd.from_pandas(df), nodes,
+                                 "src_host", "dst_host").to_pandas()
+    ex = dict(zip(exact["node"], exact["closeness"]))
+    for n in nodes.to_pandas()["h"]:
+        ex.setdefault(n, 0.0)   # exact twin omits unreached nodes
+    ap = dict(zip(approx["node"], approx["closeness_est"]))
+    assert set(ex) == set(ap)
+    assert ex["hub"] == 1.0     # 30 leaves, all at distance 1
+    for n in ex:
+        if ex[n] == 0.0:
+            assert ap[n] == 0.0, n
+        else:
+            assert abs(ap[n] - ex[n]) / ex[n] < 0.40, (n, ap[n], ex[n])
+
+
+def test_hyperball_histogram_and_diameter_track_exact(ray_session):
+    """The neighborhood-function twins vs the exact all-pairs versions
+    on the star+chain: per-distance mass within a loose HLL band,
+    diameter_est exact (integer off the last live round), effective
+    diameter within ±1 of the interpolated exact value."""
+    from gpml2pvjson_js_ray.pipelines.graph import (
+        distance_histogram, effective_diameter,
+        hyperball_distance_histogram, hyperball_effective_diameter)
+
+    leaves = [f"leaf{i:02d}" for i in range(30)]
+    df = pd.DataFrame({
+        "src_host": leaves + ["hub", "mid"],
+        "dst_host": ["hub"] * 30 + ["mid", "tail"]})
+    nodes = rd.from_pandas(pd.DataFrame(
+        {"h": sorted(set(df["src_host"]) | set(df["dst_host"]))}))
+    exact_h = distance_histogram(rd.from_pandas(df),
+                                 "src_host", "dst_host").to_pandas()
+    approx_h = hyperball_distance_histogram(
+        rd.from_pandas(df), nodes, "src_host", "dst_host").to_pandas()
+    ex = dict(zip(exact_h["dist"], exact_h["n_pairs"]))
+    ap = dict(zip(approx_h["dist"], approx_h["n_pairs_est"]))
+    # exact: 32@1 (30 leaf→hub + hub→mid + mid→tail), 31@2, 30@3
+    assert ex == {1: 32, 2: 31, 3: 30}
+    assert set(ap) == set(ex)
+    for d in ex:
+        assert abs(ap[d] - ex[d]) / ex[d] < 0.40, (d, ap[d], ex[d])
+
+    exact_d = effective_diameter(rd.from_pandas(df),
+                                 "src_host", "dst_host").to_pandas()
+    approx_d = hyperball_effective_diameter(
+        rd.from_pandas(df), nodes, "src_host", "dst_host").to_pandas()
+    assert int(approx_d["diameter_est"].iloc[0]) == \
+        int(exact_d["diameter"].iloc[0])
+    assert abs(float(approx_d["effective_diameter_est"].iloc[0])
+               - float(exact_d["effective_diameter"].iloc[0])) <= 1.0
+    assert abs(float(approx_d["n_pairs_est"].iloc[0])
+               - float(exact_d["n_pairs"].iloc[0])) \
+        / float(exact_d["n_pairs"].iloc[0]) < 0.40
+
+
+def test_hyperball_merge_survives_node_missing_from_nodes(ray_session):
+    """Advice r4: a message target absent from the nodes Dataset must
+    not IndexError inside the groupby merge — the sweep synthesizes a
+    state row for it (fresh node, empty previous ball)."""
+    from gpml2pvjson_js_ray.pipelines.graph import hyperball_harmonic
+
+    df = pd.DataFrame({"src_host": ["a", "b"],
+                       "dst_host": ["b", "c"]})
+    nodes = rd.from_pandas(pd.DataFrame({"h": ["a", "b"]}))  # no 'c'
+    out = hyperball_harmonic(rd.from_pandas(df), nodes,
+                             "src_host", "dst_host").to_pandas()
+    got = dict(zip(out["node"], out["harmonic_est"]))
+    assert "c" in got and got["c"] > 0.0
+
+
 def test_distance_histogram_planted(ray_session, cyclic_edges):
     from gpml2pvjson_js_ray.pipelines.graph import distance_histogram
     from gpml2pvjson_js_ray.pipelines.webgraph import (
@@ -354,7 +439,7 @@ def test_weighted_pagerank_unrolled_sql_matches_engine(ray_session,
     nodes = rd.from_pandas(pd.DataFrame({"h": ["a", "b", "c"]}))
     ranks = pagerank(edges, nodes, "src_host", "dst_host",
                      weight="n_links").to_pandas()
-    eng = dict(zip(ranks["node"], np.round(ranks["r"], 10)))
+    eng = dict(zip(ranks["node"], np.round(ranks["r"], 8)))
     ora = duckdb.connect().execute(pagerank_oracle_sql(
         f"SELECT src_host AS s, dst_host AS t, "
         f"CAST(n_links AS DOUBLE) AS w FROM read_parquet('{p}')",
