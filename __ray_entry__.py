@@ -78,10 +78,15 @@ def _kg_query(fn_name):
 def _ensure_kg_ckpt(sf_dir: str) -> str:
     """Run the resumable KG pipeline (manifest-cached: a no-op when the
     checkpoint already exists) and return its output root — the
-    kg_* oracle SQL reads the phase-1 triples parquet under it."""
+    kg_* oracle SQL reads the phase-1 triples parquet under it. Also
+    exports the xref dictionary parquet (idempotent) that the
+    kg_linked_triples oracle's first-principles linking recompute
+    left-joins against."""
     import os
 
     from gpml2pvjson_js_ray.pipelines import kg
+    from gpml2pvjson_js_ray.sources.xrefs import export_xref_dict_parquet
+    export_xref_dict_parquet()
     path = kg.pages_path_for_sf(sf_dir)
     out = kg.kg_checkpoint_dir_for_sf(sf_dir)
     kg.run_kg_pipeline(path, out)
@@ -311,6 +316,7 @@ def _kg_jsonld(sf_dir: str):
     from gpml2pvjson_js_ray.pipelines import kg
     from gpml2pvjson_js_ray.stages.exchange import polars_capped
 
+    _ensure_kg_ckpt(sf_dir)     # the oracle recounts the docs parquet
     path = kg.pages_path_for_sf(sf_dir)
     docs = kg.docs_dataset(kg.read_pages(path))
 
@@ -669,6 +675,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_bpe_pair_stats":
             _lexical_query("documents_bpe_pair_stats"),
         "documents_bpe_train": _lexical_query("documents_bpe_train"),
+        # the distributed stage of BPE training alone (word-count
+        # reduction) — first-principles SQL oracle; the sequential
+        # merge chain stays rows-only above
+        "documents_bpe_word_counts":
+            _lexical_query("documents_bpe_word_counts"),
         "embeddings_knn_graph": _lexical_query("embeddings_knn_graph"),
         # text analysis / dedup sketches over documents
         "documents_langid": textops.documents_langid,
@@ -739,13 +750,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_common_parts_affinity":
             _join_query("customers_common_parts_affinity"),
         "documents_rag_chunks": _mlprep_query("documents_rag_chunks"),
-        # multimodal plumbing (capability-gated decode kernels; rows-only)
+        # multimodal plumbing (capability-gated decode kernels). The
+        # features/resize entries return the all-scalar sha256
+        # PROJECTION under the checkpoint-identity determinism gate
+        # (the raw payload/vector stages stay the library surface,
+        # exercised by media_frame_features and pytest)
         "media_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
-            fromlist=["media_features"]).media_features(64),
+            fromlist=["media_features_oracled"])
+            .media_features_oracled(64),
         "media_resize": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
-            fromlist=["media_resize"]).media_resize(64),
+            fromlist=["media_resize_oracled"]).media_resize_oracled(64),
         "media_frames": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_frames"]).media_frames(64),
@@ -767,6 +783,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_phash_dups"]).media_phash_dups(48),
         "media_video_dups": lambda sf_dir: __import__(
+            "gpml2pvjson_js_ray.stages.multimodal",
+            fromlist=["media_video_dups_oracled"])
+            .media_video_dups_oracled(24),
+        "media_video_dups_banded": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_video_dups"]).media_video_dups(24),
         "media_audio_dups_banded": lambda sf_dir: __import__(
@@ -793,7 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_counts": _kg_predicate_counts,
         "kg_predicate_edges": _kg_predicate_edges,
         "kg_jsonld_stats": _kg_jsonld,
-        "kg_quarantine_report": _kg_query("quarantine_report"),
+        "kg_quarantine_report": _kg_oracled_query("quarantine_report"),
         "kg_entities": _kg_pipeline_output("entities"),
         "kg_text_invariant": _kg_text_invariant,
         # host-level web graph over the raw html column (outlink
@@ -1074,6 +1094,8 @@ def oracle_sql() -> dict[str, str]:
             lexical.SQL_DOCUMENTS_ENTITY_MENTIONS,
         "documents_search_and": lexical.SQL_DOCUMENTS_SEARCH_AND,
         "documents_bpe_pair_stats": lexical.SQL_DOCUMENTS_BPE_PAIR_STATS,
+        "documents_bpe_word_counts":
+            lexical.SQL_DOCUMENTS_BPE_WORD_COUNTS,
         "embeddings_knn_graph": lexical.SQL_EMBEDDINGS_KNN_GRAPH,
         # headline KG family: DuckDB recompute over the engine's own
         # phase-1 checkpoint (linked pre-dedup triples parquet) — the
@@ -1102,10 +1124,20 @@ def _media_oracles() -> dict[str, str]:
     fingerprint checkpoints (the matching queries() callables write
     them before returning) — blocking-free ground truth for the banded
     near-dup pair generation."""
-    from gpml2pvjson_js_ray.stages.multimodal import media_dups_oracle_sql
+    from gpml2pvjson_js_ray.stages.multimodal import (
+        media_dups_oracle_sql, media_features_oracle_sql,
+        media_resize_oracle_sql, video_dups_oracle_sql)
     return {
         "media_phash_dups": media_dups_oracle_sql("image_ahash", 48, 3),
         "media_audio_dups": media_dups_oracle_sql("audio_spectral", 24, 1),
+        # frame-position-aligned brute-force Hamming ground truth over
+        # the frame-hash checkpoint (round-5; proves the
+        # (frame_index, band) pigeonhole lossless)
+        "media_video_dups": video_dups_oracle_sql(24, 3, 3),
+        # checkpoint-identity determinism gates over the all-scalar
+        # sha256 projections (round-5)
+        "media_features": media_features_oracle_sql(64),
+        "media_resize": media_resize_oracle_sql(64),
     }
 
 

@@ -466,6 +466,45 @@ def documents_bpe_train(sf_dir: str, n_merges: int = 20):
         "pair_count": pa.array([m[2] for m in merges], pa.int64())})
 
 
+def documents_bpe_word_counts(sf_dir: str):
+    """The DISTRIBUTED stage of BPE training in isolation: the
+    corpus → (word, count) reduction the merge loop consumes (per-batch
+    polars count partials + one groupby-sum — how GPT-2's tokenizer was
+    actually trained: on word counts, not raw text). The merge chain
+    itself is an inherently sequential argmax over this reduced table
+    and stays rows-only (documents_bpe_train, pytest-pinned); this
+    entry gives the corpus-scale part a first-principles DuckDB oracle
+    (round-5). Returns (w, n) sorted by w."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import polars_capped
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        pl = polars_capped()
+        out = (pl.from_arrow(b.select(["text"]))
+               .select(w=pl.col("text").fill_null("").str.to_lowercase()
+                       .str.extract_all("[a-z]+"))
+               .explode("w").drop_nulls("w")
+               .group_by("w").agg(n=pl.len().cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([("w", pa.string()),
+                                              ("n", pa.int64())]))
+
+    return (docs.map_batches(word_partial, batch_format="pyarrow")
+            .groupby("w").aggregate(Sum("n", alias_name="n"))
+            .sort("w"))
+
+
+SQL_DOCUMENTS_BPE_WORD_COUNTS = """
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                       '[a-z]+')) AS w
+      FROM documents)
+GROUP BY w ORDER BY w
+"""
+
+
 # -- co-mention edges + PMI (the KG co-occurrence graph builder) ---------------
 
 def documents_comention_pmi(sf_dir: str):

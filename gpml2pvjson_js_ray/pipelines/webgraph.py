@@ -196,14 +196,16 @@ def webgraph_oracle_sql_for_sf(sf_dir: str = "/root/testdata/sf0.01",
     distributed trim + forward/backward min-label peeling), PageRank /
     personalized PageRank by the unrolled 8-iteration power method
     (vs the engine's co-partitioned join + groupby-sum rounds), anchor
-    stats by identity over their own checkpoint (pytest holds the
-    independent stdlib-re recount)."""
+    stats by an independent RE2 recount over the RAW pages html
+    (round-5: the identity checkpoint read is gone — the driver gate
+    now recomputes extraction + counting from source)."""
     from .graph import pagerank_oracle_sql
+    from .kg import pages_glob
 
     p = host_edges_checkpoint_path(sf_dir)
     d_body = (f"SELECT DISTINCT src_host AS s, dst_host AS t "
               f"FROM read_parquet('{p}')")
-    ap = anchor_checkpoint_path(sf_dir)
+    pg = pages_glob(sf_dir)
     return {
         "kg_host_scc": f"""
 WITH RECURSIVE {_closure_ctes(p)}
@@ -230,9 +232,20 @@ GROUP BY m.host, m.scc ORDER BY level, scc, host""",
             out_node="host", weighted=True),
         "kg_host_ppr": pagerank_oracle_sql(d_body, out_node="host",
                                            personalized=True),
-        "kg_anchor_texts": (
-            f"SELECT anchor_text, dst_host, n_mentions "
-            f"FROM read_parquet('{ap}')"),
+        # first-principles recount from the raw html: the same three
+        # regexes (anchor element / host capture / text capture) in
+        # RE2; regexp_extract's ''-on-no-match mirrors polars'
+        # null + drop_nulls because both sub-patterns require >= 1 char
+        "kg_anchor_texts": f"""
+SELECT anchor_text, dst_host, CAST(count(*) AS BIGINT) AS n_mentions
+FROM (SELECT regexp_extract(a, '{_ANCHOR_TEXT_RE}', 1) AS anchor_text,
+             regexp_extract(a, '{_ANCHOR_HOST_RE}', 1) AS dst_host
+      FROM (SELECT unnest(regexp_extract_all(decode(html),
+                '{_ANCHOR_RE}')) AS a
+            FROM read_parquet('{pg}')))
+WHERE anchor_text <> '' AND dst_host <> ''
+GROUP BY anchor_text, dst_host
+ORDER BY anchor_text, dst_host""",
         "kg_host_link_graph":
             f"SELECT src_host, dst_host, n_links FROM read_parquet('{p}')",
         "kg_host_cocitation": f"""

@@ -878,28 +878,17 @@ FROM read_parquet('{p}') a JOIN read_parquet('{p}') b
 WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}"""
 
 
-def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,
-                         min_frames: int = 3, num_buckets: int = 32):
-    """Video near-duplicate PAIRS by frame-sequence perceptual hashing:
-    sample n_frames per video (real PPM-sequence split), aHash every
-    sampled frame (real decode), band each frame hash with the Manku
-    pigeonhole — keyed by (frame_index, band) so only CO-POSITIONED
-    frames ever collide — and call two videos near-duplicates when
-    ≥ min_frames sampled positions match within the Hamming ball (the
-    re-encoded / lightly-edited-copy case). No all-pairs stage: the only
-    exchanges are the banded groupby and the tiny pair-count groupby.
+FRAME_HASH_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("frame_index", pa.int32()),
+    ("ahash", pa.int64()),
+])
 
-    Returns (media_a, media_b, n_frames_matched) with media_a < media_b."""
-    import itertools
 
-    import pandas as pd
-    from ray.data.aggregate import Count
-
-    from .exchange import hash_rows_mod
-
-    n_bands = max_hamming + 1
-    band_bits = 64 // n_bands
-
+def video_frame_hashes(media, n_frames: int = 4):
+    """Per-(video, sampled frame) aHash table — the fingerprint layer of
+    video_near_dup_pairs, split out so it can be checkpointed for the
+    brute-force SQL oracle (media_video_dups_oracled)."""
     frames = media.map_batches(FrameSampler,
                                fn_constructor_kwargs={
                                    "n_frames": n_frames},
@@ -923,6 +912,87 @@ def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,
             "frame_index": pa.array(idxs, type=pa.int32()),
             "ahash": pa.array(hashes, type=pa.int64()),
         })
+
+    return frames.map_batches(fhash, batch_format="pyarrow")
+
+
+def media_video_dups_oracled(n_rows: int = 24, max_hamming: int = 3,
+                             min_frames: int = 3):
+    """media_video_dups under the checkpoint + brute-force-oracle
+    contract of media_phash_dups_oracled: the per-frame aHash table is
+    checkpointed, the banded co-positioned pair-gen runs over the
+    checkpoint, and the DuckDB oracle brute-forces the
+    frame-position-aligned Hamming join + min_frames threshold over
+    the same parquet — proving the (frame_index, band) pigeonhole
+    lossless against all-pairs."""
+    import ray.data as rd
+    ds = synth_video_corpus(n_rows)
+    hashes = video_frame_hashes(ds)
+    path = media_hash_checkpoint_path("video_fhash", n_rows)
+    import pyarrow.parquet as pq
+    t = pa.Table.from_pandas(
+        hashes.to_pandas().sort_values(["media_id", "frame_index"])
+        .reset_index(drop=True),
+        schema=FRAME_HASH_SCHEMA, preserve_index=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return video_pairs_from_frame_hashes(
+        rd.read_parquet(path), max_hamming=max_hamming,
+        min_frames=min_frames)
+
+
+def video_dups_oracle_sql(n_rows: int = 24, max_hamming: int = 3,
+                          min_frames: int = 3) -> str:
+    """Blocking-free ground truth over the frame-hash checkpoint: count
+    co-positioned frame pairs within the Hamming ball per video pair,
+    threshold at min_frames — the banded engine path must equal it
+    exactly."""
+    p = media_hash_checkpoint_path("video_fhash", n_rows)
+    return f"""
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(count(*) AS BIGINT) AS n_frames_matched
+FROM read_parquet('{p}') a JOIN read_parquet('{p}') b
+  ON a.media_id < b.media_id AND a.frame_index = b.frame_index
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}
+GROUP BY media_a, media_b
+HAVING count(*) >= {min_frames}
+ORDER BY media_a, media_b"""
+
+
+def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,
+                         min_frames: int = 3, num_buckets: int = 32):
+    """Video near-duplicate PAIRS by frame-sequence perceptual hashing:
+    sample n_frames per video (real PPM-sequence split), aHash every
+    sampled frame (real decode), band each frame hash with the Manku
+    pigeonhole — keyed by (frame_index, band) so only CO-POSITIONED
+    frames ever collide — and call two videos near-duplicates when
+    ≥ min_frames sampled positions match within the Hamming ball (the
+    re-encoded / lightly-edited-copy case). No all-pairs stage: the only
+    exchanges are the banded groupby and the tiny pair-count groupby.
+
+    Returns (media_a, media_b, n_frames_matched) with media_a < media_b."""
+    return video_pairs_from_frame_hashes(
+        video_frame_hashes(media, n_frames=n_frames),
+        max_hamming=max_hamming, min_frames=min_frames,
+        num_buckets=num_buckets)
+
+
+def video_pairs_from_frame_hashes(hashes, max_hamming: int = 3,
+                                  min_frames: int = 3,
+                                  num_buckets: int = 32):
+    """Pair generation half of video_near_dup_pairs over a prepared
+    (media_id, frame_index, ahash) Dataset (live or checkpointed)."""
+    import itertools
+
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .exchange import hash_rows_mod
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
 
     def bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -978,8 +1048,7 @@ def video_near_dup_pairs(media, n_frames: int = 4, max_hamming: int = 3,
 
     # banded candidates → one row per (pair, frame) → count matched
     # positions per pair → threshold
-    cand = (frames.map_batches(fhash, batch_format="pyarrow")
-            .map_batches(bands, batch_format="pyarrow")
+    cand = (hashes.map_batches(bands, batch_format="pyarrow")
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(frame_pairs, batch_format="pandas")
@@ -1118,3 +1187,116 @@ def media_frame_features(n_rows: int = 64, n_frames: int = 4):
                      fn_constructor_kwargs={"strict": False},
                      batch_format="pyarrow", batch_size=32,
                      concurrency=2, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# driver-safe oracled projections for the featurize/resize stages
+# ---------------------------------------------------------------------------
+#
+# The raw stage outputs carry large_binary payloads and list<float32>
+# feature vectors — types whose cross-engine value-hashing (DuckDB BLOB /
+# FLOAT[] vs Arrow) is not byte-stable in the driver's compare. The
+# catalog entries therefore return a PROJECTION where every binary/list
+# column is replaced by its sha256 (computed in the engine at write AND
+# at query time), and the DuckDB oracle identity-reads the checkpoint —
+# the documents_simhash determinism-gate contract with all-scalar
+# columns. The full-payload stages (media_features / media_resize)
+# remain the library surface.
+
+FEATURES_PROJ_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("content_sha256", pa.string()),
+    ("feature_sha256", pa.string()),   # sha256 of float32-LE vector bytes
+    ("decoder", pa.string()),
+])
+
+RESIZE_PROJ_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),
+    ("payload_sha256", pa.string()),   # sha256 of the resized bytes
+    ("n_bytes", pa.int64()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("decoder", pa.string()),
+])
+
+
+def _features_projection(b: pa.Table) -> pa.Table:
+    feats = b.column("feature").to_pylist()
+    fh = [hashlib.sha256(
+        np.asarray(f or [], dtype=np.float32).tobytes()).hexdigest()
+        for f in feats]
+    return pa.Table.from_pydict({
+        "media_id": b.column("media_id"),
+        "kind": b.column("kind"),
+        "n_bytes": b.column("n_bytes"),
+        "content_sha256": b.column("content_sha256"),
+        "feature_sha256": pa.array(fh, pa.string()),
+        "decoder": b.column("decoder"),
+    }, schema=FEATURES_PROJ_SCHEMA)
+
+
+def _resize_projection(b: pa.Table) -> pa.Table:
+    payloads = b.column("payload").to_pylist()
+    ph = [hashlib.sha256(p or b"").hexdigest() for p in payloads]
+    nb = [len(p or b"") for p in payloads]
+    return pa.Table.from_pydict({
+        "media_id": b.column("media_id"),
+        "kind": b.column("kind"),
+        "payload_sha256": pa.array(ph, pa.string()),
+        "n_bytes": pa.array(nb, pa.int64()),
+        "width": b.column("width"),
+        "height": b.column("height"),
+        "decoder": b.column("decoder"),
+    }, schema=RESIZE_PROJ_SCHEMA)
+
+
+def _checkpoint_projection(ds, schema, sort_cols, path: str):
+    import pyarrow.parquet as pq
+    t = pa.Table.from_pandas(
+        ds.to_pandas().sort_values(sort_cols).reset_index(drop=True),
+        schema=schema, preserve_index=False)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def media_features_oracled(n_rows: int = 64):
+    """media_features under the determinism-gate contract: one run's
+    projection is checkpointed, a SECOND independent run's projection is
+    returned, and the DuckDB oracle identity-reads the checkpoint — any
+    nondeterminism in decode/featurize across actor pools breaks the
+    driver hash."""
+    proj = media_features(n_rows).map_batches(
+        _features_projection, batch_format="pyarrow")
+    path = media_hash_checkpoint_path("features_proj", n_rows)
+    _checkpoint_projection(proj, FEATURES_PROJ_SCHEMA, ["media_id"],
+                           path)
+    return media_features(n_rows).map_batches(
+        _features_projection, batch_format="pyarrow")
+
+
+def media_resize_oracled(n_rows: int = 64, target: int = 256):
+    """media_resize under the same determinism-gate contract as
+    media_features_oracled."""
+    proj = media_resize(n_rows, target=target).map_batches(
+        _resize_projection, batch_format="pyarrow")
+    path = media_hash_checkpoint_path("resize_proj", n_rows)
+    _checkpoint_projection(proj, RESIZE_PROJ_SCHEMA, ["media_id"], path)
+    return media_resize(n_rows, target=target).map_batches(
+        _resize_projection, batch_format="pyarrow")
+
+
+def media_features_oracle_sql(n_rows: int = 64) -> str:
+    p = media_hash_checkpoint_path("features_proj", n_rows)
+    return (f"SELECT media_id, kind, n_bytes, content_sha256, "
+            f"feature_sha256, decoder FROM read_parquet('{p}')")
+
+
+def media_resize_oracle_sql(n_rows: int = 64) -> str:
+    p = media_hash_checkpoint_path("resize_proj", n_rows)
+    return (f"SELECT media_id, kind, payload_sha256, n_bytes, width, "
+            f"height, decoder FROM read_parquet('{p}')")
