@@ -60,12 +60,17 @@ def run_bench() -> dict:
     # build + broadcast the xref index outside the timed section (a cluster
     # deployment builds it once at job start, amortized across the corpus)
     kg.get_xref_ref()
-    # warm the worker pool + import/codegen paths with a tiny throwaway run
+    # warm the worker pool + import/codegen paths with a throwaway run
     # (a long-lived cluster's workers are warm; the timed number should
-    # measure the pipeline, not one-time process spawning)
+    # measure the pipeline, not one-time process spawning). 2400 pages —
+    # not 240 (round-4 first-trial gap): with ms-long tasks Ray finishes
+    # the warm run before the on-demand worker pool ramps to all CPUs,
+    # so most workers still paid their first-import cost inside trial 1;
+    # ~0.5 s tasks hold the full pool busy long enough that every worker
+    # process exists and has imported the package before timing starts.
     warm_dir = f"/tmp/bench_warm_{NUM_CPUS}"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    kg.run_kg_pipeline(kg.pages_path(240), warm_dir)
+    kg.run_kg_pipeline(kg.pages_path(2400), warm_dir)
 
     queries: dict[str, float] = {}
 

@@ -23,9 +23,23 @@ IN PLACE (tags keep the 2021 namespace — the Processor keys on local
 names; the namespace gate is the profile's ``supported_namespaces``),
 so every downstream table (KeyMappings, converters, marker/group
 enrichment — the 2013a semantics the 93 golden fixtures pin) applies
-unchanged. Conversion semantics beyond renames (e.g. 2021 ``Anchors`` /
-``Waypoints`` containers or the new Annotation/Citation model) are NOT
-claimed; documents using them convert only as far as the shared core.
+unchanged. Beyond the renames the adapter also maps the 2021 models that
+REPLACED 2013a constructs (round-5):
+
+- ``Waypoints`` containers: a 2021 edge keeps its ``Point``/``Anchor``
+  children inside ``<Waypoints>``; they move into the edge's
+  ``<Graphics>`` where the 2013a converter reads them;
+- the Annotation/Citation model: ``<Citations><Citation elementId=…>``
+  (with its ``Xref dataSource/identifier``) becomes a 2013a Biopax
+  ``PublicationXref`` (elementId → rdf ``$ID``, identifier → ``ID``,
+  dataSource → ``DB``); ``<CitationRef elementRef=…/>`` becomes the
+  text-form ``<BiopaxRef>`` the 2013a reference shape uses;
+  ``<Annotations><Annotation value=… type=…>`` becomes an
+  ``openControlledVocabulary`` (value → TERM, Xref identifier → ID,
+  Xref dataSource → Ontology). Per-element ``AnnotationRef``s are
+  dropped: 2013a has no per-element vocabulary references — the
+  controlled vocabulary is a pathway-level list (A4 vocab collect),
+  which is exactly where the converted entries land.
 """
 
 from __future__ import annotations
@@ -75,6 +89,74 @@ def _localname(tag) -> str:
     return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else str(tag)
 
 
+def _adapt_annotations_citations(root) -> None:
+    """2021 Annotation/Citation model → the 2013a Biopax fragment +
+    text-form BiopaxRef children (runs BEFORE attribute renames, so it
+    reads 2021 attribute names). See module docstring for the field
+    mapping."""
+    from xml.etree import ElementTree as ET
+
+    def _xref_of(el):
+        return next((c for c in el if _localname(c.tag) == "Xref"), None)
+
+    publication_xrefs, vocabularies = [], []
+    for child in list(root):
+        ln = _localname(child.tag)
+        if ln == "Citations":
+            for cit in child:
+                if _localname(cit.tag) != "Citation":
+                    continue
+                xref = _xref_of(cit)
+                # bare tags: the 2013a parser keys Biopax children on
+                # local names, and the bare "ID" attribute satisfies
+                # its rdf-ID localname check ($ID)
+                px = ET.Element("PublicationXref",
+                                {"ID": cit.attrib.get("elementId", "")})
+                ET.SubElement(px, "ID").text = (
+                    xref.attrib.get("identifier", "")
+                    if xref is not None else "")
+                ET.SubElement(px, "DB").text = (
+                    xref.attrib.get("dataSource", "")
+                    if xref is not None else "")
+                publication_xrefs.append(px)
+            root.remove(child)
+        elif ln == "Annotations":
+            for ann in child:
+                if _localname(ann.tag) != "Annotation":
+                    continue
+                xref = _xref_of(ann)
+                ocv = ET.Element("openControlledVocabulary")
+                ET.SubElement(ocv, "TERM").text = \
+                    ann.attrib.get("value", "")
+                ET.SubElement(ocv, "ID").text = (
+                    xref.attrib.get("identifier", "")
+                    if xref is not None else "")
+                ET.SubElement(ocv, "Ontology").text = (
+                    xref.attrib.get("dataSource", "")
+                    if xref is not None else "")
+                vocabularies.append(ocv)
+            root.remove(child)
+    if publication_xrefs or vocabularies:
+        bp = ET.SubElement(root, "Biopax")
+        for el in publication_xrefs + vocabularies:
+            bp.append(el)
+
+    # CitationRef → text-form BiopaxRef in place (order preserved:
+    # BiopaxRef position matters for the citation-rank numbering);
+    # AnnotationRef dropped (pathway-level vocabulary in 2013a)
+    for el in list(root.iter()):
+        for child in list(el):
+            ln = _localname(child.tag)
+            if ln == "CitationRef":
+                idx = list(el).index(child)
+                el.remove(child)
+                bref = ET.Element("BiopaxRef")
+                bref.text = child.attrib.get("elementRef", "")
+                el.insert(idx, bref)
+            elif ln == "AnnotationRef":
+                el.remove(child)
+
+
 def adapt_gpml2021_tree(root):
     """Rewrite a GPML2021 ElementTree into 2013a attribute/topology
     shape (in place; returns root). Safe on already-2013a trees only in
@@ -94,12 +176,19 @@ def adapt_gpml2021_tree(root):
     for child in new_children:
         root.append(child)
 
+    # 1b. Annotation/Citation model → Biopax fragment + BiopaxRef
+    _adapt_annotations_citations(root)
+
     # 2. 2021 edges keep their Points/Anchors in a <Waypoints>
     # container; 2013a expects them inside <Graphics>
     for el in root:
         if _localname(el.tag) not in ("Interaction", "GraphicalLine"):
             continue
-        waypoints = [c for c in el if _localname(c.tag) == "Waypoints"]
+        # both edge-level containers: <Waypoints> (Points) and, in
+        # documents that emit them separately, <Anchors> (Anchor
+        # elements) — 2013a expects both kinds inside <Graphics>
+        waypoints = [c for c in el
+                     if _localname(c.tag) in ("Waypoints", "Anchors")]
         if not waypoints:
             continue
         graphics = next((c for c in el

@@ -140,3 +140,87 @@ def test_cli_convert_gpml2021_profile(tmp_path):
     doc = json.loads(r.stdout.decode().strip())
     assert set(doc["entitiesById"]) == {"aaa11", "bbb22", "eee33"}
     assert doc["entitiesById"]["eee33"]["markerEnd"] == "Arrow"
+
+
+# -- 2021 Annotation/Citation model + Anchors (round-5) ------------------------
+
+GPML_2013A_CITED = '''<?xml version="1.0" encoding="UTF-8"?>
+<Pathway xmlns="http://pathvisio.org/GPML/2013a" Name="t" Version="1">
+<Graphics BoardWidth="100.0" BoardHeight="100.0" />
+<DataNode TextLabel="A" GraphId="aaa11" Type="Protein">
+<BiopaxRef>c1</BiopaxRef>
+<Graphics CenterX="20.0" CenterY="20.0" Width="20.0" Height="10.0" \
+ZOrder="32768" FontSize="10" Valign="Middle" />
+<Xref Database="Entrez Gene" ID="1" /></DataNode>
+<Interaction GraphId="eee33"><Graphics ZOrder="12288" LineThickness="1.0">
+<Point X="30.0" Y="20.0" GraphRef="aaa11" RelX="1.0" RelY="0.0" />
+<Point X="70.0" Y="20.0" />
+<Anchor Position="0.5" GraphId="anc44" Shape="None" />
+</Graphics><Xref Database="" ID="" /></Interaction>
+<Biopax>
+<bp:PublicationXref xmlns:bp="http://www.biopax.org/release/biopax-level3.owl#" \
+xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" rdf:id="c1">
+<bp:ID>12345</bp:ID>
+<bp:DB>PubMed</bp:DB>
+</bp:PublicationXref>
+<bp:openControlledVocabulary \
+xmlns:bp="http://www.biopax.org/release/biopax-level3.owl#">
+<bp:TERM>signaling pathway</bp:TERM>
+<bp:ID>PW:0000003</bp:ID>
+<bp:Ontology>Pathway Ontology</bp:Ontology>
+</bp:openControlledVocabulary>
+</Biopax>
+</Pathway>'''
+
+GPML_2021_CITED = '''<?xml version="1.0" encoding="UTF-8"?>
+<Pathway xmlns="http://pathvisio.org/GPML/2021" title="t" version="1">
+<Graphics boardWidth="100.0" boardHeight="100.0" />
+<DataNodes>
+<DataNode textLabel="A" elementId="aaa11" type="Protein">
+<CitationRef elementRef="c1" />
+<AnnotationRef elementRef="ann1" />
+<Graphics centerX="20.0" centerY="20.0" width="20.0" height="10.0" \
+zOrder="32768" fontSize="10" valign="Middle" />
+<Xref dataSource="Entrez Gene" identifier="1" /></DataNode>
+</DataNodes>
+<Interactions>
+<Interaction elementId="eee33"><Graphics zOrder="12288" \
+lineThickness="1.0" />
+<Waypoints>
+<Point x="30.0" y="20.0" elementRef="aaa11" relX="1.0" relY="0.0" />
+<Point x="70.0" y="20.0" />
+<Anchor position="0.5" elementId="anc44" shape="None" />
+</Waypoints>
+<Xref dataSource="" identifier="" /></Interaction>
+</Interactions>
+<Annotations>
+<Annotation elementId="ann1" value="signaling pathway" type="Ontology">
+<Xref dataSource="Pathway Ontology" identifier="PW:0000003" /></Annotation>
+</Annotations>
+<Citations>
+<Citation elementId="c1"><Xref dataSource="PubMed" \
+identifier="12345" /></Citation>
+</Citations>
+</Pathway>'''
+
+
+def test_gpml2021_annotation_citation_model_matches_2013a_twin():
+    """The 2021 Annotation/Citation model and Waypoints-held Anchors
+    (round-5): Citations become Biopax PublicationXrefs (with the
+    citation-rank wiring via CitationRef→BiopaxRef), Annotations become
+    the pathway-level controlled vocabulary, Anchors convert to the
+    same burr entity — field-for-field equal to the 2013a twin."""
+    from gpml2pvjson_js_ray.functions.profile import GPML2021
+
+    base = convert_island(GPML_2013A_CITED)
+    out = convert_island(GPML_2021_CITED, profile=GPML2021)
+    assert out["entitiesById"] == base["entitiesById"]
+    pw_a = {k: v for k, v in base["pathway"].items() if k != "id"}
+    pw_b = {k: v for k, v in out["pathway"].items() if k != "id"}
+    assert pw_a == pw_b
+    # the interesting structure really is there, not vacuously equal:
+    ents = out["entitiesById"]
+    assert "anc44" in ents                       # Anchor → burr entity
+    cited = ents["aaa11"]
+    assert any("12345" in str(v) for v in cited.get("xrefs", [])) or \
+        "citedBy" in str(cited) or "c1" in str(cited)
