@@ -333,6 +333,105 @@ def run_amortization() -> dict:
     }
 
 
+def run_sustained() -> dict:
+    """One sustained sf1-equivalent run (round-4 verdict #4): the full
+    resumable KG pipeline over BENCH_SUSTAINED_PAGES pages (default
+    3.84M — 10× the bench corpus, the closest single-node proxy for the
+    100× claim) with the object store's spill behavior measured. Output
+    goes to DISK (not tmpfs): tmpfs output would compete with the
+    object store for the same RAM and is not representative of cluster
+    storage. Reports wall, triples/s, object-store spill/restore bytes
+    (ray memory_summary deltas) and partition manifest counters."""
+    import re as _re
+
+    import ray
+    n_pages = int(os.environ.get("BENCH_SUSTAINED_PAGES", "3840000"))
+    parts = int(os.environ.get("BENCH_SUSTAINED_PARTITIONS", "0"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from gpml2pvjson_js_ray.pipelines import kg
+
+    pages_dir = kg.pages_path(n_pages)   # cached; generation untimed
+    kg.get_xref_ref()
+    warm_dir = f"/tmp/bench_warm_{NUM_CPUS}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    kg.run_kg_pipeline(kg.pages_path(2400), warm_dir)
+
+    def spill_stats() -> dict:
+        from ray._private.internal_api import memory_summary
+        try:
+            txt = memory_summary(
+                address=ray.get_runtime_context().gcs_address,
+                stats_only=True)
+        except Exception:
+            return {}
+        out = {}
+        m = _re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
+        if m:
+            out["spilled_mib"] = int(m.group(1))
+            out["spilled_objects"] = int(m.group(2))
+        m = _re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
+        if m:
+            out["restored_mib"] = int(m.group(1))
+            out["restored_objects"] = int(m.group(2))
+        return out
+
+    out_dir = f"/tmp/bench_sustained_{n_pages}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    before = spill_stats()
+    kwargs = {}
+    if parts:
+        files = sorted(os.listdir(pages_dir))
+        n_files = len([f for f in files if f.endswith(".parquet")])
+        kwargs["files_per_partition"] = max(1, n_files // parts)
+    t0 = time.perf_counter()
+    stats = kg.run_kg_pipeline(pages_dir, out_dir, **kwargs)
+    wall = round(time.perf_counter() - t0, 3)
+    after = spill_stats()
+    tasks_failed = 0
+    try:
+        from ray.util.state import summarize_tasks
+        summ = summarize_tasks()
+        for row in (summ.get("cluster", {}).get("summary", {}) or {}).values():
+            tasks_failed += int((row.get("state_counts") or {})
+                                .get("FAILED", 0))
+    except Exception:
+        tasks_failed = -1            # state API unavailable; recorded as such
+    out_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(out_dir) for f in fns)
+    n_triples = stats.get("triples", 0)
+    result = {
+        "metric": "kg_pipeline_sustained_sec",
+        "value": wall,
+        "unit": "sec",
+        "n_pages": n_pages,
+        "num_cpus": NUM_CPUS,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / wall, 1) if wall else 0,
+        "docs": stats.get("docs", 0),
+        "errors": stats.get("errors", 0),
+        "partitions_total": stats.get("partitions_total"),
+        "partitions_skipped": stats.get("partitions_skipped"),
+        "phase1_sec": stats.get("phase1_sec"),
+        "phase2_sec": stats.get("phase2_sec"),
+        "output_bytes": out_bytes,
+        "spilled_mib": after.get("spilled_mib", 0)
+        - before.get("spilled_mib", 0),
+        "spilled_objects": after.get("spilled_objects", 0)
+        - before.get("spilled_objects", 0),
+        "restored_mib": after.get("restored_mib", 0)
+        - before.get("restored_mib", 0),
+        "tasks_failed": tasks_failed,
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
 def run_stats() -> None:
     """Print ds.stats() for the linked-triples pipeline — per-stage
     wall/cpu breakdown used to confirm wall time is dominated by useful
@@ -358,5 +457,7 @@ if __name__ == "__main__":
         print(json.dumps(run_amortization()))
     elif "--amort-child" in sys.argv:
         print(json.dumps(run_amort_child()))
+    elif "--sustained" in sys.argv:
+        print(json.dumps(run_sustained()))
     else:
         print(json.dumps(run_bench()))

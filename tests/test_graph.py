@@ -398,7 +398,9 @@ def test_host_pagerank_sums_to_one_and_ranks_hubs(ray_session):
     df = (webgraph.host_pagerank(
         kg.read_pages(path, columns=["url", "html"]),
         iters=6).to_pandas())
-    assert abs(df["rank"].sum() - 1.0) < 1e-9
+    # ranks are rounded to 8 digits at output (round-5 grain change),
+    # so the sum is exact only to ~n_hosts x 5e-9
+    assert abs(df["rank"].sum() - 1.0) < 1e-6
     ranks = dict(zip(df["host"], df["rank"]))
     assert ranks["site00.synthetic.test"] > ranks["site19.synthetic.test"]
     assert ranks["site00.synthetic.test"] > ranks["crawl00.synthetic.test"]
