@@ -496,3 +496,55 @@ def test_degree_distribution_planted(ray_session, cyclic_edges):
     # in-degrees: a2 b1 c1 d2 e1 f1 g1, s 0 → {0:1, 1:5, 2:2}
     assert got[("in", 0)] == 1 and got[("in", 1)] == 5 \
         and got[("in", 2)] == 2
+
+
+def test_hyperball_twins_track_exact_on_sf001_host_graph(ray_session):
+    """Round-5: the three new HyperBall twins vs their exact twins on
+    the REAL sf0.01 host graph (not just planted stars) — loose HLL
+    accuracy bands on every statistic, exact agreement on zeros and on
+    the (integer) diameter."""
+    from gpml2pvjson_js_ray.pipelines import kg, webgraph
+
+    pages = kg.read_pages(
+        kg.pages_path_for_sf("/root/testdata/sf0.01"),
+        columns=["url", "html"])
+
+    # closeness: per-host relative error < 40% on positives, 0 == 0
+    exact_c = webgraph.host_closeness(pages).to_pandas()
+    approx_c = webgraph.host_closeness_hyperball(pages).to_pandas()
+    ec = dict(zip(exact_c["host"], exact_c["closeness"]))
+    ac = dict(zip(approx_c["host"], approx_c["closeness_est"]))
+    for h in ac:
+        ec.setdefault(h, 0.0)
+    assert set(ec) == set(ac)
+    errs = []
+    for h in ec:
+        if ec[h] == 0.0:
+            assert ac[h] == 0.0, h
+        else:
+            errs.append(abs(ac[h] - ec[h]) / ec[h])
+            assert errs[-1] < 0.40, (h, ac[h], ec[h])
+    assert errs, "host graph should have reachable hosts"
+
+    # distance histogram: same support, per-distance mass within 40%
+    exact_h = webgraph.host_distance_histogram(pages).to_pandas()
+    approx_h = webgraph.host_distance_histogram_hyperball(
+        pages).to_pandas()
+    eh = dict(zip(exact_h["dist"], exact_h["n_pairs"]))
+    ah = dict(zip(approx_h["dist"], approx_h["n_pairs_est"]))
+    assert set(ah) == set(eh)
+    for d in eh:
+        assert abs(ah[d] - eh[d]) / eh[d] < 0.40, (d, ah[d], eh[d])
+
+    # effective diameter: integer diameter exact, interpolated P90
+    # within ±1, total pair mass within 40%
+    exact_d = webgraph.host_effective_diameter(pages).to_pandas()
+    approx_d = webgraph.host_effective_diameter_hyperball(
+        pages).to_pandas()
+    assert int(approx_d["diameter_est"].iloc[0]) == \
+        int(exact_d["diameter"].iloc[0])
+    assert abs(float(approx_d["effective_diameter_est"].iloc[0])
+               - float(exact_d["effective_diameter"].iloc[0])) <= 1.0
+    assert abs(float(approx_d["n_pairs_est"].iloc[0])
+               - float(exact_d["n_pairs"].iloc[0])) \
+        / float(exact_d["n_pairs"].iloc[0]) < 0.40
