@@ -2145,12 +2145,16 @@ _POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)],
                            dtype=np.uint8)
 
 
-def _hb_init_regs(node_arr: pa.Array) -> list[bytes]:
-    """One HLL register set per node with the node's own hash inserted
-    (polars seed-0 hash — the repo's cross-process-stable primitive):
-    index = low 6 bits, rho = ctz(remaining bits) + 1 (geometric(1/2),
-    capped; ctz via the (w & -w) - 1 popcount trick — vectorizable on
-    numpy 1.x where clz is not)."""
+_HB_REG_COLS = [f"hb{i:02d}" for i in range(_HB_M)]
+
+
+def _hb_init_regs(node_arr: pa.Array) -> np.ndarray:
+    """(n, 64) uint8 register matrix, one HLL register set per node with
+    the node's own hash inserted (polars seed-0 hash — the repo's
+    cross-process-stable primitive): index = low 6 bits,
+    rho = ctz(remaining bits) + 1 (geometric(1/2), capped; ctz via the
+    (w & -w) - 1 popcount trick — vectorizable on numpy 1.x where clz
+    is not)."""
     import polars as pl
 
     h = pl.from_arrow(node_arr).hash(seed=0).to_numpy() \
@@ -2161,19 +2165,24 @@ def _hb_init_regs(node_arr: pa.Array) -> list[bytes]:
     m1 = (lsb - np.uint64(1))
     pc8 = _POPCOUNT_TABLE[m1.view(np.uint8).reshape(-1, 8)].sum(axis=1)
     rho = np.where(w > 0, pc8 + 1, 59).astype(np.uint8)
-    out = []
-    for i in range(len(h)):
-        regs = np.zeros(_HB_M, dtype=np.uint8)
-        regs[idx[i]] = rho[i]
-        out.append(regs.tobytes())
-    return out
+    regs = np.zeros((len(h), _HB_M), dtype=np.uint8)
+    regs[np.arange(len(h)), idx] = rho
+    return regs
 
 
-def _hb_estimate(regs_bytes) -> np.ndarray:
+def _hb_cols_matrix(b: pa.Table) -> np.ndarray:
+    """The 64 hbNN uint8 columns of a state block as an (n, 64) uint8
+    matrix (one column gather each — no per-row Python)."""
+    return np.stack(
+        [b.column(c).to_numpy(zero_copy_only=False)
+         for c in _HB_REG_COLS], axis=1).astype(np.uint8, copy=False)
+
+
+def _hb_estimate(regs: np.ndarray) -> np.ndarray:
     """Standard HLL estimate per register set (with the small-range
-    linear-counting correction) — vectorized across nodes."""
-    regs = np.stack([np.frombuffer(r, dtype=np.uint8)
-                     for r in regs_bytes]).astype(np.float64)
+    linear-counting correction) — vectorized across nodes; input is the
+    (n, 64) uint8 register matrix."""
+    regs = regs.astype(np.float64, copy=False)
     est = _HB_ALPHA * _HB_M * _HB_M / np.power(2.0, -regs).sum(axis=1)
     zeros = (regs == 0).sum(axis=1)
     small = (est <= 2.5 * _HB_M) & (zeros > 0)
@@ -2225,8 +2234,19 @@ def _hyperball_sweep(edges, nodes, src: str, dst: str,
     Boldi-Vigna neighborhood function as O(diameter) driver-side
     floats, never pair rows. All_pairs twins (harmonic_centrality,
     closeness_centrality, distance_histogram, effective_diameter) are
-    the exact small-graph oracles; this sweep is their 100× path."""
-    import pandas as pd
+    the exact small-graph oracles; this sweep is their 100× path.
+
+    Register layout (round 5): the 64 registers travel as 64 uint8
+    COLUMNS so the per-round merge is a NATIVE groupby Max over 68
+    columns — no per-node Python. (The first cut used a binary regs
+    blob + a pandas map_groups fold: one Python call per node per
+    round, which is exactly the per-row trap this sweep exists to
+    avoid at 100×.) The accumulator columns ride the same Max: message
+    rows carry prev_est = -1 and zero accumulators, the self row's
+    values are ≥ 0, so Max selects the self row — and a message-only
+    group (target absent from the nodes Dataset, advice r4) yields
+    prev_est = -1, which bump clamps to an empty previous ball."""
+    from ray.data.aggregate import Max, Sum
 
     def e_b(b: pa.Table) -> pa.Table:
         return pa.table({"a": b.column(src), "b": b.column(dst)})
@@ -2234,16 +2254,24 @@ def _hyperball_sweep(edges, nodes, src: str, dst: str,
     ed = edges.map_batches(e_b, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
 
+    acc_cols = ["prev_est", "harm", "nreach", "sdist"]
+
+    def _table(node_col, reg_matrix, prev_est, harm, nreach, sdist):
+        cols = {"node": node_col}
+        cols.update({c: pa.array(reg_matrix[:, i], type=pa.uint8())
+                     for i, c in enumerate(_HB_REG_COLS)})
+        cols["prev_est"] = pa.array(prev_est, pa.float64())
+        cols["harm"] = pa.array(harm, pa.float64())
+        cols["nreach"] = pa.array(nreach, pa.float64())
+        cols["sdist"] = pa.array(sdist, pa.float64())
+        return pa.table(cols)
+
     def init_b(b: pa.Table) -> pa.Table:
         col = b.column(0).combine_chunks()
-        regs = _hb_init_regs(col)
-        est = _hb_estimate(regs)
-        zeros = pa.array(np.zeros(len(regs)), pa.float64())
-        return pa.table({
-            "node": col,
-            "regs": pa.array(regs, type=pa.binary()),
-            "prev_est": pa.array(est, pa.float64()),
-            "harm": zeros, "nreach": zeros, "sdist": zeros})
+        m = _hb_init_regs(col)
+        est = _hb_estimate(m)
+        z = np.zeros(len(est))
+        return _table(col, m, est, z, z, z)
 
     state = nodes.map_batches(init_b, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
@@ -2252,11 +2280,8 @@ def _hyperball_sweep(edges, nodes, src: str, dst: str,
         """(Σ register values, Σ nreach) in ONE pass — the register sum
         is the integer convergence fixpoint, the nreach sum yields the
         per-round neighborhood-function increment."""
-        from ray.data.aggregate import Sum
-
         def s(b: pa.Table) -> pa.Table:
-            regt = sum(int(np.frombuffer(r, dtype=np.uint8).sum())
-                       for r in b.column("regs").to_pylist())
+            regt = int(_hb_cols_matrix(b).sum())
             nr = float(np.sum(b.column("nreach")
                               .to_numpy(zero_copy_only=False)))
             return pa.table({"t": pa.array([regt], pa.int64()),
@@ -2266,24 +2291,20 @@ def _hyperball_sweep(edges, nodes, src: str, dst: str,
                           Sum("nr", alias_name="nr")))
         return int(row["t"] or 0), float(row["nr"] or 0.0)
 
-    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
-        arrs = np.stack([np.frombuffer(x, dtype=np.uint8)
-                         for x in df["regs"]])
-        merged = arrs.max(axis=0).tobytes()
-        own_rows = df[df["prev_est"] >= 0.0]
-        if len(own_rows):
-            own = own_rows.iloc[0]
-            prev, harm, nre, sd = (own["prev_est"], own["harm"],
-                                   own["nreach"], own["sdist"])
-        else:
-            # message target absent from the nodes Dataset (advice r4):
-            # synthesize a fresh row — previously-unseen node, empty
-            # ball (prev_est 0), zero accumulators
-            prev, harm, nre, sd = 0.0, 0.0, 0.0, 0.0
-        return pd.DataFrame({"node": [df["node"].iloc[0]],
-                             "regs": [merged], "prev_est": [prev],
-                             "harm": [harm], "nreach": [nre],
-                             "sdist": [sd]})
+    def msg_b(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"node": t.column("b")}
+        cols.update({c: t.column(c) for c in _HB_REG_COLS})
+        # marker rows: prev_est < 0 means "not the self row"
+        cols["prev_est"] = pa.array(np.full(n, -1.0), pa.float64())
+        z = pa.array(np.zeros(n), pa.float64())
+        cols["harm"] = z
+        cols["nreach"] = z
+        cols["sdist"] = z
+        return pa.table(cols)
+
+    aggs = ([Max(c, alias_name=c) for c in _HB_REG_COLS]
+            + [Max(c, alias_name=c) for c in acc_cols])
 
     prev_tot, prev_nr = totals(state)
     nf_inc: list[float] = []
@@ -2291,22 +2312,15 @@ def _hyperball_sweep(edges, nodes, src: str, dst: str,
         msgs = (ed.join(state, join_type="inner",
                         num_partitions=num_partitions,
                         on=("a",), right_on=("node",))
-                .map_batches(lambda t: pa.table({
-                    "node": t.column("b"), "regs": t.column("regs"),
-                    # marker rows: prev_est < 0 means "not the self row"
-                    "prev_est": pa.array(
-                        np.full(t.num_rows, -1.0), pa.float64()),
-                    "harm": pa.array(
-                        np.zeros(t.num_rows), pa.float64()),
-                    "nreach": pa.array(
-                        np.zeros(t.num_rows), pa.float64()),
-                    "sdist": pa.array(
-                        np.zeros(t.num_rows), pa.float64())}),
-                    batch_format="pyarrow"))
+                .map_batches(msg_b, batch_format="pyarrow"))
 
         def bump(b: pa.Table, _k=k) -> pa.Table:
-            est = _hb_estimate(b.column("regs").to_pylist())
-            prev = b.column("prev_est").to_numpy(zero_copy_only=False)
+            m = _hb_cols_matrix(b)
+            est = _hb_estimate(m)
+            # message-only groups (node absent from `nodes`) surface as
+            # prev_est = -1 after the Max merge: clamp to an empty ball
+            prev = np.maximum(
+                0.0, b.column("prev_est").to_numpy(zero_copy_only=False))
             inc = np.maximum(0.0, est - prev)
             harm = b.column("harm").to_numpy(zero_copy_only=False) \
                 + inc / _k
@@ -2314,16 +2328,10 @@ def _hyperball_sweep(edges, nodes, src: str, dst: str,
                 + inc
             sd = b.column("sdist").to_numpy(zero_copy_only=False) \
                 + inc * _k
-            return pa.table({"node": b.column("node"),
-                             "regs": b.column("regs"),
-                             "prev_est": pa.array(est, pa.float64()),
-                             "harm": pa.array(harm, pa.float64()),
-                             "nreach": pa.array(nre, pa.float64()),
-                             "sdist": pa.array(sd, pa.float64())})
+            return _table(b.column("node"), m, est, harm, nre, sd)
 
         state = (state.union(msgs)
-                 .groupby("node")
-                 .map_groups(merge, batch_format="pandas")
+                 .groupby("node").aggregate(*aggs)
                  .map_batches(bump, batch_format="pyarrow")
                  .repartition(num_partitions).materialize())
         cur_tot, cur_nr = totals(state)
