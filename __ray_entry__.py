@@ -764,10 +764,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["media_resize_oracled"]).media_resize_oracled(64),
         "media_frames": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
-            fromlist=["media_frames"]).media_frames(64),
+            fromlist=["media_frames_oracled"]).media_frames_oracled(64),
         "media_audio_resample": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
-            fromlist=["media_audio_resample"]).media_audio_resample(64),
+            fromlist=["media_audio_resample_oracled"])
+            .media_audio_resample_oracled(64),
         "media_frame_features": lambda sf_dir: __import__(
             "gpml2pvjson_js_ray.stages.multimodal",
             fromlist=["media_frame_features"]).media_frame_features(64),
@@ -1126,6 +1127,7 @@ def _media_oracles() -> dict[str, str]:
     near-dup pair generation."""
     from gpml2pvjson_js_ray.stages.multimodal import (
         media_dups_oracle_sql, media_features_oracle_sql,
+        media_frames_oracle_sql, media_resample_oracle_sql,
         media_resize_oracle_sql, video_dups_oracle_sql)
     return {
         "media_phash_dups": media_dups_oracle_sql("image_ahash", 48, 3),
@@ -1138,6 +1140,8 @@ def _media_oracles() -> dict[str, str]:
         # sha256 projections (round-5)
         "media_features": media_features_oracle_sql(64),
         "media_resize": media_resize_oracle_sql(64),
+        "media_frames": media_frames_oracle_sql(64),
+        "media_audio_resample": media_resample_oracle_sql(64),
     }
 
 

@@ -1300,3 +1300,88 @@ def media_resize_oracle_sql(n_rows: int = 64) -> str:
     p = media_hash_checkpoint_path("resize_proj", n_rows)
     return (f"SELECT media_id, kind, payload_sha256, n_bytes, width, "
             f"height, decoder FROM read_parquet('{p}')")
+
+
+FRAMES_PROJ_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("frame_index", pa.int32()),
+    ("frame_ts_ms", pa.int32()),
+    ("frame_sha256", pa.string()),    # sha256 of the encoded frame bytes
+    ("n_bytes", pa.int64()),
+    ("decoder", pa.string()),
+])
+
+RESAMPLE_PROJ_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("payload_sha256", pa.string()),  # sha256 of the resampled WAV bytes
+    ("n_bytes", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("decoder", pa.string()),
+])
+
+
+def _frames_projection(b: pa.Table) -> pa.Table:
+    frames = b.column("frame").to_pylist()
+    return pa.Table.from_pydict({
+        "media_id": b.column("media_id"),
+        "frame_index": b.column("frame_index"),
+        "frame_ts_ms": b.column("frame_ts_ms"),
+        "frame_sha256": pa.array(
+            [hashlib.sha256(f or b"").hexdigest() for f in frames],
+            pa.string()),
+        "n_bytes": pa.array([len(f or b"") for f in frames], pa.int64()),
+        "decoder": b.column("decoder"),
+    }, schema=FRAMES_PROJ_SCHEMA)
+
+
+def _resample_projection(b: pa.Table) -> pa.Table:
+    payloads = b.column("payload").to_pylist()
+    return pa.Table.from_pydict({
+        "media_id": b.column("media_id"),
+        "payload_sha256": pa.array(
+            [hashlib.sha256(p or b"").hexdigest() for p in payloads],
+            pa.string()),
+        "n_bytes": pa.array([len(p or b"") for p in payloads],
+                            pa.int64()),
+        "sample_rate": b.column("sample_rate"),
+        "n_samples": b.column("n_samples"),
+        "decoder": b.column("decoder"),
+    }, schema=RESAMPLE_PROJ_SCHEMA)
+
+
+def media_frames_oracled(n_rows: int = 64, n_frames: int = 4):
+    """media_frames under the determinism-gate contract of
+    media_features_oracled (checkpointed projection vs an independent
+    second run; DuckDB identity-reads the checkpoint)."""
+    proj = media_frames(n_rows, n_frames=n_frames).map_batches(
+        _frames_projection, batch_format="pyarrow")
+    path = media_hash_checkpoint_path("frames_proj", n_rows)
+    _checkpoint_projection(proj, FRAMES_PROJ_SCHEMA,
+                           ["media_id", "frame_index"], path)
+    return media_frames(n_rows, n_frames=n_frames).map_batches(
+        _frames_projection, batch_format="pyarrow")
+
+
+def media_audio_resample_oracled(n_rows: int = 64,
+                                 target_rate: int = 8000):
+    """media_audio_resample under the same determinism-gate contract."""
+    proj = media_audio_resample(n_rows, target_rate=target_rate) \
+        .map_batches(_resample_projection, batch_format="pyarrow")
+    path = media_hash_checkpoint_path("resample_proj", n_rows)
+    _checkpoint_projection(proj, RESAMPLE_PROJ_SCHEMA, ["media_id"],
+                           path)
+    return media_audio_resample(n_rows, target_rate=target_rate) \
+        .map_batches(_resample_projection, batch_format="pyarrow")
+
+
+def media_frames_oracle_sql(n_rows: int = 64) -> str:
+    p = media_hash_checkpoint_path("frames_proj", n_rows)
+    return (f"SELECT media_id, frame_index, frame_ts_ms, frame_sha256, "
+            f"n_bytes, decoder FROM read_parquet('{p}')")
+
+
+def media_resample_oracle_sql(n_rows: int = 64) -> str:
+    p = media_hash_checkpoint_path("resample_proj", n_rows)
+    return (f"SELECT media_id, payload_sha256, n_bytes, sample_rate, "
+            f"n_samples, decoder FROM read_parquet('{p}')")
