@@ -118,7 +118,14 @@ def _kg_ntriples(sf_dir: str):
 
 
 def _kg_docs(sf_dir: str):
+    """Converted-docs metadata table. Oracled since round 5 as a
+    determinism gate: the live docs_dataset recompute must match the
+    docs checkpoint run_kg_pipeline wrote (pvjson excluded here — its
+    byte length + @context flag are separately gated by
+    kg_jsonld_stats; the conversion semantics behind both are pinned by
+    the 93 golden fixtures)."""
     from gpml2pvjson_js_ray.pipelines import kg
+    _ensure_kg_ckpt(sf_dir)
     path = kg.pages_path_for_sf(sf_dir)
     return kg.docs_dataset(kg.read_pages(path)).drop_columns(["pvjson"])
 
